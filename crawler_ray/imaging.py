@@ -1,0 +1,146 @@
+"""Image codec + perceptual hash, stdlib-only (zlib/struct + numpy).
+
+Pillow is not available in this environment (SURVEY.md §7), so the store
+table's ``bytes: binary`` column (BASELINE.json input_hint) is produced by
+this module:
+
+- ``encode_png``  — lossless RGB8 PNG (filter 0 scanlines, zlib), PSNR = ∞.
+- ``encode_qpng`` — lossy test mode: uniform quantization (step ``q``) then
+  PNG; constructed so decoded-pixel PSNR vs the original sits above the
+  40 dB gate (q=6 → ≈43 dB) per the north rule.
+- ``decode_png``  — chunk parse + inflate + defilter (filters 0–2, which is
+  a superset of what the encoder emits).
+- ``psnr``        — decoded-pixel fidelity check.
+- ``phash64``     — 64-bit average-hash over an 8×8 block-mean downsample
+  (the ``phash: int64`` store column; replaces the reference's
+  sha256-of-url image naming, file_storage.py:279-293, with a
+  content-derived perceptual key).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(rgb: np.ndarray, level: int = 6) -> bytes:
+    """Encode an (h, w, 3) uint8 array as a lossless PNG."""
+    if rgb.dtype != np.uint8 or rgb.ndim != 3 or rgb.shape[2] != 3:
+        raise ValueError("expected (h, w, 3) uint8 RGB array")
+    h, w = rgb.shape[:2]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit, color type 2 (RGB)
+    raw = np.empty((h, 1 + w * 3), np.uint8)
+    raw[:, 0] = 0  # filter type 0 (None) per scanline
+    raw[:, 1:] = rgb.reshape(h, w * 3)
+    idat = zlib.compress(raw.tobytes(), level)
+    return _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
+
+
+def encode_qpng(rgb: np.ndarray, q: int = 6, level: int = 6) -> bytes:
+    """Lossy mode: quantize to step ``q`` then PNG-encode (PSNR ≈ 43 dB @ q=6)."""
+    quant = (np.round(rgb.astype(np.float32) / q) * q).clip(0, 255).astype(np.uint8)
+    return encode_png(quant, level)
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Decode a PNG produced by this module (RGB8, filters 0–2) → (h, w, 3) uint8."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos = 8
+    w = h = None
+    idat = bytearray()
+    try:
+        while pos < len(data):
+            (length,) = struct.unpack(">I", data[pos : pos + 4])
+            tag = data[pos + 4 : pos + 8]
+            payload = data[pos + 8 : pos + 8 + length]
+            pos += 12 + length
+            if tag == b"IHDR":
+                w, hh, depth, ctype = struct.unpack(">IIBB", payload[:10])
+                h = hh
+                if depth != 8 or ctype != 2:
+                    raise ValueError(f"unsupported PNG (depth={depth}, ctype={ctype})")
+            elif tag == b"IDAT":
+                idat.extend(payload)
+            elif tag == b"IEND":
+                break
+    except struct.error as e:
+        raise ValueError(f"truncated PNG: {e}") from e
+    if w is None or h is None:
+        raise ValueError("missing IHDR")
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), np.uint8).reshape(h, 1 + w * 3)
+    filters = raw[:, 0]
+    rows = raw[:, 1:].copy()
+    if (filters > 2).any():
+        raise ValueError("unsupported PNG filter type")
+    stride = 3
+    for y in range(h):
+        f = filters[y]
+        if f == 1:  # Sub
+            row = rows[y]
+            for x in range(stride, w * 3):
+                row[x] = (int(row[x]) + int(row[x - stride])) & 0xFF
+        elif f == 2 and y > 0:  # Up
+            rows[y] = (rows[y].astype(np.int16) + rows[y - 1].astype(np.int16)).astype(np.uint8)
+    return rows.reshape(h, w, 3)
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """Peak signal-to-noise ratio in dB (inf for identical arrays)."""
+    if a.shape != b.shape:
+        raise ValueError(f"shape mismatch {a.shape} vs {b.shape}")
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    if mse == 0:
+        return float("inf")
+    return float(20.0 * np.log10(255.0) - 10.0 * np.log10(mse))
+
+
+def _block_mean_8x8(gray: np.ndarray) -> np.ndarray:
+    """Downsample (h, w) float array to 8×8 by block means (h, w ≥ 8)."""
+    h, w = gray.shape
+    ys = (np.arange(9) * h) // 8
+    xs = (np.arange(9) * w) // 8
+    integral = np.zeros((h + 1, w + 1), np.float64)
+    integral[1:, 1:] = gray.cumsum(0).cumsum(1)
+    sums = (
+        integral[ys[1:, None], xs[None, 1:]]
+        - integral[ys[:-1, None], xs[None, 1:]]
+        - integral[ys[1:, None], xs[None, :-1]]
+        + integral[ys[:-1, None], xs[None, :-1]]
+    )
+    areas = (ys[1:, None] - ys[:-1, None]) * (xs[None, 1:] - xs[None, :-1])
+    return sums / areas
+
+
+def phash64(rgb: np.ndarray) -> int:
+    """64-bit average-hash: 8×8 block means thresholded at their mean.
+
+    Returns a SIGNED int64 (two's-complement view of the 64-bit pattern) to
+    match the store schema ``phash: int64``.
+    """
+    gray = rgb.astype(np.float64).mean(axis=2)
+    means = _block_mean_8x8(gray)
+    bits = (means > means.mean()).flatten()
+    value = np.uint64(0)
+    for i, b in enumerate(bits):
+        if b:
+            value |= np.uint64(1) << np.uint64(i)
+    return int(value.astype(np.int64))
+
+
+def hamming64(a: int, b: int) -> int:
+    """Hamming distance between two 64-bit phashes (signed int64 inputs ok)."""
+    return int(bin((int(a) ^ int(b)) & 0xFFFFFFFFFFFFFFFF).count("1"))
