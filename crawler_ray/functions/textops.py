@@ -1,0 +1,107 @@
+"""Text-analysis batch kernels for training-data pipelines.
+
+All functions are vectorized ``map_batches`` bodies over the ``documents``
+table (doc_id, text, lang, source, n_chars). They extend the reference's
+scalar-function surface (SURVEY.md §2.8) with the operations a large-scale
+corpus pipeline needs: token counting, quality scoring, language ID,
+fingerprinting.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from crawler_ray.hashing import xxh64_array
+
+TOKEN_RE = r"[A-Za-z0-9_]+"
+PUNCT_RE = r"[.,!?;:]"
+
+_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "that", "it", "for", "with", "was", "on", "as"},
+    "es": {"el", "la", "de", "que", "y", "en", "los", "del", "se", "las", "por", "un", "una", "con"},
+    "de": {"der", "die", "und", "das", "in", "von", "zu", "den", "mit", "ist", "des", "im", "nicht", "ein"},
+    "fr": {"le", "la", "de", "et", "les", "des", "en", "un", "du", "une", "que", "est", "dans", "qui"},
+}
+
+
+def token_count(texts: pd.Series) -> np.ndarray:
+    """# of \\w+ token matches per text (BPE-ish word splitting)."""
+    return texts.str.count(TOKEN_RE).fillna(0).to_numpy(np.int64)
+
+
+def punct_ratio(texts: pd.Series, n_chars: pd.Series | None = None) -> np.ndarray:
+    n = (n_chars if n_chars is not None else texts.str.len()).to_numpy(np.float64)
+    p = texts.str.count(PUNCT_RE).fillna(0).to_numpy(np.float64)
+    return np.divide(p, n, out=np.zeros_like(p), where=n > 0)
+
+
+def quality_score(batch: pd.DataFrame) -> pd.DataFrame:
+    """Heuristic quality features: length, token count, punct/stopword/digit
+    ratios and a composite [0,1] score."""
+    out = batch[["doc_id"]].copy()
+    text = batch["text"].astype("string")
+    n = text.str.len().to_numpy(np.float64)
+    toks = token_count(text)
+    out["n_chars"] = n.astype(np.int64)
+    out["n_tokens"] = toks
+    out["punct_ratio"] = punct_ratio(text)
+    words = text.str.lower().str.findall(TOKEN_RE)
+    all_stop = set().union(*_STOPWORDS.values())
+    out["stop_ratio"] = words.map(
+        lambda ws: sum(w in all_stop for w in ws) / len(ws) if len(ws) else 0.0
+    ).to_numpy(np.float64)
+    out["digit_ratio"] = np.divide(
+        text.str.count(r"\d").fillna(0).to_numpy(np.float64), n, out=np.zeros(len(n)), where=n > 0
+    )
+    # composite: long enough, words present, not digit/punct soup
+    out["score"] = np.clip(
+        np.minimum(n / 200.0, 1.0) * (1.0 - out["digit_ratio"]) * (1.0 - np.minimum(out["punct_ratio"] * 4, 1.0)),
+        0.0, 1.0,
+    )
+    return out
+
+
+def lang_id(batch: pd.DataFrame) -> pd.DataFrame:
+    """n-gram/stopword language-ID heuristic → lang_pred per doc.
+
+    CJK character fraction decides 'zh'; otherwise the stopword set with the
+    most hits among en/es/de/fr wins (ties → alphabetical; no hits → 'en').
+    """
+    text = batch["text"].astype("string")
+    n = text.str.len().to_numpy(np.float64)
+    cjk = text.str.count(r"[一-鿿]").fillna(0).to_numpy(np.float64)
+    cjk_frac = np.divide(cjk, n, out=np.zeros_like(cjk), where=n > 0)
+    words = text.str.lower().str.findall(TOKEN_RE)
+    preds = []
+    for ws, zh in zip(words, cjk_frac > 0.05):
+        if zh:
+            preds.append("zh")
+            continue
+        wset = ws if isinstance(ws, list) else []
+        scores = {lang: sum(w in sw for w in wset) for lang, sw in _STOPWORDS.items()}
+        best = max(sorted(scores), key=lambda k: scores[k])
+        preds.append(best if scores[best] > 0 else "en")
+    out = batch[["doc_id"]].copy()
+    if "lang" in batch.columns:
+        out["lang"] = batch["lang"]
+    out["lang_pred"] = preds
+    return out
+
+
+def fingerprint(batch: pd.DataFrame, window: int = 8) -> pd.DataFrame:
+    """Rolling-hash document fingerprint: xxh64 of each ``window``-gram of
+    the token sequence, reduced by min (winnowing-lite). Equal fingerprints
+    ⇒ near-certain shared window."""
+    text = batch["text"].astype("string")
+    words = text.str.lower().str.findall(TOKEN_RE)
+    fps = np.zeros(len(batch), np.uint64)
+    for i, ws in enumerate(words):
+        ws = list(ws) if not isinstance(ws, list) else ws
+        if not ws:
+            continue
+        grams = [" ".join(ws[j : j + window]) for j in range(max(1, len(ws) - window + 1))]
+        fps[i] = xxh64_array(grams).min()
+    out = batch[["doc_id"]].copy()
+    out["fingerprint"] = fps.astype(np.int64)  # int64 column (bit pattern)
+    return out

@@ -1,0 +1,622 @@
+"""Relational + training-data query surface over the TPC-H-ish testdata.
+
+Each entry mirrors an operator family from SURVEY.md §2 (A=aggregates,
+J=joins/lookups, K=sort/limit/top-k, D=dedup, plus the training-data ops the
+100 TB engine adds). Every SQL-expressible query has a DuckDB oracle in
+``ORACLE_SQL`` with IDENTICAL output column names; rows-only entries (LSH,
+SimHash, langid, ANN-LSH, multimodal) are checked by the driver for rows.
+
+Design rules applied throughout (see repo README):
+- prune columns at ``read_parquet``
+- pre-aggregate inside ``map_batches`` before any ``groupby`` shuffle
+- broadcast small sides (``ray.put`` / captured dicts), never shuffle them
+- floats that cross the DuckDB comparison are explicitly rounded on BOTH
+  sides (summation-order noise otherwise flips value hashes)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from crawler_ray.functions import ann, dedup_ops, textops
+from crawler_ray.hashing import xxh64_array
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None, **kw):
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns, **kw)
+
+
+# ---------------------------------------------------------------------------
+# Aggregates (A1–A3 analogues)
+# ---------------------------------------------------------------------------
+
+def q1_pricing_summary(sf_dir: str):
+    """TPC-H-Q1-shaped rollup: partial per-batch aggregation (combiner) →
+    tiny groupby — the shuffle moves O(groups), not O(rows)."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
+               filter=pc.field("l_shipdate") <= pa.scalar(pd.Timestamp("1998-09-02")))
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.assign(disc_price=b["l_extendedprice"] * (1 - b["l_discount"]))
+        g = b.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("l_quantity", "sum"), sum_base_price=("l_extendedprice", "sum"),
+            sum_disc_price=("disc_price", "sum"), sum_disc=("l_discount", "sum"),
+            count_order=("l_quantity", "size"))
+        return g
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Sum("sum_qty", alias_name="sum_qty"),
+                   Sum("sum_base_price", alias_name="sum_base_price"),
+                   Sum("sum_disc_price", alias_name="sum_disc_price"),
+                   Sum("sum_disc", alias_name="sum_disc"),
+                   Sum("count_order", alias_name="count_order"))
+        .to_pandas()
+    )
+    out["avg_qty"] = (out["sum_qty"] / out["count_order"]).round(2)
+    out["avg_price"] = (out["sum_base_price"] / out["count_order"]).round(2)
+    out["avg_disc"] = (out["sum_disc"] / out["count_order"]).round(4)
+    out = out.drop(columns=["sum_disc"])
+    for c in ["sum_qty", "sum_base_price", "sum_disc_price"]:
+        out[c] = out[c].round(2)
+    out["count_order"] = out["count_order"].astype(np.int64)
+    return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+def heatmap_grid(sf_dir: str):
+    """A1 heatmap: grid-bin two measures, count, top-10000 by weight."""
+    ds = _read(sf_dir, "lineitem", ["l_quantity", "l_extendedprice"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({"qbin": np.floor(b["l_quantity"]).astype(np.int64),
+                          "pbin": np.floor(b["l_extendedprice"] / 1000.0).astype(np.int64)})
+        return g.groupby(["qbin", "pbin"], as_index=False).size().rename(columns={"size": "cnt"})
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["qbin", "pbin"]).aggregate(Sum("cnt", alias_name="cnt"))
+        .sort(["cnt", "qbin", "pbin"], descending=[True, False, False])
+        .limit(10000).to_pandas()
+    )
+    out["cnt"] = out["cnt"].astype(np.int64)
+    return out
+
+
+def domain_top10(sf_dir: str):
+    """A2 domain distribution: count per source, top-10 (deterministic ties)."""
+    ds = _read(sf_dir, "documents", ["source"])
+    out = (
+        ds.map_batches(lambda b: b.groupby("source", as_index=False).size().rename(columns={"size": "cnt"}),
+                       batch_format="pandas")
+        .groupby("source").aggregate(Sum("cnt", alias_name="cnt"))
+        .sort(["cnt", "source"], descending=[True, False])
+        .limit(10).to_pandas()
+    )
+    out["cnt"] = out["cnt"].astype(np.int64)
+    return out
+
+
+def crawl_stats(sf_dir: str):
+    """A3 global conditional counts (single-row result)."""
+    ds = _read(sf_dir, "orders", ["o_orderstatus"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"n_total": [len(b)],
+                             "n_open": [int((b["o_orderstatus"] == "O").sum())],
+                             "n_done": [int((b["o_orderstatus"] == "F").sum())]})
+
+    p = ds.map_batches(partial, batch_format="pandas").to_pandas().sum()
+    return pd.DataFrame({
+        "n_total": [int(p["n_total"])], "n_open": [int(p["n_open"])], "n_done": [int(p["n_done"])],
+        "done_rate": [round(p["n_done"] / p["n_total"], 4)],
+    })
+
+
+# ---------------------------------------------------------------------------
+# Filters / joins (J3–J6, K-family)
+# ---------------------------------------------------------------------------
+
+def bbox_filter(sf_dir: str):
+    """J5 range-predicate filter, pushed into the Arrow scan."""
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey", "l_quantity", "l_discount"],
+               filter=((pc.field("l_quantity") >= 10) & (pc.field("l_quantity") <= 20)
+                       & (pc.field("l_discount") >= 0.02) & (pc.field("l_discount") <= 0.06)))
+    return ds
+
+
+def nearby_radius(sf_dir: str):
+    """J4 radius lookup: distance predicate then count per type."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        d = np.sqrt((b["value"] - 50.0) ** 2 + (b["user_id"] % 10) ** 2)
+        return b.loc[d.to_numpy() <= 6.0].groupby("event_type", as_index=False).size().rename(columns={"size": "cnt"})
+
+    out = (ds.map_batches(partial, batch_format="pandas")
+           .groupby("event_type").aggregate(Sum("cnt", alias_name="cnt")).to_pandas())
+    out["cnt"] = out["cnt"].astype(np.int64)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def similar_parts(sf_dir: str):
+    """J3 band self-join: pairs of same-type parts within ±10 price,
+    counted per type. groupby(p_type) co-locates; a sorted two-pointer
+    counts pairs in O(n log n) per group (no quadratic blowup)."""
+    ds = _read(sf_dir, "part", ["p_partkey", "p_type", "p_retailprice"])
+
+    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        p = np.sort(group["p_retailprice"].to_numpy(np.float64))
+        hi = np.searchsorted(p, p + 10.0, side="right")
+        n_pairs = int((hi - np.arange(len(p)) - 1).sum())
+        if n_pairs == 0:
+            return pd.DataFrame({"p_type": pd.Series([], dtype=str),
+                                 "n_pairs": pd.Series([], dtype=np.int64)})
+        return pd.DataFrame({"p_type": [group["p_type"].iloc[0]], "n_pairs": [n_pairs]})
+
+    return ds.groupby("p_type").map_groups(pairs, batch_format="pandas")
+
+
+def region_rollup(sf_dir: str):
+    """J1 broadcast dimension join: nation⋈region read once on the driver,
+    captured as a dict; no shuffle of the fact table."""
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    region = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    nk_to_region = dict(zip(nation["n_nationkey"],
+                            nation["n_regionkey"].map(dict(zip(region["r_regionkey"], region["r_name"])))))
+    ds = _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+
+    def partial(b: pd.DataFrame, m=nk_to_region) -> pd.DataFrame:
+        b = b.assign(r_name=b["c_nationkey"].map(m))
+        return b.groupby("r_name", as_index=False).agg(n_customers=("c_acctbal", "size"),
+                                                       total_acctbal=("c_acctbal", "sum"))
+
+    out = (ds.map_batches(partial, batch_format="pandas")
+           .groupby("r_name").aggregate(Sum("n_customers", alias_name="n_customers"),
+                                        Sum("total_acctbal", alias_name="total_acctbal"))
+           .to_pandas())
+    out["n_customers"] = out["n_customers"].astype(np.int64)
+    out["total_acctbal"] = out["total_acctbal"].round(2)
+    return out.sort_values("r_name").reset_index(drop=True)
+
+
+def orders_join(sf_dir: str):
+    """Fact⋈dim join: broadcast the customer→segment map (small side) into
+    the orders scan, then combiner + tiny groupby."""
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    seg_map = dict(zip(cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist()))
+    seg_ref = ray.put(seg_map)
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    class JoinAgg:
+        def __init__(self, ref):
+            self.m = ray.get(ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            b = b.assign(c_mktsegment=b["o_custkey"].map(self.m))
+            return b.groupby("c_mktsegment", as_index=False).agg(
+                n_orders=("o_totalprice", "size"), total_price=("o_totalprice", "sum"))
+
+    out = (ds.map_batches(JoinAgg, fn_constructor_kwargs=dict(ref=seg_ref),
+                          batch_format="pandas", concurrency=2)
+           .groupby("c_mktsegment").aggregate(Sum("n_orders", alias_name="n_orders"),
+                                              Sum("total_price", alias_name="total_price"))
+           .to_pandas())
+    out["n_orders"] = out["n_orders"].astype(np.int64)
+    out["total_price"] = out["total_price"].round(2)
+    return out.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+def topk_orders(sf_dir: str):
+    """K3 top-k: sort desc + limit (deterministic tiebreak)."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(100)
+
+
+def pagination(sf_dir: str):
+    """K4 LIMIT/OFFSET pagination (page 2 of 100)."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_totalprice"])
+    page = ds.sort("o_orderkey").limit(200).to_pandas().iloc[100:200]
+    return page.reset_index(drop=True)
+
+
+def priority_distribution(sf_dir: str):
+    """K1 analogue: strict priority-class counts, ordered by class."""
+    ds = _read(sf_dir, "orders", ["o_orderpriority"])
+    out = (ds.map_batches(lambda b: b.groupby("o_orderpriority", as_index=False).size().rename(columns={"size": "cnt"}),
+                          batch_format="pandas")
+           .groupby("o_orderpriority").aggregate(Sum("cnt", alias_name="cnt")).to_pandas())
+    out["cnt"] = out["cnt"].astype(np.int64)
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Dedup (D1) + streaming-shaped (events)
+# ---------------------------------------------------------------------------
+
+def dedup_first(sf_dir: str):
+    """D1 first-wins dedup: first event per user (min event_id) + count."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("user_id", as_index=False).agg(first_event_id=("event_id", "min"),
+                                                        n_events=("event_id", "size"))
+
+    out = (ds.map_batches(partial, batch_format="pandas")
+           .groupby("user_id").aggregate(Min("first_event_id", alias_name="first_event_id"),
+                                         Sum("n_events", alias_name="n_events"))
+           .to_pandas())
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def exact_dedup_docs(sf_dir: str):
+    """D1 on content: exact text dedup via xxh64(text) hash partition →
+    per-group representative (min doc_id) + duplicate count."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def hash_stage(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": b["doc_id"].to_numpy(np.int64),
+                             "text_hash": xxh64_array(b["text"])})
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("text_hash", as_index=False).agg(rep_doc_id=("doc_id", "min"),
+                                                          dup_count=("doc_id", "size"))
+
+    out = (ds.map_batches(hash_stage, batch_format="pandas")
+           .map_batches(partial, batch_format="pandas")
+           .groupby("text_hash").aggregate(Min("rep_doc_id", alias_name="rep_doc_id"),
+                                           Sum("dup_count", alias_name="dup_count"))
+           .to_pandas())
+    out = out[["rep_doc_id", "dup_count"]].astype(np.int64)
+    return out.sort_values("rep_doc_id").reset_index(drop=True)
+
+
+def events_window(sf_dir: str):
+    """Tumbling 1-hour window aggregate per user (streaming analogue)."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        win = (b["ts"].astype("int64") // 3_600_000_000).astype(np.int64)
+        g = b.assign(win=win).groupby(["user_id", "win"], as_index=False).agg(
+            n_events=("value", "size"), sum_value=("value", "sum"))
+        return g
+
+    out = (ds.map_batches(partial, batch_format="pandas")
+           .groupby(["user_id", "win"]).aggregate(Sum("n_events", alias_name="n_events"),
+                                                  Sum("sum_value", alias_name="sum_value"))
+           .to_pandas())
+    out["n_events"] = out["n_events"].astype(np.int64)
+    out["sum_value"] = out["sum_value"].round(2)
+    out["user_id"] = out["user_id"].astype(np.int64)
+    out["win"] = out["win"].astype(np.int64)
+    return out.sort_values(["user_id", "win"]).reset_index(drop=True)
+
+
+def sessionize(sf_dir: str):
+    """Session windows: per-user 30-min-gap sessionization via
+    groupby(user).map_groups over ts-sorted groups."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        gaps = g["ts"].diff().dt.total_seconds()
+        return pd.DataFrame({"user_id": [np.int64(g["user_id"].iloc[0])],
+                             "n_sessions": [np.int64(1 + int((gaps > 1800).sum()))]})
+
+    out = ds.groupby("user_id").map_groups(sessions, batch_format="pandas").to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def distinct_langs(sf_dir: str):
+    """Set op: distinct values of one column."""
+    ds = _read(sf_dir, "documents", ["lang"])
+    langs = sorted(ds.unique("lang"))
+    return pd.DataFrame({"lang": langs})
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+def token_stats(sf_dir: str):
+    """Token counting (\\w+) aggregated per language."""
+    ds = _read(sf_dir, "documents", ["text", "lang"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        toks = textops.token_count(b["text"].astype("string"))
+        return b.assign(t=toks).groupby("lang", as_index=False).agg(
+            n_docs=("t", "size"), total_tokens=("t", "sum"))
+
+    out = (ds.map_batches(partial, batch_format="pandas")
+           .groupby("lang").aggregate(Sum("n_docs", alias_name="n_docs"),
+                                      Sum("total_tokens", alias_name="total_tokens"))
+           .to_pandas())
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    out["total_tokens"] = out["total_tokens"].astype(np.int64)
+    out["avg_tokens"] = (out["total_tokens"] / out["n_docs"]).round(2)
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+def text_quality(sf_dir: str):
+    """Quality scoring aggregates per language (punct ratio, length)."""
+    ds = _read(sf_dir, "documents", ["text", "lang", "n_chars"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        pr = textops.punct_ratio(b["text"].astype("string"), b["n_chars"])
+        return b.assign(pr=pr).groupby("lang", as_index=False).agg(
+            n_docs=("pr", "size"), sum_chars=("n_chars", "sum"), sum_pr=("pr", "sum"))
+
+    out = (ds.map_batches(partial, batch_format="pandas")
+           .groupby("lang").aggregate(Sum("n_docs", alias_name="n_docs"),
+                                      Sum("sum_chars", alias_name="sum_chars"),
+                                      Sum("sum_pr", alias_name="sum_pr"))
+           .to_pandas())
+    out["avg_chars"] = (out["sum_chars"] / out["n_docs"]).round(2)
+    out["avg_punct_ratio"] = (out["sum_pr"] / out["n_docs"]).round(4)
+    out = out[["lang", "n_docs", "avg_chars", "avg_punct_ratio"]]
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+def lang_id_confusion(sf_dir: str):
+    """[rows-only] Heuristic language ID vs labeled lang: confusion counts."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    out = (ds.map_batches(textops.lang_id, batch_format="pandas")
+           .map_batches(lambda b: b.groupby(["lang", "lang_pred"], as_index=False).size().rename(columns={"size": "cnt"}),
+                        batch_format="pandas")
+           .groupby(["lang", "lang_pred"]).aggregate(Sum("cnt", alias_name="cnt"))
+           .to_pandas())
+    out["cnt"] = out["cnt"].astype(np.int64)
+    return out.sort_values(["lang", "lang_pred"]).reset_index(drop=True)
+
+
+def doc_fingerprints(sf_dir: str):
+    """[rows-only] Rolling-hash fingerprint per doc; distinct count per source."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    fp = ds.map_batches(lambda b: textops.fingerprint(b).assign(source=b["source"].to_numpy()),
+                        batch_format="pandas")
+    out = (fp.map_batches(lambda b: b.groupby("source", as_index=False).agg(n_docs=("fingerprint", "size"),
+                                                                            n_distinct=("fingerprint", "nunique")),
+                          batch_format="pandas")
+           .groupby("source").aggregate(Sum("n_docs", alias_name="n_docs"),
+                                        Sum("n_distinct", alias_name="n_distinct"))
+           .to_pandas())
+    return out.sort_values("source").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Near-dup + ANN
+# ---------------------------------------------------------------------------
+
+def minhash_near_dups(sf_dir: str):
+    """[rows-only] MinHash-LSH near-dup pairs (Jaccard ≥ 0.5, verified).
+
+    shingle→minhash→band explode→band-bucket groupby→candidate pairs→
+    exact verify (broadcast text index). Returns (doc_a, doc_b, jaccard).
+    """
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    bands = ds.map_batches(dedup_ops.minhash_bands, batch_format="pandas")
+    cand = bands.groupby(["band", "band_hash"]).map_groups(dedup_ops.bucket_pairs, batch_format="pandas")
+    cand_pd = cand.to_pandas()
+    if len(cand_pd) == 0:
+        return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
+                             "doc_b": pd.Series([], dtype=np.int64),
+                             "jaccard": pd.Series([], dtype=np.float64)})
+    cand_pd = cand_pd.drop_duplicates(["doc_a", "doc_b"])
+    texts = dict(zip(*[pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])[c].to_pylist()
+                       for c in ("doc_id", "text")]))
+    texts_ref = ray.put(texts)
+    verified = rd.from_pandas(cand_pd).map_batches(
+        dedup_ops.PairVerifier, fn_constructor_kwargs=dict(texts_ref=texts_ref),
+        batch_format="pandas", concurrency=2)
+    out = verified.to_pandas()
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def simhash_near_dups(sf_dir: str):
+    """[rows-only] SimHash near-dup pairs (Hamming ≤ 3) via 16-bit banding."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    sh = ds.map_batches(dedup_ops.simhash64, batch_format="pandas")
+    bands = sh.map_batches(dedup_ops.simhash_bands, batch_format="pandas")
+    pairs = bands.groupby(["band", "band_hash"]).map_groups(dedup_ops.simhash_bucket_pairs, batch_format="pandas")
+    out = pairs.to_pandas()
+    if len(out) == 0:
+        return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
+                             "doc_b": pd.Series([], dtype=np.int64),
+                             "hamming": pd.Series([], dtype=np.int32)})
+    out = out.drop_duplicates(["doc_a", "doc_b"])
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def _load_queries(sf_dir: str, n: int = 5) -> dict:
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    df = t.to_pandas()
+    q = df[df["vec_id"] < n].sort_values("vec_id")
+    return {"qid": q["vec_id"].to_numpy(np.int64),
+            "mat": np.stack([np.asarray(v, np.float64) for v in q["embedding"]])}
+
+
+def ann_cosine_topk(sf_dir: str):
+    """Brute-force cosine top-10 for 5 query vectors (exact baseline)."""
+    queries = _load_queries(sf_dir)
+    qref = ray.put(queries)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"],
+               filter=pc.field("vec_id") >= 5)
+    out = ann.brute_force_topk(ds, qref, k=10).to_pandas()
+    out = out[["qid", "vid"]].astype(np.int64)
+    return out.sort_values(["qid", "vid"]).reset_index(drop=True)
+
+
+def ann_lsh_topk(sf_dir: str):
+    """[rows-only] LSH-bucketed approximate cosine top-10 (scale path)."""
+    queries = _load_queries(sf_dir)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"],
+               filter=pc.field("vec_id") >= 5)
+    out = ann.lsh_topk(ds, queries, k=10, bits=10).to_pandas()
+    out = out[["qid", "vid", "sim"]]
+    out["sim"] = out["sim"].round(6)
+    return out.sort_values(["qid", "vid"]).reset_index(drop=True)
+
+
+def embedding_norm_stats(sf_dir: str):
+    """Vector-column aggregate: mean L2 norm per label."""
+    ds = _read(sf_dir, "embeddings", ["label", "embedding"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        norms = np.array([float(np.linalg.norm(np.asarray(v, np.float64))) for v in b["embedding"]])
+        return b.assign(norm=norms).groupby("label", as_index=False).agg(
+            n=("norm", "size"), sum_norm=("norm", "sum"))
+
+    out = (ds.map_batches(partial, batch_format="pandas")
+           .groupby("label").aggregate(Sum("n", alias_name="n"), Sum("sum_norm", alias_name="sum_norm"))
+           .to_pandas())
+    out["avg_norm"] = (out["sum_norm"] / out["n"]).round(4)
+    out = out[["label", "n", "avg_norm"]]
+    out["n"] = out["n"].astype(np.int64)
+    out["label"] = out["label"].astype(np.int64)
+    return out.sort_values("label").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Registry + DuckDB oracles (column names match exactly)
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "heatmap_grid": heatmap_grid,
+    "domain_top10": domain_top10,
+    "crawl_stats": crawl_stats,
+    "bbox_filter": bbox_filter,
+    "nearby_radius": nearby_radius,
+    "similar_parts": similar_parts,
+    "region_rollup": region_rollup,
+    "orders_join": orders_join,
+    "topk_orders": topk_orders,
+    "pagination": pagination,
+    "priority_distribution": priority_distribution,
+    "dedup_first": dedup_first,
+    "exact_dedup_docs": exact_dedup_docs,
+    "events_window": events_window,
+    "sessionize": sessionize,
+    "distinct_langs": distinct_langs,
+    "token_stats": token_stats,
+    "text_quality": text_quality,
+    "lang_id_confusion": lang_id_confusion,
+    "doc_fingerprints": doc_fingerprints,
+    "minhash_near_dups": minhash_near_dups,
+    "simhash_near_dups": simhash_near_dups,
+    "ann_cosine_topk": ann_cosine_topk,
+    "ann_lsh_topk": ann_lsh_topk,
+    "embedding_norm_stats": embedding_norm_stats,
+}
+
+ORACLE_SQL = {
+    "q1_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               CAST(COUNT(*) AS BIGINT) AS count_order,
+               ROUND(SUM(l_quantity) / COUNT(*), 2) AS avg_qty,
+               ROUND(SUM(l_extendedprice) / COUNT(*), 2) AS avg_price,
+               ROUND(SUM(l_discount) / COUNT(*), 4) AS avg_disc
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus""",
+    "heatmap_grid": """
+        SELECT CAST(FLOOR(l_quantity) AS BIGINT) AS qbin,
+               CAST(FLOOR(l_extendedprice / 1000.0) AS BIGINT) AS pbin,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM lineitem GROUP BY 1, 2
+        ORDER BY cnt DESC, qbin, pbin LIMIT 10000""",
+    "domain_top10": """
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS cnt FROM documents
+        GROUP BY source ORDER BY cnt DESC, source LIMIT 10""",
+    "crawl_stats": """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+               CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+               CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_done,
+               ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4) AS done_rate
+        FROM orders""",
+    "bbox_filter": """
+        SELECT l_orderkey, l_partkey, l_quantity, l_discount FROM lineitem
+        WHERE l_quantity BETWEEN 10 AND 20 AND l_discount BETWEEN 0.02 AND 0.06""",
+    "nearby_radius": """
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt FROM events
+        WHERE SQRT(POWER(value - 50.0, 2) + POWER(user_id % 10, 2)) <= 6.0
+        GROUP BY event_type""",
+    "similar_parts": """
+        SELECT a.p_type, CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM part a JOIN part b
+          ON a.p_type = b.p_type AND b.p_partkey > a.p_partkey
+         AND ABS(a.p_retailprice - b.p_retailprice) <= 10.0
+        GROUP BY a.p_type""",
+    "region_rollup": """
+        SELECT r.r_name, CAST(COUNT(*) AS BIGINT) AS n_customers,
+               ROUND(SUM(c.c_acctbal), 2) AS total_acctbal
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name""",
+    "orders_join": """
+        SELECT c.c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders,
+               ROUND(SUM(o.o_totalprice), 2) AS total_price
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment""",
+    "topk_orders": """
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+    "pagination": """
+        SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
+        ORDER BY o_orderkey LIMIT 100 OFFSET 100""",
+    "priority_distribution": """
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS cnt FROM orders
+        GROUP BY o_orderpriority""",
+    "dedup_first": """
+        SELECT user_id, CAST(MIN(event_id) AS BIGINT) AS first_event_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY user_id""",
+    "exact_dedup_docs": """
+        SELECT CAST(MIN(doc_id) AS BIGINT) AS rep_doc_id,
+               CAST(COUNT(*) AS BIGINT) AS dup_count
+        FROM documents GROUP BY text""",
+    "events_window": """
+        SELECT user_id, CAST(FLOOR(EPOCH(ts) / 3600) AS BIGINT) AS win,
+               CAST(COUNT(*) AS BIGINT) AS n_events, ROUND(SUM(value), 2) AS sum_value
+        FROM events GROUP BY 1, 2""",
+    "sessionize": """
+        SELECT user_id, CAST(1 + SUM(CASE WHEN gap > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+        FROM (SELECT user_id,
+                     EPOCH(ts) - LAG(EPOCH(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+              FROM events)
+        GROUP BY user_id""",
+    "distinct_langs": "SELECT DISTINCT lang FROM documents",
+    "token_stats": """
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(LEN(regexp_extract_all(text, '[A-Za-z0-9_]+'))) AS BIGINT) AS total_tokens,
+               ROUND(SUM(LEN(regexp_extract_all(text, '[A-Za-z0-9_]+'))) * 1.0 / COUNT(*), 2) AS avg_tokens
+        FROM documents GROUP BY lang""",
+    "text_quality": """
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               ROUND(SUM(n_chars) * 1.0 / COUNT(*), 2) AS avg_chars,
+               ROUND(SUM(LEN(regexp_extract_all(text, '[.,!?;:]')) * 1.0 / n_chars) / COUNT(*), 4) AS avg_punct_ratio
+        FROM documents GROUP BY lang""",
+    "ann_cosine_topk": """
+        WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 5),
+             t AS (SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS tv FROM embeddings WHERE vec_id >= 5),
+             s AS (SELECT qid, vid, list_cosine_similarity(qv, tv) AS sim FROM q CROSS JOIN t),
+             r AS (SELECT qid, vid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vid) AS rn FROM s)
+        SELECT qid, vid FROM r WHERE rn <= 10""",
+    "embedding_norm_stats": """
+        SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(SUM(SQRT(CAST(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) AS DOUBLE))) / COUNT(*), 4) AS avg_norm
+        FROM embeddings GROUP BY label""",
+}

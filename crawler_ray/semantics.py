@@ -1,0 +1,159 @@
+"""Shared crawl semantics — the precise rules both the Ray engine and the
+single-threaded conformance oracle implement.
+
+The reference's behavior is a *partial* order (per-Kafka-partition FIFO,
+per-process RR counters — SURVEY.md §2.9/§7). This module pins the
+deterministic total-order refinement used by the rebuild:
+
+- canonical URL  = ``urlnorm.normalize_url`` (+ validity filters M1/M3)
+- relevance      = property_matcher rules (listing | property), re-derived
+                   from worker/src/crawler/utils/property_matcher.py:10-58
+- priority       = prioritizer rules (geospatial/prioritizer.py:150-162)
+                   with the process-local round-robin counter replaced by a
+                   deterministic global listing counter in enqueue order
+- robots         = fixture-semantics allow rule (404/error ⇒ allow-all,
+                   master/src/crawler/robots_checker.py:55-58,66-72,118-120),
+                   checked for EVERY enqueue (north-rule upgrade: the
+                   reference only checks seeds, master.py:80-84)
+- crawl order    = within a wave, sort by (priority, host_shard, seq); seq
+                   is the stable enqueue rank (parent order, link position)
+- politeness     = per-host virtual spacing max(robots crawl_delay,
+                   min_request_interval) (html_downloader.py:121-133 global
+                   limiter upgraded to per-host per the north rule)
+- fetch outcome  = html_downloader retry policy (:172-217): success iff not
+                   blocked, not short, fail_attempts <= max_retries
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from crawler_ray.hashing import xxh64
+
+NUM_SHARDS = 64               # host_shard space (partitioning key)
+MIN_REQUEST_INTERVAL = 8.0    # reference config.json:9 (virtual seconds)
+MAX_RETRIES = 3               # reference config.json:10
+
+LISTING_RE = re.compile(r"^https?://[a-z0-9\-]+\.craigslist\.org(?:/search/apa)(?:[#?].*)?$", re.IGNORECASE)
+PROPERTY_RE = re.compile(r"^https?://[a-z0-9\-]+\.craigslist\.org/apa/d/[^/]+/\d+\.html$", re.IGNORECASE)
+
+
+def is_listing_url(url: str) -> bool:
+    return bool(LISTING_RE.match(url))
+
+
+def is_property_url(url: str) -> bool:
+    """Reference's loose substring-order check (property_matcher.py:43-54)."""
+    low = url.lower()
+    i = low.find("craigslist.org")
+    if i < 0 or not low.endswith(".html"):
+        return False
+    j = low.find("apa")
+    return 0 <= i < j < low.rfind(".html")
+
+
+def is_relevant_url(url: str) -> bool:
+    return is_listing_url(url) or is_property_url(url)
+
+
+def is_listing_page(url: str) -> bool:
+    """Prioritizer's looser listing test (substring /search/apa)."""
+    return re.search(r"/search/apa", url, re.IGNORECASE) is not None
+
+
+def host_shard(host_hash: int) -> int:
+    return int(host_hash % NUM_SHARDS)
+
+
+def child_seq(parent_url_hash: int, pos: int) -> int:
+    """Stable enqueue-order key for an extracted link (int64, positive).
+
+    ``(46 bits of the parent's url_hash) << 16 | link position``. This is
+    intrinsic (no dense global rank ⇒ fully parallel to compute); the total
+    crawl order is (wave, priority, host_shard, seq, url) — the canonical
+    URL string breaks the rare truncated-hash ties deterministically.
+    """
+    return int(((parent_url_hash >> 16) & ((1 << 46) - 1)) << 16 | (pos & 0xFFFF))
+
+
+def assign_priority(url: str, city_state: dict[str, str], state_region: dict[str, int],
+                    listing_counter: int) -> tuple[int, int]:
+    """(priority, new_listing_counter). −1 ⇒ drop (prioritizer.py:150-162).
+
+    The counter increments only for known-city listing URLs that reach
+    assignment (the reference's KeyError path fires before the listing
+    check, so unknown-city listings never increment it).
+    """
+    if "craigslist.org" not in url.lower():
+        return -1, listing_counter
+    try:
+        city = url.split("//")[1].split(".")[0]
+    except IndexError:
+        return -1, listing_counter
+    state = city_state.get(city)
+    if state is None:
+        return -1, listing_counter
+    region = state_region[state]
+    if is_listing_page(url):
+        listing_counter += 1
+        return (1 if listing_counter % 2 == 0 else 2), listing_counter
+    return region + 3, listing_counter
+
+
+def robots_allowed(path: str, rules: dict | None) -> bool:
+    """Fixture robots semantics: no rules / 404 / error ⇒ allow; else
+    disallow when the path starts with any disallow prefix."""
+    if rules is None or rules["fetch_status"] != 200:
+        return True
+    return not any(path.startswith(p) for p in rules["disallow_prefixes"])
+
+
+def politeness_delay(rules: dict | None, min_interval: float = MIN_REQUEST_INTERVAL) -> float:
+    delay = (rules or {}).get("crawl_delay_s") or 0.0
+    return max(float(delay), min_interval)
+
+
+def fetch_outcome(meta: dict, max_retries: int = MAX_RETRIES) -> tuple[bool, str, int]:
+    """(success, failed_step, attempts_used) for a page's metadata row."""
+    if meta is None:
+        return False, "not_found", max_retries + 1
+    if meta["blocked"]:
+        return False, "blocked", max_retries + 1
+    if meta["short"]:
+        return False, "short_content", max_retries + 1
+    fa = int(meta["fail_attempts"])
+    if fa > max_retries:
+        return False, f"status_{meta['status_code']}", max_retries + 1
+    return True, "", fa + 1
+
+
+def url_path(url: str) -> str:
+    rest = url.split("://", 1)[-1]
+    slash = rest.find("/")
+    return rest[slash:] if slash >= 0 else "/"
+
+
+@dataclass
+class CrawlConfig:
+    min_request_interval: float = MIN_REQUEST_INTERVAL
+    max_retries: int = MAX_RETRIES
+    max_waves: int = 10
+    num_shards: int = NUM_SHARDS
+    seed: int = 42
+
+
+@dataclass
+class OrderKey:
+    """Total order of fetches: (wave, priority, host_shard, seq)."""
+    wave: int
+    priority: int
+    host_shard: int
+    seq: int
+
+    def tuple(self) -> tuple[int, int, int, int]:
+        return (self.wave, self.priority, self.host_shard, self.seq)
+
+
+def canonical_host_shard(host: str) -> int:
+    return host_shard(xxh64(host))

@@ -1,0 +1,143 @@
+"""Lance *logical layout* on Parquet: versioned manifest + immutable fragments.
+
+``pylance`` is not installable in this sandbox (SURVEY.md §7), so the store
+implements the layout the north rule asks for on plain Parquet:
+
+    root/
+      _manifest/v{N}.json     # one version per completed wave (atomic rename)
+      {table}/{fragment}.parquet   # immutable fragment files
+
+A fragment becomes visible only when a manifest version lists it; partially
+written fragments from a killed run are ignored by readers and swept by the
+next writer. Fragments are written distributed (one per map_batches batch,
+write-to-temp + atomic rename) and their ids are recorded in the wave's
+checkpoint manifest — the per-partition lineage the north rule requires.
+If the real ``lance`` package is ever available, only this module changes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+class FragmentWriter:
+    """map_batches callable: write each batch as an immutable fragment,
+    emit one metadata row per fragment (collected small on the driver)."""
+
+    def __init__(self, root: str, table: str, prefix: str):
+        self.dir = os.path.join(root, table)
+        self.tmp = os.path.join(root, table, "_tmp")
+        self.prefix = prefix
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        meta_schema = pa.schema([("fragment", pa.string()), ("rows", pa.int64())])
+        if batch.num_rows == 0:
+            return meta_schema.empty_table()
+        os.makedirs(self.tmp, exist_ok=True)
+        name = f"{self.prefix}-{uuid.uuid4().hex[:12]}.parquet"
+        tmp_path = os.path.join(self.tmp, name)
+        pq.write_table(batch, tmp_path, compression="zstd")
+        os.replace(tmp_path, os.path.join(self.dir, name))
+        return pa.table({"fragment": [name], "rows": [batch.num_rows]}, schema=meta_schema)
+
+
+def write_fragments(ds, root: str, table: str, prefix: str, batch_size: int | None = None) -> list[dict]:
+    """Write a Dataset's blocks as fragments of ``root/table``; returns
+    [{fragment, rows}...]. Executes the (lazy) dataset."""
+    meta = ds.map_batches(
+        FragmentWriter(root, table, prefix), batch_format="pyarrow", batch_size=batch_size
+    ).take_all()
+    return [{"fragment": m["fragment"], "rows": int(m["rows"])} for m in meta]
+
+
+def write_table_fragment(table: pa.Table, root: str, name: str, prefix: str) -> list[dict]:
+    """Driver-side single-fragment write (small control tables)."""
+    if table.num_rows == 0:
+        return []
+    w = FragmentWriter(root, name, prefix)
+    meta = w(table)
+    return [{"fragment": meta["fragment"][0].as_py(), "rows": table.num_rows}]
+
+
+def fragment_paths(root: str, table: str, fragments: list[dict]) -> list[str]:
+    return [os.path.join(root, table, f["fragment"]) for f in fragments]
+
+
+def read_fragments(root: str, table: str, fragments: list[dict], schema: pa.Schema | None = None) -> pa.Table:
+    paths = fragment_paths(root, table, fragments)
+    if not paths:
+        return schema.empty_table() if schema is not None else pa.table({})
+    return pa.concat_tables([pq.read_table(p) for p in paths], promote_options="default")
+
+
+# ---------------------------------------------------------------------------
+# Versioned manifest
+# ---------------------------------------------------------------------------
+
+def manifest_dir(root: str) -> str:
+    return os.path.join(root, "_manifest")
+
+
+def write_manifest(root: str, version: int, payload: dict) -> str:
+    d = manifest_dir(root)
+    os.makedirs(d, exist_ok=True)
+    tmp = os.path.join(d, f".v{version}.json.tmp")
+    path = os.path.join(d, f"v{version}.json")
+    with open(tmp, "w") as f:
+        json.dump({"version": version, **payload}, f, indent=1)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+    return path
+
+
+def latest_manifest(root: str) -> dict | None:
+    d = manifest_dir(root)
+    if not os.path.isdir(d):
+        return None
+    versions = []
+    for fn in os.listdir(d):
+        if fn.startswith("v") and fn.endswith(".json"):
+            try:
+                versions.append(int(fn[1:-5]))
+            except ValueError:
+                continue
+    if not versions:
+        return None
+    with open(os.path.join(d, f"v{max(versions)}.json")) as f:
+        return json.load(f)
+
+
+def sweep_unreferenced(root: str, tables: list[str]) -> int:
+    """Delete fragment files not referenced by any manifest version (crash
+    leftovers). Returns count removed."""
+    d = manifest_dir(root)
+    referenced: set[tuple[str, str]] = set()
+    if os.path.isdir(d):
+        for fn in os.listdir(d):
+            if fn.startswith("v") and fn.endswith(".json"):
+                with open(os.path.join(d, fn)) as f:
+                    m = json.load(f)
+                for t, frags in m.get("tables", {}).items():
+                    for fr in frags:
+                        referenced.add((t, fr["fragment"]))
+    removed = 0
+    for t in tables:
+        tdir = os.path.join(root, t)
+        if not os.path.isdir(tdir):
+            continue
+        for fn in os.listdir(tdir):
+            if fn.endswith(".parquet") and (t, fn) not in referenced:
+                os.remove(os.path.join(tdir, fn))
+                removed += 1
+        tmp = os.path.join(tdir, "_tmp")
+        if os.path.isdir(tmp):
+            for fn in os.listdir(tmp):
+                os.remove(os.path.join(tmp, fn))
+                removed += 1
+    return removed

@@ -1,0 +1,340 @@
+"""Batch-level stages of the crawl pipeline (all vectorized; SURVEY.md §2).
+
+Stateless transforms are plain callables used as ``map_batches`` task
+functions; the expensive/stateful stages (``Fetcher``, ``ImageStage``) are
+callable CLASSES run as actor pools (client/broadcast setup in ``__init__``
+once per actor, per-batch work in ``__call__``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from crawler_ray import semantics
+from crawler_ray.hashing import xxh64_array
+from crawler_ray.sources.synthetic_web import image_bytes, render_html
+from crawler_ray.imaging import decode_png, phash64
+from crawler_ray.urlnorm import host_series, normalize_series, valid_fetch_mask, valid_link_mask
+
+
+# ---------------------------------------------------------------------------
+# Vectorized URL classification (reference property_matcher semantics)
+# ---------------------------------------------------------------------------
+
+def listing_mask(urls: pd.Series) -> np.ndarray:
+    return urls.str.match(semantics.LISTING_RE.pattern, case=False, na=False).to_numpy(bool)
+
+
+def property_mask(urls: pd.Series) -> np.ndarray:
+    """Reference's substring-order check (property_matcher.py:43-54),
+    vectorized: find('craigslist.org') < find('apa') < rfind('.html')."""
+    low = urls.str.lower()
+    i = low.str.find("craigslist.org")
+    j = low.str.find("apa")
+    ends = low.str.endswith(".html")
+    k = low.str.len() - 5  # rfind('.html') == len-5 when endswith
+    return ((i >= 0) & ends & (i < j) & (j < k)).fillna(False).to_numpy(bool)
+
+
+def listing_page_mask(urls: pd.Series) -> np.ndarray:
+    """Prioritizer's looser listing test (substring /search/apa)."""
+    return urls.str.contains("/search/apa", case=False, regex=False, na=False).to_numpy(bool)
+
+
+class PrepStage:
+    """Candidate prep: (normalize seeds) → relevance → robots → hash/shard.
+
+    ``robots_by_host`` and ``city_region`` are small broadcast dicts captured
+    at construction (shipped once per task, J1/J6/T4 semantics).
+    """
+
+    def __init__(self, robots_by_host: dict, city_region: dict, normalize_seeds: bool = True):
+        self.robots = robots_by_host
+        self.city_region = city_region
+        self.normalize_seeds = normalize_seeds
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return _empty_frontier()
+        urls = batch["url"].astype("string")
+        if self.normalize_seeds:
+            is_seed = batch["source"] == "seed"
+            if is_seed.any():
+                urls = urls.mask(is_seed, normalize_series(urls[is_seed]))
+        keep = urls.notna()
+        # relevance: extracted links must be listing|property (worker.py:409)
+        extracted = (batch["source"] != "seed").to_numpy(bool)
+        relevant = listing_mask(urls) | property_mask(urls)
+        keep &= ~extracted | relevant
+        batch = batch.loc[keep.fillna(False)].copy()
+        batch["url"] = urls[keep]
+        if len(batch) == 0:
+            return _empty_frontier()
+
+        host = host_series(batch["url"])
+        path = batch["url"].str.replace(r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "", regex=True)
+        path = path.str.split("?").str[0].replace("", "/")
+        allowed = np.ones(len(batch), bool)
+        for h in host.unique():
+            rules = self.robots.get(h)
+            if rules is None or rules["fetch_status"] != 200 or not rules["disallow_prefixes"]:
+                continue
+            m = (host == h).to_numpy(bool)
+            bad = np.zeros(int(m.sum()), bool)
+            for p in rules["disallow_prefixes"]:
+                bad |= path[m].str.startswith(p).to_numpy(bool)
+            allowed[m] = ~bad
+        batch = batch.loc[allowed]
+        if len(batch) == 0:
+            return _empty_frontier()
+
+        urls2 = batch["url"]
+        host = host_series(urls2)
+        out = pd.DataFrame(
+            {
+                "url": urls2.astype(str),
+                "seq": batch["seq"].astype(np.int64),
+                "source": batch["source"].astype(str),
+                "host": host.astype(str),
+            }
+        )
+        out["url_hash"] = xxh64_array(out["url"])
+        out["host_shard"] = (xxh64_array(out["host"]) % np.uint64(semantics.NUM_SHARDS)).astype(np.int32)
+        city = out["url"].str.extract(r"^https?://([^.]+)\.", expand=False).fillna("")
+        region = city.map(self.city_region)
+        target = out["url"].str.lower().str.contains("craigslist.org", regex=False)
+        out["region"] = region.fillna(-1).astype(np.int32)
+        out["known_city"] = region.notna().to_numpy(bool)
+        out["target"] = target.to_numpy(bool)
+        out["is_listing_page"] = listing_page_mask(out["url"])
+        return out
+
+
+def _empty_frontier() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "url": pd.Series([], dtype=str), "seq": pd.Series([], dtype=np.int64),
+            "source": pd.Series([], dtype=str), "host": pd.Series([], dtype=str),
+            "url_hash": pd.Series([], dtype=np.uint64),
+            "host_shard": pd.Series([], dtype=np.int32),
+            "region": pd.Series([], dtype=np.int32),
+            "known_city": pd.Series([], dtype=bool), "target": pd.Series([], dtype=bool),
+            "is_listing_page": pd.Series([], dtype=bool),
+        }
+    )
+
+
+def dedup_first_wins(group: pd.DataFrame) -> pd.DataFrame:
+    """Within-wave exact dedup: keep the first enqueuer (min (seq, url))."""
+    return group.sort_values(["seq", "url"], kind="mergesort").head(1)
+
+
+class SeenFilter:
+    """Drop URLs already in the sharded seen set (cross-wave anti-join)."""
+
+    def __init__(self, seen_shards: list, num_shards: int):
+        self.shards = seen_shards
+        self.num_shards = num_shards
+
+    def _call_shards(self, method: str, hashes: np.ndarray):
+        sid = (hashes % np.uint64(self.num_shards)).astype(np.int64)
+        parts = [np.nonzero(sid == s)[0] for s in range(self.num_shards)]
+        refs, live = [], []
+        for s, idx in enumerate(parts):
+            if len(idx):
+                refs.append(getattr(self.shards[s], method).remote(hashes[idx]))
+                live.append(idx)
+        return live, ray.get(refs)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return batch
+        hashes = batch["url_hash"].to_numpy(np.uint64)
+        mask = np.zeros(len(batch), bool)
+        live, results = self._call_shards("contains", hashes)
+        for idx, res in zip(live, results):
+            mask[idx] = res
+        return batch.loc[~mask]
+
+
+class SeenAdd(SeenFilter):
+    """Register the wave's enqueued URLs in the seen shards (idempotent)."""
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch):
+            self._call_shards("add", batch["url_hash"].to_numpy(np.uint64))
+        return batch
+
+
+def make_politeness_fn(delay_by_host: dict):
+    """groupby('host').map_groups fn: per-host virtual fetch schedule.
+
+    Within one host the wave order is (priority, seq, url) (host_shard is
+    constant); rank i fetches at i × max(crawl_delay, min_interval) — the
+    per-host politeness ledger (T3 upgraded per north rule).
+    """
+
+    def politeness(group: pd.DataFrame) -> pd.DataFrame:
+        group = group.sort_values(["priority", "seq", "url"], kind="mergesort").copy()
+        delay = delay_by_host.get(group["host"].iloc[0], semantics.MIN_REQUEST_INTERVAL)
+        group["scheduled_at"] = np.arange(len(group), dtype=np.float64) * delay
+        return group
+
+    return politeness
+
+
+class Fetcher:
+    """Fetch actor pool (T2 analogue). The 'network' is the broadcast
+    synthetic-web dict; setup once per actor in __init__, per-batch lookups
+    + HTML rendering in __call__. Applies the html_downloader retry policy
+    (is_valid_url gate, blocked/short/status retries → DLQ)."""
+
+    def __init__(self, web_ref, max_retries: int = semantics.MAX_RETRIES):
+        self.pages = ray.get(web_ref)
+        self.max_retries = max_retries
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        n = len(batch)
+        ok = np.zeros(n, bool)
+        step = np.full(n, "", object)
+        retries = np.zeros(n, np.int32)
+        html = np.full(n, "", object)
+        duration = np.zeros(n, np.float64)
+        fetchable = valid_fetch_mask(batch["url"]) if n else np.zeros(0, bool)
+        for i, url in enumerate(batch["url"].tolist()):
+            if not fetchable[i]:
+                step[i] = "invalid_url"
+                continue
+            meta = self.pages.get(url)
+            success, fstep, attempts = semantics.fetch_outcome(meta, self.max_retries)
+            if not success:
+                step[i] = fstep
+                retries[i] = attempts - 1
+                continue
+            ok[i] = True
+            html[i] = render_html(meta)
+            duration[i] = meta["latency_ms"] / 1000.0
+        out = batch.copy()
+        out["ok"] = ok
+        out["failed_step"] = step.astype(str)
+        out["retry_count"] = retries
+        out["html"] = html.astype(str)
+        out["crawl_duration"] = duration
+        return out
+
+
+def parse_links(batch: pd.DataFrame) -> pd.DataFrame:
+    """Link extraction (M2–M4): hrefs → normalize(base) → valid filter →
+    per-page first-occurrence dedup → child candidates with intrinsic seq."""
+    empty = pd.DataFrame({"url": pd.Series([], dtype=str),
+                          "seq": pd.Series([], dtype=np.int64),
+                          "source": pd.Series([], dtype=str)})
+    batch = batch.loc[batch["ok"]]
+    if len(batch) == 0:
+        return empty
+    hrefs = batch["html"].str.findall(r'<a href="([^"]+)"')
+    flat = hrefs.explode().dropna()
+    if len(flat) == 0:
+        return empty
+    parent_pos = flat.groupby(level=0).cumcount()
+    base = batch["url"].reindex(flat.index)
+    parent_hash = batch["url_hash"].reindex(flat.index)
+    norm = normalize_series(flat.reset_index(drop=True).astype("string"),
+                            base.reset_index(drop=True).astype("string"))
+    df = pd.DataFrame(
+        {
+            "url": norm,
+            "page": flat.index.to_numpy(),
+            "pos0": parent_pos.to_numpy(),
+            "parent_hash": parent_hash.to_numpy(np.uint64),
+        }
+    )
+    df = df.loc[df["url"].notna()]
+    if len(df) == 0:
+        return empty
+    df = df.loc[valid_link_mask(df["url"])]
+    if len(df) == 0:
+        return empty
+    df = df.sort_values(["page", "pos0"], kind="mergesort")
+    df = df.drop_duplicates(subset=["page", "url"], keep="first")
+    pos = df.groupby("page").cumcount().to_numpy(np.int64)
+    ph = df["parent_hash"].to_numpy(np.uint64)
+    seq = (((ph >> np.uint64(16)) & np.uint64((1 << 46) - 1)) << np.uint64(16)).astype(np.int64) | pos
+    return pd.DataFrame({"url": df["url"].astype(str).to_numpy(),
+                         "seq": seq, "source": "extracted"})
+
+
+def parse_fields(batch: pd.DataFrame) -> pd.DataFrame:
+    """Property-page parser (M8/M9): vectorized regex extraction of the
+    fields the reference parser produces (craigslist_parser.py:52-191)."""
+    cols = ["url", "url_hash", "host", "host_shard", "wave", "crawl_duration"]
+    h = batch["html"]
+    out = batch[cols].copy()
+    out["title"] = h.str.extract(r'<span id="titletextonly">([^<]*)</span>', expand=False)
+    price = h.str.extract(r'<span class="price">\$([\d,]+)</span>', expand=False)
+    out["price"] = price.str.replace(",", "", regex=False).astype("Int64")
+    out["address"] = h.str.extract(r'<div class="mapaddress">([^<]*)</div>', expand=False)
+    out["latitude"] = h.str.extract(r'data-latitude="([^"]+)"', expand=False).astype(float)
+    out["longitude"] = h.str.extract(r'data-longitude="([^"]+)"', expand=False).astype(float)
+    bubble = h.str.extract(r'<span class="shared-line-bubble">(.*?)</span>', expand=False)
+    out["beds"] = bubble.str.extract(r"(\d+)\s*br", expand=False).astype("Int32")
+    out["baths"] = bubble.str.extract(r"(\d+(?:\.\d+)?)\s*ba", expand=False).astype(float)
+    out["sqft"] = bubble.str.extract(r"(\d+(?:,\d+)?)\s*ft[²2]", expand=False).str.replace(",", "", regex=False).astype("Int32")
+    posted = h.str.extract(r'<time class="date" datetime="([^"]+)"', expand=False)
+    out["posted_date"] = pd.to_datetime(posted, utc=True, format="ISO8601").dt.tz_localize(None)
+    low = out["url"].str.lower()
+    out["property_type"] = np.where(low.str.contains("apa", regex=False), "apartment",
+                                    np.where(low.str.contains("rea", regex=False), "real estate", None))
+    out["city"] = out["url"].str.extract(r"^https?://([^.]+)\.craigslist\.org", expand=False)
+    out["caption"] = h.str.extract(r'<section id="postingbody">([^<]*)</section>', expand=False).fillna("")
+    out["img_urls"] = h.str.findall(r'<img src="([^"]+)">')
+    out["status_code"] = np.int16(200)
+    out["content_hash"] = xxh64_array(h)
+    return out
+
+
+class ImageStage:
+    """Image download+decode+verify actor pool (S9/M10 analogue): explode a
+    page's image URLs → deterministic bytes → decode → (w, h, fmt, phash)
+    store rows. Heavy binary output ⇒ callers use a small batch_size."""
+
+    def __init__(self, images_ref, seed: int = 42):
+        self.images = ray.get(images_ref)
+        self.seed = seed
+
+    def __call__(self, batch: pd.DataFrame) -> pa.Table:
+        ids, blobs, ws, hs, fmts, captions, phashes, hosts, shards, waves, srcs = \
+            [], [], [], [], [], [], [], [], [], [], []
+        for row in batch.itertuples(index=False):
+            for img_url in row.img_urls:
+                iid = hashlib.sha256(img_url.encode()).hexdigest()[:16]
+                im = self.images.get(iid)
+                if im is None:
+                    continue
+                data = image_bytes(iid, im["w"], im["h"], im["fmt"], self.seed)
+                ids.append(iid)
+                blobs.append(data)
+                ws.append(im["w"]); hs.append(im["h"]); fmts.append(im["fmt"])
+                captions.append(row.caption)
+                phashes.append(phash64(decode_png(data)))
+                hosts.append(row.host); shards.append(row.host_shard)
+                waves.append(row.wave); srcs.append(row.url)
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "bytes": pa.array(blobs, pa.binary()),
+                "w": pa.array(ws, pa.int32()), "h": pa.array(hs, pa.int32()),
+                "fmt": pa.array(fmts, pa.string()),
+                "caption": pa.array(captions, pa.string()),
+                "phash": pa.array(phashes, pa.int64()),
+                "host": pa.array(hosts, pa.string()),
+                "host_shard": pa.array(shards, pa.int32()),
+                "wave": pa.array(waves, pa.int32()),
+                "src_url": pa.array(srcs, pa.string()),
+            }
+        )

@@ -1,0 +1,141 @@
+"""Engine-vs-oracle conformance (FIXTURES.md F7 golden outputs).
+
+The Ray engine and the single-threaded reference-semantics oracle run over
+the same deterministic synthetic web; the north-rule gates are asserted:
+URL-seen-set equality, crawl-order equality, DLQ equality, parsed-page
+equality, caption byte-equality, phash equality, decoded-pixel PSNR ≥ 40 dB
+(exact for lossless), per-host politeness spacing, and bit-identical resume.
+"""
+
+import shutil
+
+import numpy as np
+import pytest
+
+from crawler_ray import semantics
+from crawler_ray.imaging import decode_png, psnr
+from crawler_ray.oracle import run_oracle
+from crawler_ray.sources.synthetic_web import (
+    WebParams,
+    build_web,
+    image_array,
+    unit_params,
+)
+
+
+@pytest.fixture(scope="module")
+def unit_results(ray_session, tmp_path_factory):
+    from crawler_ray.pipelines.crawl import run_crawl
+
+    p = unit_params()
+    web = build_web(p)
+    out = str(tmp_path_factory.mktemp("crawl") / "unit")
+    run = run_crawl(web, p, out)
+    oracle = run_oracle(web, p)
+    return web, p, run, oracle
+
+
+def test_seen_set_equality(unit_results):
+    _, _, run, oracle = unit_results
+    t = run.read("seen")
+    eng = dict(zip(t["url"].to_pylist(), t["url_hash"].to_pylist()))
+    assert eng == oracle["seen"]
+
+
+def test_crawl_order_equality(unit_results):
+    _, _, run, oracle = unit_results
+    rows = sorted(
+        run.read("order").to_pylist(),
+        key=lambda r: (r["wave"], r["priority"], r["host_shard"], r["seq"], r["url"]),
+    )
+    eng = [(r["url"], r["wave"], r["priority"], r["host_shard"], r["seq"]) for r in rows]
+    orc = [(r["url"], r["wave"], r["priority"], r["host_shard"], r["seq"]) for r in oracle["order"]]
+    assert eng == orc
+
+
+def test_dlq_equality(unit_results):
+    _, _, run, oracle = unit_results
+    eng = sorted((r["url"], r["failed_step"], r["retry_count"]) for r in run.read("dlq").to_pylist())
+    orc = sorted((r["url"], r["failed_step"], r["retry_count"]) for r in oracle["dlq"])
+    assert eng == orc
+
+
+def test_store_equality_and_psnr_gate(unit_results):
+    _, p, run, oracle = unit_results
+    store = run.read("store").to_pylist()
+    eng = sorted((r["image_id"], r["caption"], r["phash"], r["fmt"], r["w"], r["h"]) for r in store)
+    orc = sorted((r["image_id"], r["caption"], r["phash"], r["fmt"], r["w"], r["h"]) for r in oracle["store"])
+    assert eng == orc  # captions byte-equal, phash equal
+    for r in store:
+        decoded = decode_png(r["bytes"])
+        truth = image_array(r["image_id"], r["w"], r["h"], p.seed)
+        if r["fmt"] == "png":
+            assert (decoded == truth).all()
+        else:
+            assert psnr(truth, decoded) >= 40.0
+
+
+def test_parsed_pages_equality(unit_results):
+    _, _, run, oracle = unit_results
+    eng = {r["url"]: r for r in run.read("pages").to_pylist()}
+    assert len(eng) == len(oracle["pages"])
+    for op in oracle["pages"]:
+        ep = eng[op["url"]]
+        for k in ["title", "address", "price", "latitude", "longitude", "property_type",
+                  "beds", "baths", "sqft", "city", "content_hash", "wave"]:
+            assert ep[k] == op[k], (op["url"], k)
+        assert str(ep["posted_date"]).startswith(op["posted_date"].replace("T", " "))
+
+
+def test_politeness_spacing(unit_results):
+    web, p, run, _ = unit_results
+    robots = {r["host"]: r for r in web["robots"].to_pylist()}
+    order = run.read("order").to_pylist()
+    by_wave_host: dict = {}
+    for r in order:
+        by_wave_host.setdefault((r["wave"], r["host"]), []).append(r["scheduled_at"])
+    for (_, host), times in by_wave_host.items():
+        delay = semantics.politeness_delay(robots.get(host))
+        times = sorted(times)
+        gaps = np.diff(times)
+        assert (gaps >= delay - 1e-9).all(), (host, times)
+
+
+def test_resume_bit_identity(ray_session, tmp_path):
+    from crawler_ray.pipelines.crawl import run_crawl
+
+    p = unit_params()
+    web = build_web(p)
+    full_dir, part_dir = str(tmp_path / "full"), str(tmp_path / "part")
+    full = run_crawl(web, p, full_dir)
+    # stop early, drop crash garbage, then resume
+    cfg = semantics.CrawlConfig(max_retries=p.max_retries, max_waves=1)
+    run_crawl(web, p, part_dir, cfg=cfg)
+    import os
+
+    os.makedirs(f"{part_dir}/store/_tmp", exist_ok=True)
+    with open(f"{part_dir}/store/partial-crash.parquet", "wb") as f:
+        f.write(b"junk")
+    resumed = run_crawl(web, p, part_dir, resume=True)
+
+    for table, keys in [
+        ("seen", ["url", "url_hash"]),
+        ("order", ["url", "wave", "priority", "host_shard", "seq"]),
+        ("dlq", ["url", "failed_step", "retry_count"]),
+        ("store", ["image_id", "caption", "phash", "fmt"]),
+        ("pages", ["url", "content_hash"]),
+    ]:
+        a = sorted(tuple(r[k] for k in keys) for r in full.read(table).to_pylist())
+        b = sorted(tuple(r[k] for k in keys) for r in resumed.read(table).to_pylist())
+        assert a == b, table
+    # store *bytes* identical too
+    ab = sorted((r["image_id"], r["bytes"]) for r in full.read("store").to_pylist())
+    bb = sorted((r["image_id"], r["bytes"]) for r in resumed.read("store").to_pylist())
+    assert ab == bb
+
+
+def test_oracle_determinism():
+    p = WebParams(seed=7, n_hosts=4, props_per_host=6, hot_hosts=1, hot_factor=3)
+    a = run_oracle(build_web(p), p)
+    b = run_oracle(build_web(p), p)
+    assert a["order"] == b["order"] and a["seen"] == b["seen"] and a["dlq"] == b["dlq"]
