@@ -38,19 +38,39 @@ import ray.data as rd
 from crawler_ray import geo, semantics
 from crawler_ray.sources import lance_layout as ll
 from crawler_ray.stages.crawl_stages import (
-    Fetcher,
-    ImageStage,
+    FetchProcess,
     PrepStage,
     SeenAdd,
     SeenFilter,
-    dedup_first_wins,
-    make_politeness_fn,
-    property_mask,
+    dedup_block,
+    make_politeness_block,
 )
-from crawler_ray.stages import crawl_stages
 from crawler_ray.state.seen import ShardedSeen
 
 TABLES = ["order", "seen", "dlq", "pages", "store", "frontier"]
+
+
+class _SeenOrderWriter:
+    """One map_batches pass writing both per-wave conformance logs."""
+
+    def __init__(self, out_root: str, wave: int):
+        self.seen_w = ll.FragmentWriter(out_root, "seen", f"w{wave}")
+        self.order_w = ll.FragmentWriter(out_root, "order", f"w{wave}")
+
+    def __call__(self, batch: pd.DataFrame) -> pa.Table:
+        meta = []
+        for table, writer, cols in [
+            ("seen", self.seen_w, ["url", "url_hash", "wave"]),
+            ("order", self.order_w, ["url", "wave", "priority", "host_shard", "seq", "host", "scheduled_at"]),
+        ]:
+            m = writer(pa.Table.from_pandas(batch[cols], preserve_index=False))
+            meta += [{"table": table, "fragment": f, "rows": int(r)}
+                     for f, r in zip(m["fragment"].to_pylist(), m["rows"].to_pylist())]
+        if not meta:
+            return pa.table({"table": pa.array([], pa.string()),
+                             "fragment": pa.array([], pa.string()),
+                             "rows": pa.array([], pa.int64())})
+        return pa.Table.from_pylist(meta)
 
 
 @dataclass
@@ -79,12 +99,14 @@ def run_crawl(
     resume: bool = False,
     num_seen_shards: int = 4,
     fetch_concurrency: int = 3,
-    image_concurrency: int = 3,
     fetch_batch_size: int = 128,
-    image_batch_size: int = 64,
+    num_partitions: int = 8,
 ) -> CrawlRun:
     """Run (or resume) the crawl over a synthetic web; returns handles to the
     Lance-layout output at ``out_root``."""
+    from ray.data.context import DataContext, ShuffleStrategy
+
+    DataContext.get_current().shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
     cfg = cfg or semantics.CrawlConfig(max_retries=params.max_retries)
     pages_by_url = {r["url"]: r for r in web["pages"].to_pylist()}
     robots_by_host = {r["host"]: r for r in web["robots"].to_pylist()}
@@ -134,7 +156,7 @@ def run_crawl(
     prep = PrepStage(robots_by_host, city_region)
     seen_filter = SeenFilter(seen.shards, seen.num_shards)
     seen_add = SeenAdd(seen.shards, seen.num_shards)
-    politeness = make_politeness_fn(delay_by_host)
+    politeness = make_politeness_block(delay_by_host, cfg.min_request_interval)
     counts: dict = {}
 
     wave = start_wave
@@ -143,8 +165,20 @@ def run_crawl(
         candidates_tbl = None
         if ds is None:
             break
+        # adaptive partitioning: tiny waves coalesce to one block (skip the
+        # hash shuffle), big waves hash-partition for parallel exact dedup
+        est_rows = sum(f["rows"] for f in next_frontier_frags) if next_frontier_frags else (
+            candidates_tbl.num_rows if candidates_tbl is not None else 0
+        )
+        parts = max(1, min(num_partitions, est_rows // 5000))
         ds = ds.map_batches(prep, batch_format="pandas")
-        ds = ds.groupby("url_hash").map_groups(dedup_first_wins, batch_format="pandas")
+        # exact first-wins dedup: co-locate each url_hash, then one
+        # vectorized sort+drop_duplicates per block (the dedup shuffle)
+        if parts > 1:
+            ds = ds.repartition(parts, keys=["url_hash"])
+        else:
+            ds = ds.repartition(1)
+        ds = ds.map_batches(dedup_block, batch_format="pandas")
         ds = ds.map_batches(seen_filter, batch_format="pandas")
         pre = ds.materialize()
 
@@ -181,78 +215,54 @@ def run_crawl(
             b = b.loc[pri >= 0, ["url", "url_hash", "host", "host_shard", "priority", "seq", "source"]]
             return b
 
-        frontier = pre.map_batches(assign_priority, batch_format="pandas")
-        frontier = frontier.map_batches(seen_add, batch_format="pandas")
-        frontier = frontier.map_batches(
-            lambda b, w=wave: b.assign(wave=np.int32(w)), batch_format="pandas"
-        ).materialize()
+        # priority assign + register in seen shards + politeness schedule
+        # (host-partitioned so per-host ranks are computable per block)
+        frontier = pre.map_batches(assign_priority, batch_format="pandas").map_batches(
+            seen_add, batch_format="pandas"
+        ).map_batches(lambda b, w=wave: b.assign(wave=np.int32(w)), batch_format="pandas")
+        frontier = frontier.repartition(parts, keys=["host"]) if parts > 1 else frontier.repartition(1)
+        frontier = frontier.map_batches(politeness, batch_format="pandas").materialize()
         n_frontier = frontier.count()
         if n_frontier == 0:
             break
 
-        seen_frags = ll.write_fragments(
-            frontier.map_batches(lambda b: b[["url", "url_hash", "wave"]], batch_format="pandas"),
-            out_root, "seen", f"w{wave}",
-        )
+        # one pass writes both conformance logs (order is defined by its key
+        # columns, not file order — no global sort needed)
+        log_writer = _SeenOrderWriter(out_root, wave)
+        log_meta = frontier.map_batches(log_writer, batch_format="pandas").take_all()
+        seen_frags = [{"fragment": m["fragment"], "rows": int(m["rows"])}
+                      for m in log_meta if m["table"] == "seen"]
+        order_frags = [{"fragment": m["fragment"], "rows": int(m["rows"])}
+                       for m in log_meta if m["table"] == "order"]
 
-        sched = frontier.groupby("host").map_groups(politeness, batch_format="pandas").materialize()
-        ordered = sched.sort(["priority", "host_shard", "seq", "url"])
-        order_frags = ll.write_fragments(
-            ordered.map_batches(
-                lambda b: b[["url", "wave", "priority", "host_shard", "seq", "host", "scheduled_at"]],
-                batch_format="pandas",
+        # the heavy inner loop: fetch → parse → decode/store → link-extract,
+        # fragments written inside the actors, one streaming execution
+        meta = frontier.map_batches(
+            FetchProcess,
+            fn_constructor_kwargs=dict(
+                web_ref=web_ref, images_ref=images_ref, out_root=out_root,
+                wave=wave, seed=cfg.seed, max_retries=cfg.max_retries,
             ),
-            out_root, "order", f"w{wave}",
-        )
-        fetched = sched.map_batches(
-            Fetcher,
-            fn_constructor_kwargs=dict(web_ref=web_ref, max_retries=cfg.max_retries),
             batch_format="pandas",
             batch_size=fetch_batch_size,
             concurrency=fetch_concurrency,
-        ).materialize()
+        ).take_all()
 
-        dlq_frags = ll.write_fragments(
-            fetched.map_batches(
-                lambda b: b.loc[~b["ok"], ["url", "url_hash", "host", "failed_step", "retry_count", "wave"]],
-                batch_format="pandas",
-            ),
-            out_root, "dlq", f"w{wave}",
-        )
+        frags_by_table: dict[str, list[dict]] = {"dlq": [], "pages": [], "store": [], "frontier": []}
+        for m in meta:
+            frags_by_table[m["table"]].append({"fragment": m["fragment"], "rows": int(m["rows"])})
+        frontier_frags = frags_by_table["frontier"]
 
-        parsed = fetched.map_batches(
-            lambda b: b.loc[b["ok"] & property_mask(b["url"])], batch_format="pandas"
-        ).map_batches(crawl_stages.parse_fields, batch_format="pandas").materialize()
-
-        pages_frags = ll.write_fragments(
-            parsed.map_batches(lambda b: b.drop(columns=["img_urls"]), batch_format="pandas"),
-            out_root, "pages", f"w{wave}",
-        )
-        store_frags = ll.write_fragments(
-            parsed.map_batches(
-                ImageStage,
-                fn_constructor_kwargs=dict(images_ref=images_ref, seed=cfg.seed),
-                batch_format="pandas",
-                batch_size=image_batch_size,
-                concurrency=image_concurrency,
-            ),
-            out_root, "store", f"w{wave}",
-        )
-
-        frontier_frags = ll.write_fragments(
-            fetched.map_batches(crawl_stages.parse_links, batch_format="pandas"),
-            out_root, "frontier", f"w{wave + 1}",
-        )
-
-        for t, frags in [("order", order_frags), ("seen", seen_frags), ("dlq", dlq_frags),
-                         ("pages", pages_frags), ("store", store_frags), ("frontier", frontier_frags)]:
-            cum[t].extend(frags)
+        for t in ["order", "seen"]:
+            cum[t].extend({"order": order_frags, "seen": seen_frags}[t])
+        for t in ["dlq", "pages", "store", "frontier"]:
+            cum[t].extend(frags_by_table[t])
         counts = {
             "wave": wave,
             "frontier": n_frontier,
-            "dlq": sum(f["rows"] for f in dlq_frags),
-            "pages": sum(f["rows"] for f in pages_frags),
-            "store": sum(f["rows"] for f in store_frags),
+            "dlq": sum(f["rows"] for f in frags_by_table["dlq"]),
+            "pages": sum(f["rows"] for f in frags_by_table["pages"]),
+            "store": sum(f["rows"] for f in frags_by_table["store"]),
             "seen_total": seen.total(),
         }
         ll.write_manifest(

@@ -66,8 +66,12 @@ def q1_pricing_summary(sf_dir: str):
     out["avg_price"] = (out["sum_base_price"] / out["count_order"]).round(2)
     out["avg_disc"] = (out["sum_disc"] / out["count_order"]).round(4)
     out = out.drop(columns=["sum_disc"])
-    for c in ["sum_qty", "sum_base_price", "sum_disc_price"]:
-        out[c] = out[c].round(2)
+    # rounding grids chosen so the exact decimal value lies ON the grid (not
+    # at a boundary): prices have 2 decimals, price×(1−disc) products 4 —
+    # float summation-order noise (~1e-8) then can't flip the rounding
+    out["sum_qty"] = out["sum_qty"].round(2)
+    out["sum_base_price"] = out["sum_base_price"].round(2)
+    out["sum_disc_price"] = out["sum_disc_price"].round(4)
     out["count_order"] = out["count_order"].astype(np.int64)
     return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
 
@@ -525,7 +529,7 @@ ORACLE_SQL = {
         SELECT l_returnflag, l_linestatus,
                ROUND(SUM(l_quantity), 2) AS sum_qty,
                ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
                CAST(COUNT(*) AS BIGINT) AS count_order,
                ROUND(SUM(l_quantity) / COUNT(*), 2) AS avg_qty,
                ROUND(SUM(l_extendedprice) / COUNT(*), 2) AS avg_price,

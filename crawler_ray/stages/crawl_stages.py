@@ -129,9 +129,33 @@ def _empty_frontier() -> pd.DataFrame:
     )
 
 
-def dedup_first_wins(group: pd.DataFrame) -> pd.DataFrame:
-    """Within-wave exact dedup: keep the first enqueuer (min (seq, url))."""
-    return group.sort_values(["seq", "url"], kind="mergesort").head(1)
+def dedup_block(batch: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized first-wins dedup for a hash-partitioned block: all rows of
+    a url_hash are co-located (repartition(keys=['url_hash'])), so one
+    sort + drop_duplicates per block replaces per-group Python."""
+    if len(batch) == 0:
+        return batch
+    return batch.sort_values(["url_hash", "seq", "url"], kind="mergesort").drop_duplicates(
+        "url_hash", keep="first"
+    )
+
+
+def make_politeness_block(delay_by_host: dict, min_interval: float):
+    """Vectorized politeness for a host-partitioned block: per-host rank in
+    wave order × per-host delay (groupby-cumcount, no per-group Python)."""
+
+    def politeness_block(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            batch = batch.copy()
+            batch["scheduled_at"] = pd.Series([], dtype=np.float64)
+            return batch
+        b = batch.sort_values(["host", "priority", "seq", "url"], kind="mergesort").copy()
+        rank = b.groupby("host").cumcount().to_numpy(np.float64)
+        delay = b["host"].map(delay_by_host).fillna(min_interval).to_numpy(np.float64)
+        b["scheduled_at"] = rank * delay
+        return b
+
+    return politeness_block
 
 
 class SeenFilter:
@@ -169,23 +193,6 @@ class SeenAdd(SeenFilter):
         if len(batch):
             self._call_shards("add", batch["url_hash"].to_numpy(np.uint64))
         return batch
-
-
-def make_politeness_fn(delay_by_host: dict):
-    """groupby('host').map_groups fn: per-host virtual fetch schedule.
-
-    Within one host the wave order is (priority, seq, url) (host_shard is
-    constant); rank i fetches at i × max(crawl_delay, min_interval) — the
-    per-host politeness ledger (T3 upgraded per north rule).
-    """
-
-    def politeness(group: pd.DataFrame) -> pd.DataFrame:
-        group = group.sort_values(["priority", "seq", "url"], kind="mergesort").copy()
-        delay = delay_by_host.get(group["host"].iloc[0], semantics.MIN_REQUEST_INTERVAL)
-        group["scheduled_at"] = np.arange(len(group), dtype=np.float64) * delay
-        return group
-
-    return politeness
 
 
 class Fetcher:
@@ -296,6 +303,59 @@ def parse_fields(batch: pd.DataFrame) -> pd.DataFrame:
     out["status_code"] = np.int16(200)
     out["content_hash"] = xxh64_array(h)
     return out
+
+
+class FetchProcess:
+    """Fused fetch→parse→store actor stage (the wave's heavy inner loop).
+
+    One actor pool per wave holding the broadcast web + image dicts; each
+    batch is fetched, parsed, its images decoded/verified, and the four
+    output tables (dlq, pages, store, next-wave frontier) written as
+    immutable fragments INSIDE the actor (atomic tmp+rename). Only tiny
+    fragment-metadata rows flow back to the driver, so HTML and image bytes
+    never transit the driver and the whole wave is one streaming execution.
+    """
+
+    def __init__(self, web_ref, images_ref, out_root: str, wave: int,
+                 seed: int, max_retries: int):
+        from crawler_ray.sources.lance_layout import FragmentWriter
+
+        self.fetcher = Fetcher(web_ref, max_retries)
+        self.images = ImageStage(images_ref, seed)
+        self.writers = {
+            "dlq": FragmentWriter(out_root, "dlq", f"w{wave}"),
+            "pages": FragmentWriter(out_root, "pages", f"w{wave}"),
+            "store": FragmentWriter(out_root, "store", f"w{wave}"),
+            "frontier": FragmentWriter(out_root, "frontier", f"w{wave + 1}"),
+        }
+
+    def _write(self, table: str, data) -> list[dict]:
+        if isinstance(data, pd.DataFrame):
+            data = pa.Table.from_pandas(data, preserve_index=False)
+        meta = self.writers[table](data)
+        return [
+            {"table": table, "fragment": f, "rows": r}
+            for f, r in zip(meta["fragment"].to_pylist(), meta["rows"].to_pylist())
+        ]
+
+    def __call__(self, batch: pd.DataFrame) -> pa.Table:
+        fetched = self.fetcher(batch)
+        meta: list[dict] = []
+        dlq = fetched.loc[~fetched["ok"],
+                          ["url", "url_hash", "host", "failed_step", "retry_count", "wave"]]
+        meta += self._write("dlq", dlq)
+        prop = fetched.loc[fetched["ok"] & property_mask(fetched["url"])]
+        if len(prop):
+            parsed = parse_fields(prop)
+            meta += self._write("pages", parsed.drop(columns=["img_urls"]))
+            meta += self._write("store", self.images(parsed))
+        links = parse_links(fetched)
+        meta += self._write("frontier", links)
+        if not meta:
+            return pa.table({"table": pa.array([], pa.string()),
+                             "fragment": pa.array([], pa.string()),
+                             "rows": pa.array([], pa.int64())})
+        return pa.Table.from_pylist(meta)
 
 
 class ImageStage:
