@@ -1,44 +1,107 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship crawl pipeline (BASELINE.json north rule) at
+unit scale and returns the resulting Lance-layout store table as a Dataset.
+``queries()`` exposes the full operator surface of SURVEY.md §2 (relational
+analogues over the TPC-H testdata + crawl/multimodal/training-data ops);
+``oracle_sql()`` gives DuckDB equivalents for every SQL-expressible entry.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported — nothing
+here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
 
+import shutil
 from collections.abc import Callable
 from typing import Any
 
+_CRAWL_CACHE: dict[str, Any] = {}
+
+
+def _crawl_run(tag: str = "driver"):
+    """Run (once per process) a small deterministic crawl; return CrawlRun."""
+    if tag in _CRAWL_CACHE:
+        return _CRAWL_CACHE[tag]
+    from crawler_ray.pipelines.crawl import run_crawl
+    from crawler_ray.sources.synthetic_web import WebParams, build_web
+
+    params = WebParams(seed=42, n_hosts=6, props_per_host=10, hot_hosts=1, hot_factor=4)
+    out = f"/tmp/crawler_ray_entry_{tag}"
+    shutil.rmtree(out, ignore_errors=True)
+    run = run_crawl(build_web(params), params, out, fetch_concurrency=2)
+    _CRAWL_CACHE[tag] = run
+    return run
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: frontier → dedup → politeness → fetch → parse → Lance store."""
+    import ray.data as rd
+
+    from crawler_ray.sources import lance_layout as ll
+
+    run = _crawl_run("entry")
+    m = ll.latest_manifest(run.root)
+    paths = ll.fragment_paths(run.root, "store", m["tables"]["store"])
+    return rd.read_parquet(paths)
+
+
+def _crawl_table(table: str, drop: tuple = ("bytes",)):
+    def q(sf_dir: str):
+        run = _crawl_run("queries")
+        t = run.read(table)
+        return t.drop_columns([c for c in drop if c in t.column_names])
+
+    return q
+
+
+def _image_features(sf_dir: str):
+    import ray.data as rd
+
+    from crawler_ray.pipelines.multimodal import featurize_store
+    from crawler_ray.sources import lance_layout as ll
+
+    run = _crawl_run("queries")
+    m = ll.latest_manifest(run.root)
+    paths = ll.fragment_paths(run.root, "store", m["tables"]["store"])
+    feats = featurize_store(rd.read_parquet(paths)).to_pandas()
+    import numpy as np
+
+    feats["feat_norm"] = [round(float(np.linalg.norm(np.asarray(f, np.float64))), 4) for f in feats["feature"]]
+    out = feats[["image_id", "w", "h", "fmt", "phash", "feat_norm"]]
+    return out.sort_values("image_id").reset_index(drop=True)
+
+
+def _phash_dups(sf_dir: str):
+    import ray.data as rd
+
+    from crawler_ray.pipelines.multimodal import featurize_store, phash_near_dups
+    from crawler_ray.sources import lance_layout as ll
+
+    run = _crawl_run("queries")
+    m = ll.latest_manifest(run.root)
+    paths = ll.fragment_paths(run.root, "store", m["tables"]["store"])
+    feats = featurize_store(rd.read_parquet(paths)).to_pandas()
+    return phash_near_dups(feats)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from crawler_ray.pipelines.queries import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out = dict(QUERIES)
+    # flagship crawl outputs (deterministic synthetic web; rows-only checks)
+    out["crawl_store_meta"] = _crawl_table("store")
+    out["crawl_order"] = _crawl_table("order")
+    out["crawl_seen"] = _crawl_table("seen")
+    out["crawl_pages"] = _crawl_table("pages")
+    out["crawl_dlq"] = _crawl_table("dlq")
+    # multimodal (decode/feature/near-dup over the image store)
+    out["image_features"] = _image_features
+    out["image_phash_dups"] = _phash_dups
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from crawler_ray.pipelines.queries import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

@@ -1,0 +1,150 @@
+"""Benchmark harness (driver contract).
+
+Default: runs the headline pipelines — the flagship crawl (bench-tier
+synthetic web) plus representative queries over ``$GRAFT_SF_DIR`` — under
+``ray.init(num_cpus=$RAY_GRAFT_CPUS)`` and prints ONE JSON line:
+
+    {"metric": "crawl_fetch_store", "value": <total sec>, "unit": "sec",
+     "queries": {...per-pipeline sec...}, "sf": ..., "num_cpus": N,
+     "crawl": {"pages": n, "pages_per_sec": x, "image_mb": m, "image_mb_per_sec": y}}
+
+``--scaling``: runs the same crawl job in fresh processes at num_cpus=8 and
+num_cpus=32 on the same input and reports both throughputs + scaling
+efficiency (the sandbox evidence for the north rule's N-vs-4N criterion).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+
+def _quiet():
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    logging.getLogger("ray").setLevel(logging.ERROR)
+
+
+def run_crawl_bench(num_cpus: int, out_root: str) -> dict:
+    import ray
+
+    _quiet()
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from crawler_ray.pipelines.crawl import run_crawl
+    from crawler_ray.sources import lance_layout as ll
+    from crawler_ray.sources.synthetic_web import bench_params, build_web_control
+
+    params = bench_params(props_per_host=int(os.environ.get("GRAFT_BENCH_PROPS", "400")))
+    web = build_web_control(params)
+    shutil.rmtree(out_root, ignore_errors=True)
+    # warm the worker pool (process spawn + imports) so the measurement is
+    # compute+shuffle, not cold-start (per the scaling-harness guidance)
+    import ray.data as rd
+
+    rd.range(num_cpus * 4, override_num_blocks=num_cpus * 4).map_batches(
+        lambda b: b, batch_format="pandas").materialize()
+    t0 = time.time()
+    run = run_crawl(web, params, out_root,
+                    fetch_concurrency=max(2, num_cpus // 2),
+                    fetch_batch_size=256,
+                    num_partitions=max(2, num_cpus // 2))
+    crawl_sec = time.time() - t0
+
+    m = ll.latest_manifest(out_root)
+    import pyarrow.parquet as pq
+
+    pages = sum(f["rows"] for f in m["tables"]["order"])
+    image_bytes = 0
+    images = 0
+    for f in m["tables"]["store"]:
+        t = pq.read_table(os.path.join(out_root, "store", f["fragment"]), columns=["bytes"])
+        image_bytes += t.get_total_buffer_size()
+        images += t.num_rows
+    return {
+        "crawl_sec": round(crawl_sec, 2),
+        "pages": pages,
+        "pages_per_sec": round(pages / crawl_sec, 1),
+        "images": images,
+        "image_mb": round(image_bytes / 1e6, 1),
+        "image_mb_per_sec": round(image_bytes / 1e6 / crawl_sec, 2),
+        "waves": run.waves,
+    }
+
+
+def run_query_bench(sf_dir: str) -> dict:
+    from crawler_ray.pipelines.queries import QUERIES
+
+    names = ["q1_pricing_summary", "heatmap_grid", "events_window", "exact_dedup_docs",
+             "minhash_near_dups", "ann_cosine_topk", "token_stats", "orders_join"]
+    out = {}
+    for name in names:
+        t0 = time.time()
+        res = QUERIES[name](sf_dir)
+        if hasattr(res, "to_pandas") and not hasattr(res, "columns"):
+            res.to_pandas()  # consume Datasets fully
+        out[name] = round(time.time() - t0, 2)
+    return out
+
+
+def main() -> None:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    if "--scaling" in sys.argv:
+        # same job, fresh processes, two parallelism levels (N vs 4N)
+        results = {}
+        for n in (8, 32):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(n), GRAFT_BENCH_MODE="crawl-only",
+                       GRAFT_BENCH_PROPS=os.environ.get("GRAFT_BENCH_PROPS", "1600"))
+            out = subprocess.run([sys.executable, __file__], env=env,
+                                 capture_output=True, text=True, check=True).stdout
+            results[n] = json.loads(out.strip().splitlines()[-1])
+        thr8 = results[8]["crawl"]["pages_per_sec"]
+        thr32 = results[32]["crawl"]["pages_per_sec"]
+        eff = (thr32 / thr8) / (32 / 8)
+        print(json.dumps({
+            "metric": "crawl_scaling", "unit": "pages_per_sec",
+            "pages_per_sec_8": thr8, "pages_per_sec_32": thr32,
+            "sec_8": results[8]["crawl"]["crawl_sec"], "sec_32": results[32]["crawl"]["crawl_sec"],
+            "scaling_efficiency": round(eff, 3),
+        }))
+        return
+
+    import ray
+
+    _quiet()
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    t_total = time.time()
+    crawl = run_crawl_bench(num_cpus, f"/tmp/crawler_ray_bench_{num_cpus}")
+    queries = {} if os.environ.get("GRAFT_BENCH_MODE") == "crawl-only" else run_query_bench(sf_dir)
+    total = time.time() - t_total
+    print(json.dumps({
+        "metric": "crawl_fetch_store",
+        "value": round(total, 2),
+        "unit": "sec",
+        "queries": {"crawl": crawl["crawl_sec"], **queries},
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "crawl": crawl,
+    }))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

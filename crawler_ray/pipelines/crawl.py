@@ -51,26 +51,21 @@ TABLES = ["order", "seen", "dlq", "pages", "store", "frontier"]
 
 
 class _SeenOrderWriter:
-    """One map_batches pass writing both per-wave conformance logs."""
+    """Passthrough stage writing both per-wave conformance logs as a side
+    effect (deterministic fragment names ⇒ retry-safe); the driver collects
+    the fragment lists by prefix glob after the fused execution finishes."""
 
     def __init__(self, out_root: str, wave: int):
         self.seen_w = ll.FragmentWriter(out_root, "seen", f"w{wave}")
         self.order_w = ll.FragmentWriter(out_root, "order", f"w{wave}")
 
-    def __call__(self, batch: pd.DataFrame) -> pa.Table:
-        meta = []
-        for table, writer, cols in [
-            ("seen", self.seen_w, ["url", "url_hash", "wave"]),
-            ("order", self.order_w, ["url", "wave", "priority", "host_shard", "seq", "host", "scheduled_at"]),
-        ]:
-            m = writer(pa.Table.from_pandas(batch[cols], preserve_index=False))
-            meta += [{"table": table, "fragment": f, "rows": int(r)}
-                     for f, r in zip(m["fragment"].to_pylist(), m["rows"].to_pylist())]
-        if not meta:
-            return pa.table({"table": pa.array([], pa.string()),
-                             "fragment": pa.array([], pa.string()),
-                             "rows": pa.array([], pa.int64())})
-        return pa.Table.from_pylist(meta)
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch):
+            self.seen_w(pa.Table.from_pandas(batch[["url", "url_hash", "wave"]], preserve_index=False))
+            self.order_w(pa.Table.from_pandas(
+                batch[["url", "wave", "priority", "host_shard", "seq", "host", "scheduled_at"]],
+                preserve_index=False))
+        return batch
 
 
 @dataclass
@@ -99,7 +94,7 @@ def run_crawl(
     resume: bool = False,
     num_seen_shards: int = 4,
     fetch_concurrency: int = 3,
-    fetch_batch_size: int = 128,
+    fetch_batch_size: int = 256,
     num_partitions: int = 8,
 ) -> CrawlRun:
     """Run (or resume) the crawl over a synthetic web; returns handles to the
@@ -108,9 +103,7 @@ def run_crawl(
 
     DataContext.get_current().shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
     cfg = cfg or semantics.CrawlConfig(max_retries=params.max_retries)
-    pages_by_url = {r["url"]: r for r in web["pages"].to_pylist()}
     robots_by_host = {r["host"]: r for r in web["robots"].to_pylist()}
-    images_by_id = {r["image_id"]: r for r in web["images"].to_pylist()}
     city_state = geo.city_state_map(params.n_hosts)
     city_region = {c: geo.STATE_REGION[s] for c, s in city_state.items()}
     delay_by_host = {
@@ -118,8 +111,9 @@ def run_crawl(
         for h in robots_by_host
     }
 
-    web_ref = ray.put(pages_by_url)
-    images_ref = ray.put(images_by_id)
+    # the simulated network is FUNCTIONAL (synthetic_web.page_meta derives a
+    # page from (seed, url)), so fetch workers carry only `params` — no
+    # web-sized broadcast exists anywhere
     seen = ShardedSeen(num_seen_shards)
 
     cum: dict[str, list[dict]] = {t: [] for t in TABLES}
@@ -159,10 +153,13 @@ def run_crawl(
     politeness = make_politeness_block(delay_by_host, cfg.min_request_interval)
     counts: dict = {}
 
+    import time as _time
+
+    debug = bool(os.environ.get("GRAFT_CRAWL_DEBUG"))
     wave = start_wave
     while wave < cfg.max_waves:
+        _t0 = _time.time()
         ds = _candidates_ds(out_root, next_frontier_frags, candidates_tbl)
-        candidates_tbl = None
         if ds is None:
             break
         # adaptive partitioning: tiny waves coalesce to one block (skip the
@@ -170,7 +167,8 @@ def run_crawl(
         est_rows = sum(f["rows"] for f in next_frontier_frags) if next_frontier_frags else (
             candidates_tbl.num_rows if candidates_tbl is not None else 0
         )
-        parts = max(1, min(num_partitions, est_rows // 5000))
+        candidates_tbl = None
+        parts = max(1, min(num_partitions, est_rows // 1500))
         ds = ds.map_batches(prep, batch_format="pandas")
         # exact first-wins dedup: co-locate each url_hash, then one
         # vectorized sort+drop_duplicates per block (the dedup shuffle)
@@ -181,6 +179,7 @@ def run_crawl(
         ds = ds.map_batches(dedup_block, batch_format="pandas")
         ds = ds.map_batches(seen_filter, batch_format="pandas")
         pre = ds.materialize()
+        _t1 = _time.time()
 
         # ---- priority (M7): listing alternation is sequential by definition
         # (reference RR counter) → computed on the driver over the wave's
@@ -217,36 +216,36 @@ def run_crawl(
 
         # priority assign + register in seen shards + politeness schedule
         # (host-partitioned so per-host ranks are computable per block)
-        frontier = pre.map_batches(assign_priority, batch_format="pandas").map_batches(
+        # ---- fused wave tail: priority → seen-add → politeness (host-keyed
+        # partition) → write seen/order logs (passthrough side effect) →
+        # even rebalance (breaks hot-host skew before the heavy stage) →
+        # fetch/parse/store/links. ONE streaming execution; worker processes
+        # persist across waves so broadcast host shards stay cached.
+        _t2 = _time.time()
+        fp = FetchProcess(params=params, out_root=out_root,
+                          wave=wave, seed=cfg.seed, max_retries=cfg.max_retries)
+        chain = pre.map_batches(assign_priority, batch_format="pandas").map_batches(
             seen_add, batch_format="pandas"
         ).map_batches(lambda b, w=wave: b.assign(wave=np.int32(w)), batch_format="pandas")
-        frontier = frontier.repartition(parts, keys=["host"]) if parts > 1 else frontier.repartition(1)
-        frontier = frontier.map_batches(politeness, batch_format="pandas").materialize()
-        n_frontier = frontier.count()
+        chain = chain.repartition(parts, keys=["host"]) if parts > 1 else chain.repartition(1)
+        chain = chain.map_batches(politeness, batch_format="pandas")
+        chain = chain.map_batches(_SeenOrderWriter(out_root, wave), batch_format="pandas")
+        # break hot-host skew before the heavy stage: fetch is stateless
+        # w.r.t. host (functional web), so an even row split suffices.
+        # blocks ≈ 2×batch keeps task count moderate (scheduling overhead)
+        # while giving the pool enough tasks to balance
+        fetch_rows = fetch_batch_size * 2
+        meta = (
+            chain.repartition(target_num_rows_per_block=fetch_rows)
+            .map_batches(fp, batch_format="pandas", batch_size=fetch_batch_size)
+            .take_all()
+        )
+        _t3 = _time.time()
+        seen_frags = ll.glob_fragments(out_root, "seen", f"w{wave}")
+        order_frags = ll.glob_fragments(out_root, "order", f"w{wave}")
+        n_frontier = sum(f["rows"] for f in seen_frags)
         if n_frontier == 0:
             break
-
-        # one pass writes both conformance logs (order is defined by its key
-        # columns, not file order — no global sort needed)
-        log_writer = _SeenOrderWriter(out_root, wave)
-        log_meta = frontier.map_batches(log_writer, batch_format="pandas").take_all()
-        seen_frags = [{"fragment": m["fragment"], "rows": int(m["rows"])}
-                      for m in log_meta if m["table"] == "seen"]
-        order_frags = [{"fragment": m["fragment"], "rows": int(m["rows"])}
-                       for m in log_meta if m["table"] == "order"]
-
-        # the heavy inner loop: fetch → parse → decode/store → link-extract,
-        # fragments written inside the actors, one streaming execution
-        meta = frontier.map_batches(
-            FetchProcess,
-            fn_constructor_kwargs=dict(
-                web_ref=web_ref, images_ref=images_ref, out_root=out_root,
-                wave=wave, seed=cfg.seed, max_retries=cfg.max_retries,
-            ),
-            batch_format="pandas",
-            batch_size=fetch_batch_size,
-            concurrency=fetch_concurrency,
-        ).take_all()
 
         frags_by_table: dict[str, list[dict]] = {"dlq": [], "pages": [], "store": [], "frontier": []}
         for m in meta:
@@ -270,6 +269,10 @@ def run_crawl(
             dict(wave=wave, listing_counter=listing_counter, tables=cum,
                  next_frontier=frontier_frags, counts=counts),
         )
+        if debug:
+            print(f"[wave {wave}] n={n_frontier} prep={_t1-_t0:.1f}s "
+                  f"listings={_t2-_t1:.1f}s fused={_t3-_t2:.1f}s "
+                  f"finalize={_time.time()-_t3:.1f}s", flush=True)
         next_frontier_frags = frontier_frags
         wave += 1
         if not frontier_frags:

@@ -19,10 +19,30 @@ from __future__ import annotations
 
 import json
 import os
-import uuid
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
+
+from crawler_ray.hashing import xxh64_array
+
+_KEY_COLS = ("url_hash", "image_id", "url", "band_hash", "doc_id")
+
+
+def _batch_digest(batch: pa.Table) -> str:
+    """Content-derived fragment id: a task retry rewrites the SAME name
+    (os.replace idempotent), so side-effect writes are retry-safe and a
+    resumed wave converges to the same fragment set."""
+    for c in _KEY_COLS:
+        if c in batch.column_names:
+            col = batch[c]
+            if pa.types.is_string(col.type):
+                h = xxh64_array(col)
+            else:
+                h = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+            digest = np.bitwise_xor.reduce(h) ^ np.uint64(batch.num_rows) if len(h) else np.uint64(0)
+            return f"{int(digest):016x}"
+    return f"{batch.num_rows:016x}"
 
 
 class FragmentWriter:
@@ -39,11 +59,25 @@ class FragmentWriter:
         if batch.num_rows == 0:
             return meta_schema.empty_table()
         os.makedirs(self.tmp, exist_ok=True)
-        name = f"{self.prefix}-{uuid.uuid4().hex[:12]}.parquet"
+        name = f"{self.prefix}-{_batch_digest(batch)}.parquet"
         tmp_path = os.path.join(self.tmp, name)
         pq.write_table(batch, tmp_path, compression="zstd")
         os.replace(tmp_path, os.path.join(self.dir, name))
         return pa.table({"fragment": [name], "rows": [batch.num_rows]}, schema=meta_schema)
+
+
+def glob_fragments(root: str, table: str, prefix: str) -> list[dict]:
+    """Collect fragments of one wave by deterministic name prefix (used
+    when the writer ran as a passthrough side effect inside a fused
+    execution). Only call AFTER the writing execution completed."""
+    tdir = os.path.join(root, table)
+    if not os.path.isdir(tdir):
+        return []
+    out = []
+    for fn in sorted(os.listdir(tdir)):
+        if fn.startswith(f"{prefix}-") and fn.endswith(".parquet"):
+            out.append({"fragment": fn, "rows": pq.read_metadata(os.path.join(tdir, fn)).num_rows})
+    return out
 
 
 def write_fragments(ds, root: str, table: str, prefix: str, batch_size: int | None = None) -> list[dict]:

@@ -5,13 +5,15 @@ reproducible host/page/link/image graph shaped like the reference's target
 site grammar (worker/src/crawler/utils/property_matcher.py:10-26):
 
 - listing page:  ``https://{city}.craigslist.org/search/apa[?page=N]``
-- property page: ``https://{city}.craigslist.org/apa/d/{slug}/{id}.html``
+- property page: ``https://{city}.craigslist.org/apa/d/{slug}/{pid}.html``
 
-Everything is derived from one integer seed via ``numpy.random.default_rng``;
-two calls with the same parameters produce byte-identical tables, HTML and
-image payloads. The fetch stage "downloads" by rendering
-``render_html(meta)`` on demand (so bench-scale webs don't ship megabytes of
-HTML to every actor), and "downloads images" via ``image_bytes(...)``.
+The web is FUNCTIONAL: ``page_meta(url, params)`` derives a page's complete
+metadata (fields, out-links, failure flags, image refs) from
+``xxh64(seed, url)``-seeded RNG — no global state, no lookup table. Fetch
+workers therefore need only the (tiny) ``WebParams`` to simulate the
+network; nothing web-sized is ever broadcast, exactly like a real crawler
+whose "state" is the network itself. ``build_web`` materializes the same
+function over all URLs for the oracle and tests.
 
 Failure injection (html_downloader.py retry semantics, :172-217):
 - ``status_code`` + ``fail_attempts``: attempts < fail_attempts observe
@@ -25,12 +27,14 @@ A page is fetchable iff not blocked, not short, and
 from __future__ import annotations
 
 import hashlib
+import re
 from dataclasses import dataclass
 
 import numpy as np
 import pyarrow as pa
 
 from crawler_ray import geo
+from crawler_ray.hashing import xxh64
 from crawler_ray.imaging import encode_png, encode_qpng
 
 BLOCK_INDICATOR = "unusual traffic"  # one of the reference's 12 indicators
@@ -39,6 +43,11 @@ _FILLER_WORDS = (
     "hardwood granite stainless laundry parking balcony garden rooftop gym "
     "transit downtown walkable pets welcome utilities included available now"
 ).split()
+
+_PROP_RE = re.compile(r"^https://([a-z0-9]+)\.craigslist\.org/apa/d/([^/]+)/(\d+)\.html$")
+_LIST_RE = re.compile(r"^https://([a-z0-9]+)\.craigslist\.org/search/apa(?:\?page=(\d+))?$")
+
+_PID_BASE = 7_000_000_000
 
 
 @dataclass(frozen=True)
@@ -49,7 +58,6 @@ class WebParams:
     hot_hosts: int = 2
     hot_factor: int = 20
     props_per_listing: int = 12
-    link_fanout: int = 8
     img_per_prop_max: int = 3
     lossy_frac: float = 0.2
     fail_frac: float = 0.08       # pages with transient/permanent status failures
@@ -66,8 +74,16 @@ def conformance_params(seed: int = 42) -> WebParams:
     return WebParams(seed=seed)
 
 
-def bench_params(seed: int = 42, n_hosts: int = 60, props_per_host: int = 150) -> WebParams:
-    return WebParams(seed=seed, n_hosts=n_hosts, props_per_host=props_per_host, hot_hosts=3, hot_factor=8)
+def bench_params(seed: int = 42, n_hosts: int = 30, props_per_host: int = 150) -> WebParams:
+    """Throughput tier: shallow + wide (one listing page covers 150 props →
+    few waves with thousands of fetches each, so per-wave fixed costs
+    amortize and the fetch/parse/store stages dominate wall-clock)."""
+    return WebParams(seed=seed, n_hosts=n_hosts, props_per_host=props_per_host,
+                     hot_hosts=3, hot_factor=8, props_per_listing=150)
+
+
+def _rng(*key) -> np.random.Generator:
+    return np.random.default_rng(xxh64(":".join(str(k) for k in key)))
 
 
 def _image_id(img_url: str) -> str:
@@ -75,182 +91,206 @@ def _image_id(img_url: str) -> str:
     return hashlib.sha256(img_url.encode()).hexdigest()[:16]
 
 
-def build_web(p: WebParams) -> dict[str, pa.Table]:
-    """Generate the fixture tables: ``pages`` (F1+property fields), ``robots``
-    (F2), ``seeds`` (F3), ``images`` (F4 metadata; bytes rendered lazily)."""
-    rng = np.random.default_rng(p.seed)
-    cities = geo.city_list(p.n_hosts)
-    city_state = geo.city_state_map(p.n_hosts)
-    hosts = [f"{c}.craigslist.org" for c in cities]
+def _host_index(p: WebParams) -> dict[str, int]:
+    return {f"{c}.craigslist.org": i for i, c in enumerate(geo.city_list(p.n_hosts))}
 
-    # --- per-host page counts (skew: first hot_hosts are hot_factor× hotter)
-    rows: list[dict] = []
-    img_rows: list[dict] = []
-    for hi, (city, host) in enumerate(zip(cities, hosts)):
-        n_props = p.props_per_host * (p.hot_factor if hi < p.hot_hosts else 1)
-        n_listings = max(1, -(-n_props // p.props_per_listing))
-        prop_urls = []
-        base_lon = geo.STATE_LONGITUDE[city_state[city]]
-        for j in range(n_props):
-            pid = 7_000_000_000 + hi * 1_000_000 + j
-            word = _FILLER_WORDS[int(rng.integers(0, len(_FILLER_WORDS)))]
-            disallowed = rng.random() < 0.05
-            slug = f"{'no-' if disallowed else ''}{word}-{word2(rng)}-{j}"
-            url = f"https://{host}/apa/d/{slug}/{pid}.html"
-            prop_urls.append(url)
-            n_img = int(rng.integers(1, p.img_per_prop_max + 1))
-            img_urls = [f"https://images.craigslist.org/{pid}_{k}.jpg" for k in range(n_img)]
-            img_ids = [_image_id(u) for u in img_urls]
-            lossy = rng.random(n_img) < p.lossy_frac
-            caption = (
-                f"Caption for {slug} #{pid}: "
-                + " ".join(_FILLER_WORDS[i] for i in rng.integers(0, len(_FILLER_WORDS), 12))
-            )
-            beds = int(rng.integers(0, 5))
-            rows.append(
-                dict(
-                    url=url, host=host, city=city, kind="property", page_id=pid,
-                    slug=slug, title=f"{beds}br {word} in {city}",
-                    address=f"{int(rng.integers(1, 9999))} {word} st, {city}",
-                    price=int(rng.integers(500, 5001)),
-                    latitude=round(34.0 + float(rng.normal(0, 3)), 6),
-                    longitude=round(base_lon + float(rng.normal(0, 1)), 6),
-                    beds=beds,
-                    baths=float(int(rng.integers(2, 8))) / 2.0,
-                    sqft=int(rng.integers(300, 2501)),
-                    posted_days=int(rng.integers(0, 365)),
-                    caption=caption,
-                    img_urls=img_urls, img_ids=img_ids,
-                    status_code=200, fail_attempts=0, blocked=False, short=False,
-                    latency_ms=int(rng.integers(20, 400)),
-                )
-            )
-            for u, iid, lo in zip(img_urls, img_ids, lossy):
-                wdim = int(rng.choice([48, 64, 96]))
-                hdim = int(rng.choice([48, 64, 96]))
-                img_rows.append(dict(image_id=iid, img_url=u, w=wdim, h=hdim, fmt="qpng" if lo else "png"))
 
-        # listing pages: /search/apa, /search/apa?page=2, ...
-        for li in range(n_listings):
-            url = f"https://{host}/search/apa" + (f"?page={li + 1}" if li else "")
-            links: list[str] = []
-            chunk = prop_urls[li * p.props_per_listing : (li + 1) * p.props_per_listing]
-            for k, u in enumerate(chunk):
-                # embed messy href variants to exercise normalization (M2/M3)
-                variant = int(rng.integers(0, 5))
-                if variant == 0:
-                    links.append(u)
-                elif variant == 1:
-                    links.append(u + "#gallery")       # fragment → normalized away
-                elif variant == 2:
-                    links.append("/" + u.split("/", 3)[3])  # root-relative
-                elif variant == 3:
-                    links.append(u.replace(host, host.upper()))  # case variant → same canonical URL
-                else:
-                    links.append(u)
-                if rng.random() < 0.15:
-                    links.append(u)                     # duplicate
-            if li + 1 < n_listings:
-                links.append(f"https://{host}/search/apa?page={li + 2}")
-            if li == 0 and n_listings > 1:
-                links.append(f"https://{host}/search/apa?page=2#top")
-            # cross-host link
-            other = hosts[int(rng.integers(0, len(hosts)))]
-            links.append(f"https://{other}/search/apa")
-            # junk links (filtered by M1/M3/relevance)
-            links.append("javascript:void(0)")
-            links.append(f"https://{host}/about/help")
-            links.append(f"https://{host}/img/banner.jpg")
-            links.append("https://www.example-apartments.com/listings")
-            links.append("https://unknowncity.craigslist.org/search/apa")
-            links.append(f"https://{host}/apa/" + "x" * 2100 + ".html")
-            rows.append(
-                dict(
-                    url=url, host=host, city=city, kind="listing", page_id=0,
-                    slug="", title=f"apartments in {city}", address="",
-                    price=0, latitude=0.0, longitude=0.0, beds=0, baths=0.0,
-                    sqft=0, posted_days=0, caption="", img_urls=[], img_ids=[],
-                    status_code=200, fail_attempts=0, blocked=False, short=False,
-                    latency_ms=int(rng.integers(20, 400)), out_links_raw=links,
-                )
-            )
+def _n_props(p: WebParams, hi: int) -> int:
+    return p.props_per_host * (p.hot_factor if hi < p.hot_hosts else 1)
 
-    # property out-links: a few same-host props + listing backlink
-    by_host_props: dict[str, list[str]] = {}
-    for r in rows:
-        if r["kind"] == "property":
-            by_host_props.setdefault(r["host"], []).append(r["url"])
-    for r in rows:
-        if r["kind"] == "property":
-            peers = by_host_props[r["host"]]
-            k = min(len(peers), int(rng.integers(1, 4)))
-            idx = rng.integers(0, len(peers), k)
-            links = [peers[i] for i in idx if peers[i] != r["url"]]
-            links.append(f"https://{r['host']}/search/apa")
-            r["out_links_raw"] = links
 
-    # failure injection (applied uniformly over fetchable pages)
-    n = len(rows)
-    fail_mask = rng.random(n) < p.fail_frac
-    blocked_mask = rng.random(n) < p.blocked_frac
-    short_mask = rng.random(n) < p.short_frac
-    statuses = rng.choice([403, 429, 500, 503], n)
-    attempts = rng.integers(1, p.max_retries + 3, n)  # some within budget, some beyond
-    for i, r in enumerate(rows):
-        if fail_mask[i]:
-            r["status_code"] = int(statuses[i])
-            r["fail_attempts"] = int(attempts[i])
-        r["blocked"] = bool(blocked_mask[i])
-        r["short"] = bool(short_mask[i])
+def _n_listings(p: WebParams, hi: int) -> int:
+    return max(1, -(-_n_props(p, hi) // p.props_per_listing))
 
-    pages = pa.Table.from_pylist(
-        [
-            {
-                "url": r["url"], "host": r["host"], "city": r["city"],
-                "kind": r["kind"], "page_id": r["page_id"], "slug": r["slug"],
-                "title": r["title"], "address": r["address"], "price": r["price"],
-                "latitude": r["latitude"], "longitude": r["longitude"],
-                "beds": r["beds"], "baths": r["baths"], "sqft": r["sqft"],
-                "posted_days": r["posted_days"], "caption": r["caption"],
-                "img_urls": r["img_urls"], "img_ids": r["img_ids"],
-                "out_links": r["out_links_raw"],
-                "status_code": r["status_code"], "fail_attempts": r["fail_attempts"],
-                "blocked": r["blocked"], "short": r["short"],
-                "latency_ms": r["latency_ms"],
-            }
-            for r in rows
-        ]
+
+def _slug(p: WebParams, hi: int, j: int) -> str:
+    r = _rng("slug", p.seed, hi, j)
+    w1 = _FILLER_WORDS[int(r.integers(0, len(_FILLER_WORDS)))]
+    w2 = _FILLER_WORDS[int(r.integers(0, len(_FILLER_WORDS)))]
+    disallowed = r.random() < 0.05
+    return f"{'no-' if disallowed else ''}{w1}-{w2}-{j}"
+
+
+def _prop_url(p: WebParams, host: str, hi: int, j: int) -> str:
+    return f"https://{host}/apa/d/{_slug(p, hi, j)}/{_PID_BASE + hi * 1_000_000 + j}.html"
+
+
+def _listing_url(host: str, li: int) -> str:
+    return f"https://{host}/search/apa" + (f"?page={li + 1}" if li else "")
+
+
+def _failure_flags(p: WebParams, url: str) -> dict:
+    r = _rng("fail", p.seed, url)
+    out = dict(status_code=200, fail_attempts=0, blocked=False, short=False,
+               latency_ms=int(r.integers(20, 400)))
+    if r.random() < p.fail_frac:
+        out["status_code"] = int(r.choice([403, 429, 500, 503]))
+        out["fail_attempts"] = int(r.integers(1, p.max_retries + 3))
+    out["blocked"] = bool(r.random() < p.blocked_frac)
+    out["short"] = bool(r.random() < p.short_frac)
+    return out
+
+
+def image_meta(img_url: str, p: WebParams) -> dict:
+    """Image metadata derived from the URL (the 'image server')."""
+    r = _rng("imgmeta", p.seed, img_url)
+    return dict(
+        image_id=_image_id(img_url), img_url=img_url,
+        w=int(r.choice([48, 64, 96])), h=int(r.choice([48, 64, 96])),
+        fmt="qpng" if r.random() < p.lossy_frac else "png",
     )
 
-    # robots (F2): 404/error hosts allow-all; some hosts disallow 'no-' slugs
-    robots_rows = []
-    for host in hosts:
-        roll = rng.random()
-        fetch_status = 200 if roll < 0.8 else (404 if roll < 0.93 else 500)
-        disallow = ["/apa/d/no-"] if rng.random() < 0.5 else []
-        delay = float(rng.choice([0.0, 1.0, 2.0, 5.0]))
-        robots_rows.append(
-            dict(host=host, disallow_prefixes=disallow,
-                 crawl_delay_s=(delay if delay > 0 else None), fetch_status=fetch_status)
-        )
-    robots = pa.Table.from_pylist(robots_rows)
 
-    # seeds (F3): every host's root listing URL, deterministically shuffled
-    seed_urls = [f"https://{h}/search/apa" for h in hosts]
-    order = rng.permutation(len(seed_urls))
+def page_meta(url: str, p: WebParams, host_index: dict[str, int] | None = None) -> dict | None:
+    """Derive a page's full metadata from (seed, url); None if the page
+    doesn't exist (404). Pure function — the whole web follows from it."""
+    hidx = host_index if host_index is not None else _host_index(p)
+    m = _PROP_RE.match(url)
+    if m:
+        city, slug, pid = m.group(1), m.group(2), int(m.group(3))
+        host = f"{city}.craigslist.org"
+        hi = hidx.get(host)
+        if hi is None:
+            return None
+        j = pid - _PID_BASE - hi * 1_000_000
+        if not (0 <= j < _n_props(p, hi)) or _slug(p, hi, j) != slug:
+            return None
+        r = _rng("prop", p.seed, hi, j)
+        word = _FILLER_WORDS[int(r.integers(0, len(_FILLER_WORDS)))]
+        beds = int(r.integers(0, 5))
+        base_lon = geo.STATE_LONGITUDE[geo.city_state_map(p.n_hosts)[city]]
+        n_img = int(r.integers(1, p.img_per_prop_max + 1))
+        img_urls = [f"https://images.craigslist.org/{pid}_{k}.jpg" for k in range(n_img)]
+        caption = (
+            f"Caption for {slug} #{pid}: "
+            + " ".join(_FILLER_WORDS[i] for i in r.integers(0, len(_FILLER_WORDS), 12))
+        )
+        # out-links: a few same-host peers + listing backlink
+        k = int(r.integers(1, 4))
+        peers = [int(x) for x in r.integers(0, _n_props(p, hi), k)]
+        links = [_prop_url(p, host, hi, pj) for pj in peers if pj != j]
+        links.append(f"https://{host}/search/apa")
+        return dict(
+            url=url, host=host, city=city, kind="property", page_id=pid, slug=slug,
+            title=f"{beds}br {word} in {city}",
+            address=f"{int(r.integers(1, 9999))} {word} st, {city}",
+            price=int(r.integers(500, 5001)),
+            latitude=round(34.0 + float(r.normal(0, 3)), 6),
+            longitude=round(base_lon + float(r.normal(0, 1)), 6),
+            beds=beds, baths=float(int(r.integers(2, 8))) / 2.0,
+            sqft=int(r.integers(300, 2501)),
+            posted_days=int(r.integers(0, 365)),
+            caption=caption, img_urls=img_urls,
+            img_ids=[_image_id(u) for u in img_urls],
+            out_links=links, **_failure_flags(p, url),
+        )
+
+    m = _LIST_RE.match(url)
+    if m:
+        city = m.group(1)
+        li = int(m.group(2)) - 1 if m.group(2) else 0
+        host = f"{city}.craigslist.org"
+        hi = hidx.get(host)
+        if hi is None or not (0 <= li < _n_listings(p, hi)):
+            return None
+        r = _rng("listing", p.seed, hi, li)
+        n_props = _n_props(p, hi)
+        n_listings = _n_listings(p, hi)
+        links: list[str] = []
+        for j in range(li * p.props_per_listing, min((li + 1) * p.props_per_listing, n_props)):
+            u = _prop_url(p, host, hi, j)
+            variant = int(r.integers(0, 5))
+            if variant == 1:
+                links.append(u + "#gallery")                 # fragment → normalized away
+            elif variant == 2:
+                links.append("/" + u.split("/", 3)[3])       # root-relative
+            elif variant == 3:
+                links.append(u.replace(host, host.upper()))  # case variant → same canonical
+            else:
+                links.append(u)
+            if r.random() < 0.15:
+                links.append(u)                               # duplicate
+        # pagination bar: every listing page links every other page (keeps
+        # the BFS shallow — all listings discovered by wave 1)
+        for lj in range(n_listings):
+            if lj != li:
+                links.append(_listing_url(host, lj))
+        if li == 0 and n_listings > 1:
+            links.append(f"https://{host}/search/apa?page=2#top")
+        hosts = [f"{c}.craigslist.org" for c in geo.city_list(p.n_hosts)]
+        links.append(f"https://{hosts[int(r.integers(0, len(hosts)))]}/search/apa")
+        # junk links (filtered by M1/M3/relevance)
+        links += [
+            "javascript:void(0)",
+            f"https://{host}/about/help",
+            f"https://{host}/img/banner.jpg",
+            "https://www.example-apartments.com/listings",
+            "https://unknowncity.craigslist.org/search/apa",
+            f"https://{host}/apa/" + "x" * 2100 + ".html",
+        ]
+        return dict(
+            url=url, host=host, city=city, kind="listing", page_id=0, slug="",
+            title=f"apartments in {city}", address="", price=0, latitude=0.0,
+            longitude=0.0, beds=0, baths=0.0, sqft=0, posted_days=0, caption="",
+            img_urls=[], img_ids=[], out_links=links, **_failure_flags(p, url),
+        )
+    return None
+
+
+def robots_for_host(host: str, p: WebParams) -> dict:
+    r = _rng("robots", p.seed, host)
+    roll = r.random()
+    fetch_status = 200 if roll < 0.8 else (404 if roll < 0.93 else 500)
+    disallow = ["/apa/d/no-"] if r.random() < 0.5 else []
+    delay = float(r.choice([0.0, 1.0, 2.0, 5.0]))
+    return dict(host=host, disallow_prefixes=disallow,
+                crawl_delay_s=(delay if delay > 0 else None), fetch_status=fetch_status)
+
+
+def all_urls(p: WebParams):
+    hidx = _host_index(p)
+    for host, hi in hidx.items():
+        for li in range(_n_listings(p, hi)):
+            yield _listing_url(host, li)
+        for j in range(_n_props(p, hi)):
+            yield _prop_url(p, host, hi, j)
+
+
+def build_web_control(p: WebParams) -> dict[str, pa.Table]:
+    """Only the control tables (robots, seeds) — what ``run_crawl`` actually
+    consumes. The page/image content is the functional web, derived on
+    demand inside workers; bench setup never materializes it."""
+    hidx = _host_index(p)
+    robots = pa.Table.from_pylist([robots_for_host(h, p) for h in hidx])
+    seed_urls = [f"https://{h}/search/apa" for h in hidx]
+    order = _rng("seeds", p.seed).permutation(len(seed_urls))
     seeds = pa.Table.from_pylist(
         [{"url": seed_urls[i], "seq": int(s)} for s, i in enumerate(order)]
     )
+    return {"robots": robots, "seeds": seeds}
 
+
+def build_web(p: WebParams) -> dict[str, pa.Table]:
+    """Materialize the functional web into the fixture tables ``pages``
+    (F1), ``robots`` (F2), ``seeds`` (F3), ``images`` (F4 metadata)."""
+    hidx = _host_index(p)
+    rows = [page_meta(u, p, hidx) for u in all_urls(p)]
+    pages = pa.Table.from_pylist(rows)
+    robots = pa.Table.from_pylist([robots_for_host(h, p) for h in hidx])
+    seed_urls = [f"https://{h}/search/apa" for h in hidx]
+    order = _rng("seeds", p.seed).permutation(len(seed_urls))
+    seeds = pa.Table.from_pylist(
+        [{"url": seed_urls[i], "seq": int(s)} for s, i in enumerate(order)]
+    )
+    img_rows = []
+    for r in rows:
+        for u in r["img_urls"]:
+            img_rows.append(image_meta(u, p))
     images = pa.Table.from_pylist(img_rows) if img_rows else pa.Table.from_pylist(
         [], schema=pa.schema([("image_id", pa.string()), ("img_url", pa.string()),
                               ("w", pa.int32()), ("h", pa.int32()), ("fmt", pa.string())])
     )
     return {"pages": pages, "robots": robots, "seeds": seeds, "images": images}
-
-
-def word2(rng) -> str:
-    return _FILLER_WORDS[int(rng.integers(0, len(_FILLER_WORDS)))]
 
 
 # ---------------------------------------------------------------------------
@@ -301,13 +341,15 @@ def render_html(meta: dict) -> str:
 
 
 def image_array(image_id: str, w: int, h: int, seed: int = 42) -> np.ndarray:
-    """Deterministic RGB pixels for an image id (seeded, structured)."""
+    """Deterministic RGB pixels for an image id: per-image seeded
+    low-frequency structure (random 4×4 coarse pattern upsampled) + noise,
+    so distinct images have well-separated phashes while near-identical
+    re-encodes stay close."""
     sub = np.random.default_rng((int(image_id, 16) ^ seed) & 0x7FFFFFFFFFFFFFFF)
-    base = sub.integers(0, 256, (h, w, 3), dtype=np.uint8)
-    # add smooth structure so phash is meaningful
-    yy, xx = np.mgrid[0:h, 0:w]
-    grad = ((xx * 255 // max(1, w - 1)) + (yy * 128 // max(1, h - 1))) % 256
-    return ((base.astype(np.uint16) + grad[:, :, None]) // 2).astype(np.uint8)
+    coarse = sub.integers(0, 256, (4, 4, 3), dtype=np.uint8)
+    up = np.repeat(np.repeat(coarse, -(-h // 4), axis=0), -(-w // 4), axis=1)[:h, :w]
+    noise = sub.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    return ((up.astype(np.uint16) * 3 + noise) // 4).astype(np.uint8)
 
 
 def image_bytes(image_id: str, w: int, h: int, fmt: str, seed: int = 42) -> bytes:

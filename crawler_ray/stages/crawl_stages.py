@@ -17,7 +17,7 @@ import ray
 
 from crawler_ray import semantics
 from crawler_ray.hashing import xxh64_array
-from crawler_ray.sources.synthetic_web import image_bytes, render_html
+from crawler_ray.sources.synthetic_web import image_bytes, image_meta, page_meta, render_html
 from crawler_ray.imaging import decode_png, phash64
 from crawler_ray.urlnorm import host_series, normalize_series, valid_fetch_mask, valid_link_mask
 
@@ -142,7 +142,13 @@ def dedup_block(batch: pd.DataFrame) -> pd.DataFrame:
 
 def make_politeness_block(delay_by_host: dict, min_interval: float):
     """Vectorized politeness for a host-partitioned block: per-host rank in
-    wave order × per-host delay (groupby-cumcount, no per-group Python)."""
+    wave order × per-host delay (groupby-cumcount, no per-group Python).
+
+    Skew note: hot hosts make host-keyed blocks uneven, but this stage is
+    O(rows) cheap; the heavy fetch stage downstream is stateless w.r.t.
+    host (the functional web needs no per-host broadcast), so the driver
+    breaks skew with an even row rebalance before it.
+    """
 
     def politeness_block(batch: pd.DataFrame) -> pd.DataFrame:
         if len(batch) == 0:
@@ -150,9 +156,9 @@ def make_politeness_block(delay_by_host: dict, min_interval: float):
             batch["scheduled_at"] = pd.Series([], dtype=np.float64)
             return batch
         b = batch.sort_values(["host", "priority", "seq", "url"], kind="mergesort").copy()
-        rank = b.groupby("host").cumcount().to_numpy(np.float64)
+        rank = b.groupby("host").cumcount().to_numpy(np.int64)
         delay = b["host"].map(delay_by_host).fillna(min_interval).to_numpy(np.float64)
-        b["scheduled_at"] = rank * delay
+        b["scheduled_at"] = rank.astype(np.float64) * delay
         return b
 
     return politeness_block
@@ -196,13 +202,18 @@ class SeenAdd(SeenFilter):
 
 
 class Fetcher:
-    """Fetch actor pool (T2 analogue). The 'network' is the broadcast
-    synthetic-web dict; setup once per actor in __init__, per-batch lookups
-    + HTML rendering in __call__. Applies the html_downloader retry policy
+    """Fetch stage (T2 analogue). The 'network' is the FUNCTIONAL synthetic
+    web: a page's metadata derives from (seed, url) on demand
+    (synthetic_web.page_meta), so workers need only the tiny WebParams —
+    nothing web-sized is broadcast, matching a real crawler whose state is
+    the network itself. Applies the html_downloader retry policy
     (is_valid_url gate, blocked/short/status retries → DLQ)."""
 
-    def __init__(self, web_ref, max_retries: int = semantics.MAX_RETRIES):
-        self.pages = ray.get(web_ref)
+    def __init__(self, params, max_retries: int = semantics.MAX_RETRIES):
+        from crawler_ray.sources.synthetic_web import _host_index
+
+        self.params = params
+        self.hidx = _host_index(params)
         self.max_retries = max_retries
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
@@ -217,7 +228,7 @@ class Fetcher:
             if not fetchable[i]:
                 step[i] = "invalid_url"
                 continue
-            meta = self.pages.get(url)
+            meta = page_meta(url, self.params, self.hidx)
             success, fstep, attempts = semantics.fetch_outcome(meta, self.max_retries)
             if not success:
                 step[i] = fstep
@@ -316,12 +327,12 @@ class FetchProcess:
     never transit the driver and the whole wave is one streaming execution.
     """
 
-    def __init__(self, web_ref, images_ref, out_root: str, wave: int,
+    def __init__(self, params, out_root: str, wave: int,
                  seed: int, max_retries: int):
         from crawler_ray.sources.lance_layout import FragmentWriter
 
-        self.fetcher = Fetcher(web_ref, max_retries)
-        self.images = ImageStage(images_ref, seed)
+        self.fetcher = Fetcher(params, max_retries)
+        self.images = ImageStage(params, seed)
         self.writers = {
             "dlq": FragmentWriter(out_root, "dlq", f"w{wave}"),
             "pages": FragmentWriter(out_root, "pages", f"w{wave}"),
@@ -361,10 +372,12 @@ class FetchProcess:
 class ImageStage:
     """Image download+decode+verify actor pool (S9/M10 analogue): explode a
     page's image URLs → deterministic bytes → decode → (w, h, fmt, phash)
-    store rows. Heavy binary output ⇒ callers use a small batch_size."""
+    store rows. Image metadata is broadcast per host (same lazy-shard
+    pattern as Fetcher). Heavy binary output ⇒ callers use a small
+    batch_size."""
 
-    def __init__(self, images_ref, seed: int = 42):
-        self.images = ray.get(images_ref)
+    def __init__(self, params, seed: int = 42):
+        self.params = params
         self.seed = seed
 
     def __call__(self, batch: pd.DataFrame) -> pa.Table:
@@ -372,10 +385,8 @@ class ImageStage:
             [], [], [], [], [], [], [], [], [], [], []
         for row in batch.itertuples(index=False):
             for img_url in row.img_urls:
-                iid = hashlib.sha256(img_url.encode()).hexdigest()[:16]
-                im = self.images.get(iid)
-                if im is None:
-                    continue
+                im = image_meta(img_url, self.params)
+                iid = im["image_id"]
                 data = image_bytes(iid, im["w"], im["h"], im["fmt"], self.seed)
                 ids.append(iid)
                 blobs.append(data)

@@ -1,0 +1,80 @@
+"""Near-dup operators find planted duplicates and reject non-dups."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from crawler_ray.functions import dedup_ops
+
+BASE = ("the quick brown fox jumps over the lazy dog while the sun sets slowly "
+        "behind the ancient mountains casting long purple shadows across the valley")
+NEAR = BASE.replace("purple", "orange")  # one-word perturbation → high Jaccard
+FAR = ("completely different content about machine learning pipelines and "
+       "distributed data processing engines running on compute clusters")
+
+
+@pytest.fixture
+def docs():
+    return pd.DataFrame({"doc_id": np.arange(4, dtype=np.int64),
+                         "text": [BASE, NEAR, FAR, BASE + " extra tail words here"]})
+
+
+def test_shingle_jaccard():
+    a = dedup_ops.shingle_hashes(BASE)
+    b = dedup_ops.shingle_hashes(NEAR)
+    c = dedup_ops.shingle_hashes(FAR)
+    assert dedup_ops.jaccard(a, a) == 1.0
+    assert dedup_ops.jaccard(a, b) > 0.7
+    assert dedup_ops.jaccard(a, c) < 0.1
+
+
+def test_minhash_similarity_estimate():
+    seeds = dedup_ops._perm_seeds(128)
+    sa = dedup_ops.minhash_signature(dedup_ops.shingle_hashes(BASE), seeds)
+    sb = dedup_ops.minhash_signature(dedup_ops.shingle_hashes(NEAR), seeds)
+    sc = dedup_ops.minhash_signature(dedup_ops.shingle_hashes(FAR), seeds)
+    assert (sa == sb).mean() > 0.6       # near-dup agrees on most minhashes
+    assert (sa == sc).mean() < 0.2
+
+
+def test_minhash_lsh_finds_planted_pair(docs):
+    bands = dedup_ops.minhash_bands(docs)
+    cand = []
+    for _, g in bands.groupby(["band", "band_hash"]):
+        cand.append(dedup_ops.bucket_pairs(g))
+    pairs = pd.concat(cand).drop_duplicates(["doc_a", "doc_b"])
+    assert (0, 1) in set(zip(pairs["doc_a"], pairs["doc_b"]))  # planted near-dup
+
+
+def test_simhash_hamming(docs):
+    sh = dedup_ops.simhash64(docs)
+    h = dict(zip(sh["doc_id"], sh["simhash"]))
+    from crawler_ray.imaging import hamming64
+
+    assert hamming64(h[0], h[1]) <= 6      # near-dup close
+    assert hamming64(h[0], h[2]) > 10      # unrelated far
+
+
+def test_simhash_banding_pigeonhole():
+    # two hashes at Hamming 3 must share ≥1 of 4 16-bit bands
+    a = np.int64(0x1234_5678_9ABC_DEF0)
+    b = int(a) ^ 0b1011  # 3 bits flipped in low band
+    df = pd.DataFrame({"doc_id": np.array([1, 2], np.int64), "simhash": np.array([a, b], np.int64)})
+    bands = dedup_ops.simhash_bands(df)
+    shared = bands.groupby(["band", "band_hash"])["doc_id"].nunique()
+    assert (shared >= 2).any()
+    pairs = pd.concat([
+        dedup_ops.simhash_bucket_pairs(g) for _, g in bands.groupby(["band", "band_hash"])
+    ])
+    assert len(pairs) >= 1 and pairs.iloc[0]["hamming"] == 3
+
+
+def test_verifier_blocks_false_positives(ray_session):
+    import ray
+
+    texts_ref = ray.put({0: BASE, 1: NEAR, 2: FAR})
+    v = dedup_ops.PairVerifier(texts_ref, threshold=0.5)
+    batch = pd.DataFrame({"doc_a": np.array([0, 0], np.int64), "doc_b": np.array([1, 2], np.int64)})
+    out = v(batch)
+    assert list(zip(out["doc_a"], out["doc_b"])) == [(0, 1)]
+    assert (out["jaccard"] >= 0.5).all()
