@@ -24,11 +24,24 @@ import pandas as pd
 from crawler_ray.hashing import xxh64, xxh64_array
 
 def shingle_hashes(text: str, k: int = 5) -> np.ndarray:
-    """Sorted unique xxh64 hashes of the k-char shingles of ``text``."""
-    t = text.lower()
-    if len(t) < k:
-        return np.unique(xxh64_array([t])) if t else np.zeros(0, np.uint64)
-    return np.unique(xxh64_array([t[i : i + k] for i in range(len(t) - k + 1)]))
+    """Sorted unique 64-bit hashes of the k-byte shingles of ``text``,
+    computed fully vectorized: sliding windows over the UTF-8 byte array,
+    k FNV-style fold steps, then an avalanche mix (no per-shingle Python)."""
+    b = np.frombuffer(text.lower().encode("utf-8"), np.uint8)
+    if len(b) == 0:
+        return np.zeros(0, np.uint64)
+    if len(b) < k:
+        win = b[None, :]
+    else:
+        win = np.lib.stride_tricks.sliding_window_view(b, k)
+    h = np.full(len(win), 0xCBF29CE484222325, np.uint64)
+    prime = np.uint64(0x100000001B3)
+    for i in range(win.shape[1]):
+        h = (h ^ win[:, i].astype(np.uint64)) * prime
+    h ^= h >> np.uint64(33)
+    h *= np.uint64(0xC2B2AE3D27D4EB4F)
+    h ^= h >> np.uint64(29)
+    return np.unique(h)
 
 
 def _perm_seeds(num_perm: int, seed: int = 7) -> np.ndarray:
@@ -68,6 +81,20 @@ def minhash_bands(batch: pd.DataFrame, num_perm: int = 32, bands: int = 8,
          "band_hash": np.array(rows_hash, np.uint64),
          "doc_id": np.array(rows_doc, np.int64)}
     )
+
+
+def collide_pairs(bands: pd.DataFrame) -> pd.DataFrame:
+    """(band, band_hash, doc_id) rows → unique candidate pairs, touching only
+    colliding buckets: a vectorized duplicated() mask removes the (vast)
+    singleton majority first, then pairs expand per surviving bucket."""
+    dup = bands.duplicated(["band", "band_hash"], keep=False)
+    hot = bands.loc[dup]
+    if len(hot) == 0:
+        return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
+                             "doc_b": pd.Series([], dtype=np.int64)})
+    pieces = [bucket_pairs(g) for _, g in hot.groupby(["band", "band_hash"])]
+    out = pd.concat(pieces, ignore_index=True)
+    return out.drop_duplicates(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
 def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:

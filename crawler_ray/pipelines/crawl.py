@@ -170,10 +170,13 @@ def run_crawl(
         candidates_tbl = None
         parts = max(1, min(num_partitions, est_rows // 1500))
         ds = ds.map_batches(prep, batch_format="pandas")
-        # exact first-wins dedup: co-locate each url_hash, then one
-        # vectorized sort+drop_duplicates per block (the dedup shuffle)
+        # ONE host-keyed shuffle serves both wide steps of the wave:
+        # duplicates of a URL always share its host, so host partitioning
+        # co-locates every url_hash (exact first-wins dedup per block) AND
+        # gives politeness its per-host grouping downstream — no second
+        # exchange needed.
         if parts > 1:
-            ds = ds.repartition(parts, keys=["url_hash"])
+            ds = ds.repartition(parts, keys=["host"])
         else:
             ds = ds.repartition(1)
         ds = ds.map_batches(dedup_block, batch_format="pandas")
@@ -224,10 +227,11 @@ def run_crawl(
         _t2 = _time.time()
         fp = FetchProcess(params=params, out_root=out_root,
                           wave=wave, seed=cfg.seed, max_retries=cfg.max_retries)
+        # pre is already host-partitioned; row-wise stages preserve block
+        # membership, so politeness needs no further exchange
         chain = pre.map_batches(assign_priority, batch_format="pandas").map_batches(
             seen_add, batch_format="pandas"
         ).map_batches(lambda b, w=wave: b.assign(wave=np.int32(w)), batch_format="pandas")
-        chain = chain.repartition(parts, keys=["host"]) if parts > 1 else chain.repartition(1)
         chain = chain.map_batches(politeness, batch_format="pandas")
         chain = chain.map_batches(_SeenOrderWriter(out_root, wave), batch_format="pandas")
         # break hot-host skew before the heavy stage: fetch is stateless
@@ -235,11 +239,13 @@ def run_crawl(
         # blocks ≈ 2×batch keeps task count moderate (scheduling overhead)
         # while giving the pool enough tasks to balance
         fetch_rows = fetch_batch_size * 2
-        meta = (
-            chain.repartition(target_num_rows_per_block=fetch_rows)
-            .map_batches(fp, batch_format="pandas", batch_size=fetch_batch_size)
-            .take_all()
+        meta_ds = chain.repartition(target_num_rows_per_block=fetch_rows).map_batches(
+            fp, batch_format="pandas", batch_size=fetch_batch_size
         )
+        if debug and est_rows > 50000:
+            meta_ds = meta_ds.materialize()
+            print(meta_ds.stats(), flush=True)
+        meta = meta_ds.take_all()
         _t3 = _time.time()
         seen_frags = ll.glob_fragments(out_root, "seen", f"w{wave}")
         order_frags = ll.glob_fragments(out_root, "order", f"w{wave}")

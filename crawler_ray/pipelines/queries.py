@@ -29,6 +29,23 @@ from crawler_ray.functions import ann, dedup_ops, textops
 from crawler_ray.hashing import xxh64_array
 
 
+
+def _fold(ds, keys: list[str], aggs: dict):
+    """Final fold of combiner partials ON THE DRIVER.
+
+    Every caller pre-aggregates inside ``map_batches`` (the combiner), so the
+    partial set is O(batches × groups) — bounded small by construction. Ray's
+    distributed groupby pays tens of seconds of fixed shuffle cost regardless
+    of size (measured), so the final O(groups) merge is cheaper as a single
+    pandas fold. At cluster scale with unbounded group counts, swap this for
+    ``ds.groupby(keys).aggregate(...)`` — the combiner stays identical.
+    """
+    df = ds.to_pandas()
+    if len(df) == 0:
+        return df
+    return df.groupby(keys, as_index=False).agg(**aggs)
+
+
 def _read(sf_dir: str, table: str, columns: list[str] | None = None, **kw):
     return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns, **kw)
 
@@ -52,16 +69,11 @@ def q1_pricing_summary(sf_dir: str):
             count_order=("l_quantity", "size"))
         return g
 
-    out = (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(Sum("sum_qty", alias_name="sum_qty"),
-                   Sum("sum_base_price", alias_name="sum_base_price"),
-                   Sum("sum_disc_price", alias_name="sum_disc_price"),
-                   Sum("sum_disc", alias_name="sum_disc"),
-                   Sum("count_order", alias_name="count_order"))
-        .to_pandas()
-    )
+    out = _fold(ds.map_batches(partial, batch_format="pandas"),
+                ["l_returnflag", "l_linestatus"],
+                dict(sum_qty=("sum_qty", "sum"), sum_base_price=("sum_base_price", "sum"),
+                     sum_disc_price=("sum_disc_price", "sum"), sum_disc=("sum_disc", "sum"),
+                     count_order=("count_order", "sum")))
     out["avg_qty"] = (out["sum_qty"] / out["count_order"]).round(2)
     out["avg_price"] = (out["sum_base_price"] / out["count_order"]).round(2)
     out["avg_disc"] = (out["sum_disc"] / out["count_order"]).round(4)
@@ -85,28 +97,23 @@ def heatmap_grid(sf_dir: str):
                           "pbin": np.floor(b["l_extendedprice"] / 1000.0).astype(np.int64)})
         return g.groupby(["qbin", "pbin"], as_index=False).size().rename(columns={"size": "cnt"})
 
-    out = (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby(["qbin", "pbin"]).aggregate(Sum("cnt", alias_name="cnt"))
-        .sort(["cnt", "qbin", "pbin"], descending=[True, False, False])
-        .limit(10000).to_pandas()
-    )
+    out = _fold(ds.map_batches(partial, batch_format="pandas"),
+                ["qbin", "pbin"], dict(cnt=("cnt", "sum")))
     out["cnt"] = out["cnt"].astype(np.int64)
-    return out
+    out = out.sort_values(["cnt", "qbin", "pbin"], ascending=[False, True, True], kind="mergesort")
+    return out.head(10000).reset_index(drop=True)
 
 
 def domain_top10(sf_dir: str):
     """A2 domain distribution: count per source, top-10 (deterministic ties)."""
     ds = _read(sf_dir, "documents", ["source"])
-    out = (
+    out = _fold(
         ds.map_batches(lambda b: b.groupby("source", as_index=False).size().rename(columns={"size": "cnt"}),
-                       batch_format="pandas")
-        .groupby("source").aggregate(Sum("cnt", alias_name="cnt"))
-        .sort(["cnt", "source"], descending=[True, False])
-        .limit(10).to_pandas()
-    )
+                       batch_format="pandas"),
+        ["source"], dict(cnt=("cnt", "sum")))
     out["cnt"] = out["cnt"].astype(np.int64)
-    return out
+    out = out.sort_values(["cnt", "source"], ascending=[False, True], kind="mergesort")
+    return out.head(10).reset_index(drop=True)
 
 
 def crawl_stats(sf_dir: str):
@@ -145,8 +152,8 @@ def nearby_radius(sf_dir: str):
         d = np.sqrt((b["value"] - 50.0) ** 2 + (b["user_id"] % 10) ** 2)
         return b.loc[d.to_numpy() <= 6.0].groupby("event_type", as_index=False).size().rename(columns={"size": "cnt"})
 
-    out = (ds.map_batches(partial, batch_format="pandas")
-           .groupby("event_type").aggregate(Sum("cnt", alias_name="cnt")).to_pandas())
+    out = _fold(ds.map_batches(partial, batch_format="pandas"),
+                ["event_type"], dict(cnt=("cnt", "sum")))
     out["cnt"] = out["cnt"].astype(np.int64)
     return out.sort_values("event_type").reset_index(drop=True)
 
@@ -183,10 +190,8 @@ def region_rollup(sf_dir: str):
         return b.groupby("r_name", as_index=False).agg(n_customers=("c_acctbal", "size"),
                                                        total_acctbal=("c_acctbal", "sum"))
 
-    out = (ds.map_batches(partial, batch_format="pandas")
-           .groupby("r_name").aggregate(Sum("n_customers", alias_name="n_customers"),
-                                        Sum("total_acctbal", alias_name="total_acctbal"))
-           .to_pandas())
+    out = _fold(ds.map_batches(partial, batch_format="pandas"), ["r_name"],
+                dict(n_customers=("n_customers", "sum"), total_acctbal=("total_acctbal", "sum")))
     out["n_customers"] = out["n_customers"].astype(np.int64)
     out["total_acctbal"] = out["total_acctbal"].round(2)
     return out.sort_values("r_name").reset_index(drop=True)
@@ -209,11 +214,9 @@ def orders_join(sf_dir: str):
             return b.groupby("c_mktsegment", as_index=False).agg(
                 n_orders=("o_totalprice", "size"), total_price=("o_totalprice", "sum"))
 
-    out = (ds.map_batches(JoinAgg, fn_constructor_kwargs=dict(ref=seg_ref),
-                          batch_format="pandas", concurrency=2)
-           .groupby("c_mktsegment").aggregate(Sum("n_orders", alias_name="n_orders"),
-                                              Sum("total_price", alias_name="total_price"))
-           .to_pandas())
+    out = _fold(ds.map_batches(JoinAgg, fn_constructor_kwargs=dict(ref=seg_ref),
+                               batch_format="pandas", concurrency=2),
+                ["c_mktsegment"], dict(n_orders=("n_orders", "sum"), total_price=("total_price", "sum")))
     out["n_orders"] = out["n_orders"].astype(np.int64)
     out["total_price"] = out["total_price"].round(2)
     return out.sort_values("c_mktsegment").reset_index(drop=True)
@@ -235,11 +238,67 @@ def pagination(sf_dir: str):
 def priority_distribution(sf_dir: str):
     """K1 analogue: strict priority-class counts, ordered by class."""
     ds = _read(sf_dir, "orders", ["o_orderpriority"])
-    out = (ds.map_batches(lambda b: b.groupby("o_orderpriority", as_index=False).size().rename(columns={"size": "cnt"}),
-                          batch_format="pandas")
-           .groupby("o_orderpriority").aggregate(Sum("cnt", alias_name="cnt")).to_pandas())
+    out = _fold(ds.map_batches(lambda b: b.groupby("o_orderpriority", as_index=False).size().rename(columns={"size": "cnt"}),
+                               batch_format="pandas"),
+                ["o_orderpriority"], dict(cnt=("cnt", "sum")))
     out["cnt"] = out["cnt"].astype(np.int64)
     return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+def orders_lineitem_join(sf_dir: str):
+    """Large⋈large distributed hash join (Dataset.join, hash-partitioned on
+    the key): revenue per order priority. The join shuffles both sides once;
+    the rollup pre-aggregates before its tiny groupby."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+
+    def rev(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"l_orderkey": b["l_orderkey"],
+                             "revenue": b["l_extendedprice"] * (1 - b["l_discount"])})
+
+    joined = li.map_batches(rev, batch_format="pandas").join(
+        orders, join_type="inner", num_partitions=8,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("o_orderpriority", as_index=False).agg(
+            n_items=("revenue", "size"), total_revenue=("revenue", "sum"))
+
+    out = _fold(joined.map_batches(partial, batch_format="pandas"), ["o_orderpriority"],
+                dict(n_items=("n_items", "sum"), total_revenue=("total_revenue", "sum")))
+    out["n_items"] = out["n_items"].astype(np.int64)
+    out["total_revenue"] = out["total_revenue"].round(4)
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+def union_streams(sf_dir: str):
+    """D4 stream union: two source datasets unioned then rolled up."""
+    open_o = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus", "o_totalprice"]).filter(
+        lambda r: r["o_orderstatus"] == "O")
+    done_o = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus", "o_totalprice"]).filter(
+        lambda r: r["o_orderstatus"] == "F")
+    u = open_o.union(done_o)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("o_orderstatus", as_index=False).agg(
+            n=("o_orderkey", "size"), total=("o_totalprice", "sum"))
+
+    out = _fold(u.map_batches(partial, batch_format="pandas"), ["o_orderstatus"],
+                dict(n=("n", "sum"), total=("total", "sum")))
+    out["n"] = out["n"].astype(np.int64)
+    out["total"] = out["total"].round(2)
+    return out.sort_values("o_orderstatus").reset_index(drop=True)
+
+
+def seeded_sample(sf_dir: str):
+    """[rows-only] K5 deterministic seeded sampling/shuffle: same seed ⇒
+    same sample (reproducible crawl-order prerequisite)."""
+    ds = _read(sf_dir, "orders", ["o_orderkey"])
+    a = sorted(ds.random_sample(0.1, seed=42).to_pandas()["o_orderkey"].tolist())
+    b = sorted(ds.random_sample(0.1, seed=42).to_pandas()["o_orderkey"].tolist())
+    assert a == b, "seeded sample must be reproducible"
+    return pd.DataFrame({"o_orderkey": np.array(a, np.int64)})
 
 
 # ---------------------------------------------------------------------------
@@ -254,10 +313,8 @@ def dedup_first(sf_dir: str):
         return b.groupby("user_id", as_index=False).agg(first_event_id=("event_id", "min"),
                                                         n_events=("event_id", "size"))
 
-    out = (ds.map_batches(partial, batch_format="pandas")
-           .groupby("user_id").aggregate(Min("first_event_id", alias_name="first_event_id"),
-                                         Sum("n_events", alias_name="n_events"))
-           .to_pandas())
+    out = _fold(ds.map_batches(partial, batch_format="pandas"), ["user_id"],
+                dict(first_event_id=("first_event_id", "min"), n_events=("n_events", "sum")))
     for c in out.columns:
         out[c] = out[c].astype(np.int64)
     return out.sort_values("user_id").reset_index(drop=True)
@@ -276,11 +333,9 @@ def exact_dedup_docs(sf_dir: str):
         return b.groupby("text_hash", as_index=False).agg(rep_doc_id=("doc_id", "min"),
                                                           dup_count=("doc_id", "size"))
 
-    out = (ds.map_batches(hash_stage, batch_format="pandas")
-           .map_batches(partial, batch_format="pandas")
-           .groupby("text_hash").aggregate(Min("rep_doc_id", alias_name="rep_doc_id"),
-                                           Sum("dup_count", alias_name="dup_count"))
-           .to_pandas())
+    out = _fold(ds.map_batches(hash_stage, batch_format="pandas")
+                .map_batches(partial, batch_format="pandas"),
+                ["text_hash"], dict(rep_doc_id=("rep_doc_id", "min"), dup_count=("dup_count", "sum")))
     out = out[["rep_doc_id", "dup_count"]].astype(np.int64)
     return out.sort_values("rep_doc_id").reset_index(drop=True)
 
@@ -295,10 +350,8 @@ def events_window(sf_dir: str):
             n_events=("value", "size"), sum_value=("value", "sum"))
         return g
 
-    out = (ds.map_batches(partial, batch_format="pandas")
-           .groupby(["user_id", "win"]).aggregate(Sum("n_events", alias_name="n_events"),
-                                                  Sum("sum_value", alias_name="sum_value"))
-           .to_pandas())
+    out = _fold(ds.map_batches(partial, batch_format="pandas"), ["user_id", "win"],
+                dict(n_events=("n_events", "sum"), sum_value=("sum_value", "sum")))
     out["n_events"] = out["n_events"].astype(np.int64)
     out["sum_value"] = out["sum_value"].round(2)
     out["user_id"] = out["user_id"].astype(np.int64)
@@ -341,10 +394,8 @@ def token_stats(sf_dir: str):
         return b.assign(t=toks).groupby("lang", as_index=False).agg(
             n_docs=("t", "size"), total_tokens=("t", "sum"))
 
-    out = (ds.map_batches(partial, batch_format="pandas")
-           .groupby("lang").aggregate(Sum("n_docs", alias_name="n_docs"),
-                                      Sum("total_tokens", alias_name="total_tokens"))
-           .to_pandas())
+    out = _fold(ds.map_batches(partial, batch_format="pandas"), ["lang"],
+                dict(n_docs=("n_docs", "sum"), total_tokens=("total_tokens", "sum")))
     out["n_docs"] = out["n_docs"].astype(np.int64)
     out["total_tokens"] = out["total_tokens"].astype(np.int64)
     out["avg_tokens"] = (out["total_tokens"] / out["n_docs"]).round(2)
@@ -360,11 +411,8 @@ def text_quality(sf_dir: str):
         return b.assign(pr=pr).groupby("lang", as_index=False).agg(
             n_docs=("pr", "size"), sum_chars=("n_chars", "sum"), sum_pr=("pr", "sum"))
 
-    out = (ds.map_batches(partial, batch_format="pandas")
-           .groupby("lang").aggregate(Sum("n_docs", alias_name="n_docs"),
-                                      Sum("sum_chars", alias_name="sum_chars"),
-                                      Sum("sum_pr", alias_name="sum_pr"))
-           .to_pandas())
+    out = _fold(ds.map_batches(partial, batch_format="pandas"), ["lang"],
+                dict(n_docs=("n_docs", "sum"), sum_chars=("sum_chars", "sum"), sum_pr=("sum_pr", "sum")))
     out["avg_chars"] = (out["sum_chars"] / out["n_docs"]).round(2)
     out["avg_punct_ratio"] = (out["sum_pr"] / out["n_docs"]).round(4)
     out = out[["lang", "n_docs", "avg_chars", "avg_punct_ratio"]]
@@ -375,11 +423,10 @@ def text_quality(sf_dir: str):
 def lang_id_confusion(sf_dir: str):
     """[rows-only] Heuristic language ID vs labeled lang: confusion counts."""
     ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
-    out = (ds.map_batches(textops.lang_id, batch_format="pandas")
-           .map_batches(lambda b: b.groupby(["lang", "lang_pred"], as_index=False).size().rename(columns={"size": "cnt"}),
-                        batch_format="pandas")
-           .groupby(["lang", "lang_pred"]).aggregate(Sum("cnt", alias_name="cnt"))
-           .to_pandas())
+    out = _fold(ds.map_batches(textops.lang_id, batch_format="pandas")
+                .map_batches(lambda b: b.groupby(["lang", "lang_pred"], as_index=False).size().rename(columns={"size": "cnt"}),
+                             batch_format="pandas"),
+                ["lang", "lang_pred"], dict(cnt=("cnt", "sum")))
     out["cnt"] = out["cnt"].astype(np.int64)
     return out.sort_values(["lang", "lang_pred"]).reset_index(drop=True)
 
@@ -389,12 +436,10 @@ def doc_fingerprints(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
     fp = ds.map_batches(lambda b: textops.fingerprint(b).assign(source=b["source"].to_numpy()),
                         batch_format="pandas")
-    out = (fp.map_batches(lambda b: b.groupby("source", as_index=False).agg(n_docs=("fingerprint", "size"),
-                                                                            n_distinct=("fingerprint", "nunique")),
-                          batch_format="pandas")
-           .groupby("source").aggregate(Sum("n_docs", alias_name="n_docs"),
-                                        Sum("n_distinct", alias_name="n_distinct"))
-           .to_pandas())
+    out = _fold(fp.map_batches(lambda b: b.groupby("source", as_index=False).agg(n_docs=("fingerprint", "size"),
+                                                                                 n_distinct=("fingerprint", "nunique")),
+                               batch_format="pandas"),
+                ["source"], dict(n_docs=("n_docs", "sum"), n_distinct=("n_distinct", "sum")))
     return out.sort_values("source").reset_index(drop=True)
 
 
@@ -410,13 +455,14 @@ def minhash_near_dups(sf_dir: str):
     """
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     bands = ds.map_batches(dedup_ops.minhash_bands, batch_format="pandas")
-    cand = bands.groupby(["band", "band_hash"]).map_groups(dedup_ops.bucket_pairs, batch_format="pandas")
-    cand_pd = cand.to_pandas()
+    # bucket join: almost all band buckets are singletons — drop them with a
+    # vectorized duplicated() mask BEFORE pair expansion (per-group Python
+    # over millions of singleton buckets is the anti-pattern)
+    cand_pd = dedup_ops.collide_pairs(bands.to_pandas())
     if len(cand_pd) == 0:
         return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
                              "doc_b": pd.Series([], dtype=np.int64),
                              "jaccard": pd.Series([], dtype=np.float64)})
-    cand_pd = cand_pd.drop_duplicates(["doc_a", "doc_b"])
     texts = dict(zip(*[pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])[c].to_pylist()
                        for c in ("doc_id", "text")]))
     texts_ref = ray.put(texts)
@@ -431,9 +477,11 @@ def simhash_near_dups(sf_dir: str):
     """[rows-only] SimHash near-dup pairs (Hamming ≤ 3) via 16-bit banding."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     sh = ds.map_batches(dedup_ops.simhash64, batch_format="pandas")
-    bands = sh.map_batches(dedup_ops.simhash_bands, batch_format="pandas")
-    pairs = bands.groupby(["band", "band_hash"]).map_groups(dedup_ops.simhash_bucket_pairs, batch_format="pandas")
-    out = pairs.to_pandas()
+    bands = sh.map_batches(dedup_ops.simhash_bands, batch_format="pandas").to_pandas()
+    dup = bands.duplicated(["band", "band_hash"], keep=False)
+    pieces = [dedup_ops.simhash_bucket_pairs(g)
+              for _, g in bands.loc[dup].groupby(["band", "band_hash"])]
+    out = pd.concat(pieces, ignore_index=True) if pieces else pd.DataFrame()
     if len(out) == 0:
         return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
                              "doc_b": pd.Series([], dtype=np.int64),
@@ -481,9 +529,8 @@ def embedding_norm_stats(sf_dir: str):
         return b.assign(norm=norms).groupby("label", as_index=False).agg(
             n=("norm", "size"), sum_norm=("norm", "sum"))
 
-    out = (ds.map_batches(partial, batch_format="pandas")
-           .groupby("label").aggregate(Sum("n", alias_name="n"), Sum("sum_norm", alias_name="sum_norm"))
-           .to_pandas())
+    out = _fold(ds.map_batches(partial, batch_format="pandas"), ["label"],
+                dict(n=("n", "sum"), sum_norm=("sum_norm", "sum")))
     out["avg_norm"] = (out["sum_norm"] / out["n"]).round(4)
     out = out[["label", "n", "avg_norm"]]
     out["n"] = out["n"].astype(np.int64)
@@ -505,6 +552,9 @@ QUERIES = {
     "similar_parts": similar_parts,
     "region_rollup": region_rollup,
     "orders_join": orders_join,
+    "orders_lineitem_join": orders_lineitem_join,
+    "union_streams": union_streams,
+    "seeded_sample": seeded_sample,
     "topk_orders": topk_orders,
     "pagination": pagination,
     "priority_distribution": priority_distribution,
@@ -575,6 +625,16 @@ ORACLE_SQL = {
                ROUND(SUM(o.o_totalprice), 2) AS total_price
         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         GROUP BY c.c_mktsegment""",
+    "orders_lineitem_join": """
+        SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_items,
+               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS total_revenue
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderpriority""",
+    "union_streams": """
+        SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(SUM(o_totalprice), 2) AS total
+        FROM orders WHERE o_orderstatus IN ('O', 'F')
+        GROUP BY o_orderstatus""",
     "topk_orders": """
         SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",

@@ -112,20 +112,25 @@ class PrepStage:
         out["known_city"] = region.notna().to_numpy(bool)
         out["target"] = target.to_numpy(bool)
         out["is_listing_page"] = listing_page_mask(out["url"])
-        return out
+        # emit Arrow: the downstream keyed shuffle slices Arrow blocks
+        # zero-copy; pandas blocks cost ~100× more to partition
+        return pa.Table.from_pandas(out, preserve_index=False)
 
 
-def _empty_frontier() -> pd.DataFrame:
-    return pd.DataFrame(
-        {
-            "url": pd.Series([], dtype=str), "seq": pd.Series([], dtype=np.int64),
-            "source": pd.Series([], dtype=str), "host": pd.Series([], dtype=str),
-            "url_hash": pd.Series([], dtype=np.uint64),
-            "host_shard": pd.Series([], dtype=np.int32),
-            "region": pd.Series([], dtype=np.int32),
-            "known_city": pd.Series([], dtype=bool), "target": pd.Series([], dtype=bool),
-            "is_listing_page": pd.Series([], dtype=bool),
-        }
+def _empty_frontier() -> pa.Table:
+    return pa.Table.from_pandas(
+        pd.DataFrame(
+            {
+                "url": pd.Series([], dtype=str), "seq": pd.Series([], dtype=np.int64),
+                "source": pd.Series([], dtype=str), "host": pd.Series([], dtype=str),
+                "url_hash": pd.Series([], dtype=np.uint64),
+                "host_shard": pd.Series([], dtype=np.int32),
+                "region": pd.Series([], dtype=np.int32),
+                "known_city": pd.Series([], dtype=bool), "target": pd.Series([], dtype=bool),
+                "is_listing_page": pd.Series([], dtype=bool),
+            }
+        ),
+        preserve_index=False,
     )
 
 
