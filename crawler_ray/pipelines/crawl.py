@@ -169,6 +169,10 @@ def run_crawl(
         )
         candidates_tbl = None
         parts = max(1, min(num_partitions, est_rows // 1500))
+        # split the (size-bundled) read into enough blocks that the
+        # vectorized prep parallelizes across the pool
+        if est_rows > 32768:
+            ds = ds.repartition(target_num_rows_per_block=16384)
         ds = ds.map_batches(prep, batch_format="pandas")
         # ONE host-keyed shuffle serves both wide steps of the wave:
         # duplicates of a URL always share its host, so host partitioning
