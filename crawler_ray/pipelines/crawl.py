@@ -103,7 +103,14 @@ def run_crawl(
 
     DataContext.get_current().shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
     cfg = cfg or semantics.CrawlConfig(max_retries=params.max_retries)
-    robots_by_host = {r["host"]: r for r in web["robots"].to_pylist()}
+    # robots flow through the real text path: render each host's rules to
+    # robots.txt text and parse it back (T4 parity: 404/error ⇒ allow-all)
+    from crawler_ray.functions.robots_txt import render_robots_txt, rules_for_host
+
+    robots_by_host = {}
+    for r in web["robots"].to_pylist():
+        text = render_robots_txt(r) if r["fetch_status"] == 200 else None
+        robots_by_host[r["host"]] = rules_for_host(r["host"], text, r["fetch_status"])
     city_state = geo.city_state_map(params.n_hosts)
     city_region = {c: geo.STATE_REGION[s] for c, s in city_state.items()}
     delay_by_host = {

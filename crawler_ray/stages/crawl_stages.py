@@ -362,7 +362,9 @@ class FetchProcess:
         meta += self._write("dlq", dlq)
         prop = fetched.loc[fetched["ok"] & property_mask(fetched["url"])]
         if len(prop):
-            parsed = parse_fields(prop)
+            from crawler_ray.stages.parsers import dispatch_parse
+
+            parsed = dispatch_parse(prop)
             meta += self._write("pages", parsed.drop(columns=["img_urls"]))
             meta += self._write("store", self.images(parsed))
         links = parse_links(fetched)
