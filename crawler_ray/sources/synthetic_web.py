@@ -64,6 +64,14 @@ class WebParams:
     blocked_frac: float = 0.02
     short_frac: float = 0.02
     max_retries: int = 3
+    content_rev: int = 0          # bumping changes ~25% of property pages'
+                                  # content (urls/links stable) — the
+                                  # incremental-recrawl fixture knob
+
+
+def content_changes(url: str, p: WebParams) -> bool:
+    """Whether this property URL's content differs from content_rev=0."""
+    return p.content_rev != 0 and xxh64(f"chg:{url}") % 4 == 0
 
 
 def unit_params(seed: int = 42) -> WebParams:
@@ -155,7 +163,8 @@ def page_meta(url: str, p: WebParams, host_index: dict[str, int] | None = None) 
         j = pid - _PID_BASE - hi * 1_000_000
         if not (0 <= j < _n_props(p, hi)) or _slug(p, hi, j) != slug:
             return None
-        r = _rng("prop", p.seed, hi, j)
+        rev = p.content_rev if content_changes(url, p) else 0
+        r = _rng("prop", p.seed, hi, j, rev)
         word = _FILLER_WORDS[int(r.integers(0, len(_FILLER_WORDS)))]
         beds = int(r.integers(0, 5))
         base_lon = geo.STATE_LONGITUDE[geo.city_state_map(p.n_hosts)[city]]

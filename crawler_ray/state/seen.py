@@ -20,44 +20,98 @@ import numpy as np
 import ray
 
 
-class _BloomFast:
-    """Small vectorized Bloom front (k=4) over a power-of-two bit array."""
+class CuckooFilter:
+    """Cuckoo filter (Fan et al., CoNLL'14 — public algorithm): 16-bit
+    fingerprints, 4-slot buckets, partial-key cuckoo kicking. No false
+    negatives (items that were successfully inserted always report maybe);
+    lookups are fully vectorized (two bucket gathers + compare). On insert
+    overflow the filter reports the item as unstorable and the caller's
+    exact set remains the authority (the filter is a negative fast path)."""
 
-    def __init__(self, bits_log2: int = 24):
-        self.mask = np.uint64((1 << bits_log2) - 1)
-        self.words = np.zeros(1 << max(0, bits_log2 - 6), np.uint64)
+    _KICK_LIMIT = 500
 
-    def _positions(self, h: np.ndarray) -> np.ndarray:
-        # 4 derived positions per hash via multiply-shift remixing
-        mults = np.array([0x9E3779B185EBCA87, 0xC2B2AE3D27D4EB4F,
-                          0x165667B19E3779F9, 0x85EBCA77C2B2AE63], np.uint64)
-        return ((h[:, None] * mults[None, :]) >> np.uint64(13)) & self.mask
+    def __init__(self, capacity_log2: int = 20, seed: int = 0x5EED):
+        self.n_buckets = np.uint64(1 << capacity_log2)
+        self.buckets = np.zeros((1 << capacity_log2, 4), np.uint16)
+        self._rng = np.random.default_rng(seed)
 
-    def add(self, h: np.ndarray) -> None:
-        pos = self._positions(h).ravel()
-        np.bitwise_or.at(self.words, (pos >> np.uint64(6)).astype(np.int64),
-                         np.uint64(1) << (pos & np.uint64(63)))
+    def _fingerprint(self, h: np.ndarray) -> np.ndarray:
+        f = ((h >> np.uint64(48)) & np.uint64(0xFFFF)).astype(np.uint16)
+        return np.where(f == 0, np.uint16(1), f)  # 0 means empty slot
 
-    def maybe_contains(self, h: np.ndarray) -> np.ndarray:
-        pos = self._positions(h)
-        bits = (self.words[(pos >> np.uint64(6)).astype(np.int64)]
-                >> (pos & np.uint64(63))) & np.uint64(1)
-        return bits.all(axis=1)
+    def _index1(self, h: np.ndarray) -> np.ndarray:
+        return (h % self.n_buckets).astype(np.int64)
+
+    def _index2(self, i1: np.ndarray, f: np.ndarray) -> np.ndarray:
+        # partial-key: i2 = i1 ^ hash(fingerprint)
+        fh = (f.astype(np.uint64) * np.uint64(0x9E3779B185EBCA87)) % self.n_buckets
+        return (i1.astype(np.uint64) ^ fh).astype(np.int64) % int(self.n_buckets)
+
+    def insert_many(self, hashes: np.ndarray) -> int:
+        """Insert; returns number NOT stored (overflowed after kicking)."""
+        f_all = self._fingerprint(hashes)
+        i1_all = self._index1(hashes)
+        i2_all = self._index2(i1_all, f_all)
+        failed = 0
+        for f, i1, i2 in zip(f_all, i1_all, i2_all):
+            if self._insert_one(int(f), int(i1), int(i2)):
+                continue
+            failed += 1
+        return failed
+
+    def _insert_one(self, f: int, i1: int, i2: int) -> bool:
+        for idx in (i1, i2):
+            row = self.buckets[idx]
+            empty = np.nonzero(row == 0)[0]
+            if len(empty):
+                row[empty[0]] = f
+                return True
+        idx = i1 if self._rng.random() < 0.5 else i2
+        n = int(self.n_buckets)
+        for _ in range(self._KICK_LIMIT):
+            slot = int(self._rng.integers(0, 4))
+            f, self.buckets[idx][slot] = int(self.buckets[idx][slot]), f
+            # same wrap-around math as the vectorized _index2 (uint64 mod 2^64)
+            fh = ((f * 0x9E3779B185EBCA87) & 0xFFFFFFFFFFFFFFFF) % n
+            idx = (idx ^ fh) % n
+            row = self.buckets[idx]
+            empty = np.nonzero(row == 0)[0]
+            if len(empty):
+                row[empty[0]] = f
+                return True
+        return False
+
+    def maybe_contains(self, hashes: np.ndarray) -> np.ndarray:
+        f = self._fingerprint(hashes)
+        i1 = self._index1(hashes)
+        i2 = self._index2(i1, f)
+        hit1 = (self.buckets[i1] == f[:, None]).any(axis=1)
+        hit2 = (self.buckets[i2] == f[:, None]).any(axis=1)
+        return hit1 | hit2
 
 
 @ray.remote(num_cpus=0)
 class SeenShard:
-    """One shard of the URL-seen set (exact set + Bloom fast path)."""
+    """One shard of the URL-seen set: cuckoo-filter fast path (vectorized
+    negative lookups) backed by an exact hash set (the reproducibility
+    authority — cuckoo false positives are re-checked exactly, and the rare
+    insert overflow falls back to a small exact overflow set so there are
+    never false negatives)."""
 
-    def __init__(self):
+    def __init__(self, capacity_log2: int = 20):
         self._set: set[int] = set()
-        self._bloom = _BloomFast()
+        self._cuckoo = CuckooFilter(capacity_log2)
+        self._overflow: set[int] = set()
 
     def contains(self, hashes: np.ndarray) -> np.ndarray:
         if len(hashes) == 0:
             return np.zeros(0, bool)
-        maybe = self._bloom.maybe_contains(hashes)
+        hashes = np.asarray(hashes, np.uint64)
+        maybe = self._cuckoo.maybe_contains(hashes)
         out = np.zeros(len(hashes), bool)
+        if self._overflow:
+            ov = self._overflow
+            maybe = maybe | np.fromiter((int(h) in ov for h in hashes), bool, len(hashes))
         idx = np.nonzero(maybe)[0]
         if len(idx):
             s = self._set
@@ -65,9 +119,18 @@ class SeenShard:
         return out
 
     def add(self, hashes: np.ndarray) -> int:
-        self._set.update(int(h) for h in hashes)
-        if len(hashes):
-            self._bloom.add(np.asarray(hashes, np.uint64))
+        if len(hashes) == 0:
+            return len(self._set)
+        hashes = np.asarray(hashes, np.uint64)
+        new = np.fromiter((int(h) not in self._set for h in hashes), bool, len(hashes))
+        self._set.update(int(h) for h in hashes[new])
+        if new.any():
+            fresh = hashes[new]
+            failed = self._cuckoo.insert_many(fresh)
+            if failed:
+                # identify which ones the filter couldn't store
+                stored = self._cuckoo.maybe_contains(fresh)
+                self._overflow.update(int(h) for h in fresh[~stored])
         return len(self._set)
 
     def snapshot(self) -> np.ndarray:

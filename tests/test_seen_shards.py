@@ -1,16 +1,32 @@
-"""Sharded URL-seen set: exactness, routing, snapshot/restore."""
+"""Sharded URL-seen set: cuckoo filter, exactness, routing, snapshot/restore."""
 
 import numpy as np
 
-from crawler_ray.state.seen import ShardedSeen, _BloomFast
+from crawler_ray.state.seen import CuckooFilter, ShardedSeen
 
 
-def test_bloom_no_false_negatives():
-    b = _BloomFast(bits_log2=16)
+def test_cuckoo_no_false_negatives_and_low_fp():
+    cf = CuckooFilter(capacity_log2=14)  # 16k buckets × 4 = 65k slots
     rng = np.random.default_rng(1)
-    added = rng.integers(0, 2**63, 1000, dtype=np.uint64)
-    b.add(added)
-    assert b.maybe_contains(added).all()
+    added = rng.integers(1, 2**64 - 1, 40000, dtype=np.uint64)
+    failed = cf.insert_many(added)
+    found = cf.maybe_contains(added)
+    assert found.sum() >= len(added) - failed  # no false negatives for stored items
+    fresh = rng.integers(1, 2**64 - 1, 100000, dtype=np.uint64)
+    fresh = fresh[~np.isin(fresh, added)]
+    fp = cf.maybe_contains(fresh).mean()
+    assert fp < 0.01  # 16-bit fingerprints → ~0.01-0.1% expected
+
+
+def test_cuckoo_overflow_reports_unstored():
+    cf = CuckooFilter(capacity_log2=6)  # 64 buckets × 4 = 256 slots
+    rng = np.random.default_rng(2)
+    many = rng.integers(1, 2**64 - 1, 2000, dtype=np.uint64)
+    failed = cf.insert_many(many)
+    assert failed > 0  # must overflow
+    # everything NOT reported failed is findable
+    stored_mask = cf.maybe_contains(many)
+    assert stored_mask.sum() >= len(many) - failed
 
 
 def test_sharded_seen_exactness(ray_session):
