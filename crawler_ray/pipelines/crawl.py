@@ -101,7 +101,31 @@ def run_crawl(
     Lance-layout output at ``out_root``."""
     from ray.data.context import DataContext, ShuffleStrategy
 
-    DataContext.get_current().shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    # keyed repartition needs HASH_SHUFFLE; restore afterwards — leaking it
+    # globally hangs unrelated groupby().map_groups pipelines (observed)
+    ctx = DataContext.get_current()
+    prev_strategy = ctx.shuffle_strategy
+    ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    try:
+        return _run_crawl_inner(
+            web, params, out_root, cfg, resume, num_seen_shards,
+            fetch_concurrency, fetch_batch_size, num_partitions,
+        )
+    finally:
+        ctx.shuffle_strategy = prev_strategy
+
+
+def _run_crawl_inner(
+    web: dict,
+    params,
+    out_root: str,
+    cfg,
+    resume: bool,
+    num_seen_shards: int,
+    fetch_concurrency: int,
+    fetch_batch_size: int,
+    num_partitions: int,
+) -> CrawlRun:
     cfg = cfg or semantics.CrawlConfig(max_retries=params.max_retries)
     # robots flow through the real text path: render each host's rules to
     # robots.txt text and parse it back (T4 parity: 404/error ⇒ allow-all)
