@@ -1,27 +1,29 @@
 """The flagship crawl pipeline: Mercator-style frontier + fetch scheduler
 as BFS waves of Ray Data pipelines (SURVEY.md §3 lifecycle diagram).
 
-Per wave k (each arrow a streaming Dataset stage):
+Each wave k is ONE streaming execution (plus a tiny driver-side scan):
+
+    [driver] listing candidates ← pushed-down substring scan of the wave's
+             frontier fragments + the scalar rule chain → alternation dict
+             (the reference's sequential RR counter, SURVEY.md §7 hard-part 1)
 
     candidates ─map_batches(PrepStage: normalize/relevance/robots/hash)─▶
-               ─groupby(url_hash).map_groups(first-wins)  [dedup shuffle]─▶
-               ─map_batches(SeenFilter: sharded seen-set anti-join)─▶
-               ─priority (broadcast geo maps; listing alternation)─▶ frontier
-    frontier   ─map_batches(SeenAdd)─▶ sort(order key) → order/seen fragments
-               ─groupby(host).map_groups(politeness schedule)─▶
-               ─map_batches(Fetcher actor pool)─▶ fetched (materialized once)
-    fetched    ├─filter !ok─▶ DLQ fragments
-               ├─filter property─▶ parse_fields ─▶ pages fragments
-               │                        └─▶ ImageStage actor pool ─▶ store fragments
-               └─parse_links─▶ next-wave candidate fragments
+               ─repartition(keys=['host'])   [THE wave shuffle: duplicates
+                 of a URL share its host, so one exchange co-locates both
+                 the dedup key and the politeness grouping]─▶
+               ─map_batches(dedup_block: vectorized first-wins)─▶
+               ─map_batches(SeenFilter: cuckoo-sharded seen anti-join)─▶
+               ─map_batches(assign_priority + SeenAdd + politeness ledger)─▶
+               ─map_batches(_SeenOrderWriter: seen/order fragments,
+                 passthrough side effect, deterministic names)─▶
+               ─repartition(even rows)   [breaks hot-host skew; the heavy
+                 stage is host-stateless thanks to the functional web]─▶
+               ─map_batches(FetchProcess: fetch→parse→image decode/store→
+                 link extraction; dlq/pages/store/frontier fragments written
+                 in-task]─▶ fragment metadata → driver
     manifest v{k}: cumulative fragment lists + listing_counter + metrics
       (the per-partition lineage triple: frontier offset ≙ next_frontier
        fragments, seen snapshot ≙ seen fragments, Lance fragment ids)
-
-Scale notes: the only driver-side materialization is the wave's *listing*
-candidates (O(hosts), needed for the reference's deterministic alternation
-rule — SURVEY.md §7 hard-part 1); everything else streams. Dedup and store
-partitioning shuffle on url_hash / host_shard.
 """
 
 from __future__ import annotations
@@ -77,6 +79,59 @@ class CrawlRun:
     def read(self, table: str) -> pa.Table:
         m = ll.latest_manifest(self.root)
         return ll.read_fragments(self.root, table, m["tables"].get(table, []))
+
+
+def _listing_priorities(root, frags, seeds_tbl, robots_by_host, city_state, seen,
+                        counter: int) -> tuple[dict, int]:
+    """Driver-side listing-alternation priorities (M7's sequential RR rule).
+
+    Listing candidates are O(hosts) per wave; a pushed-down substring scan
+    over the frontier fragments + the SAME scalar rule chain the oracle
+    uses (normalize/relevance/robots/dedup/seen) yields the wave's enqueued
+    listing set in enqueue order, without materializing the prep output.
+    """
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    from crawler_ray.hashing import xxh64_array
+    from crawler_ray.urlnorm import normalize_url, url_host
+
+    if seeds_tbl is not None:
+        df = seeds_tbl.to_pandas()
+        df["url"] = [normalize_url(u) for u in df["url"]]
+        df = df.dropna(subset=["url"])
+        cand = df.loc[df["url"].str.contains("/search/apa", case=False, regex=False),
+                      ["url", "seq"]]
+    else:
+        paths = ll.fragment_paths(root, "frontier", frags)
+        if not paths:
+            return {}, counter
+        tbl = pads.dataset(paths).to_table(
+            columns=["url", "seq"],
+            filter=pc.match_substring(pc.utf8_lower(pc.field("url")), "/search/apa"),
+        )
+        cand = tbl.to_pandas()
+        cand = cand.loc[[semantics.is_relevant_url(u) for u in cand["url"]]]
+    if len(cand) == 0:
+        return {}, counter
+    cand = cand.loc[[
+        semantics.robots_allowed(semantics.url_path(u), robots_by_host.get(url_host(u)))
+        for u in cand["url"]
+    ]]
+    if len(cand) == 0:
+        return {}, counter
+    cand = cand.sort_values(["seq", "url"], kind="mergesort").drop_duplicates("url", keep="first")
+    unseen = ~seen.contains(xxh64_array(cand["url"]))
+    cand = cand.loc[unseen]
+    lp: dict[str, int] = {}
+    for u in cand["url"]:
+        city = u.split("//")[1].split(".")[0] if "//" in u else ""
+        if "craigslist.org" not in u.lower() or city not in city_state:
+            lp[u] = -1
+            continue
+        counter += 1
+        lp[u] = 1 if counter % 2 == 0 else 2
+    return lp, counter
 
 
 def _candidates_ds(root: str, fragments: list[dict], table: pa.Table | None):
@@ -198,6 +253,7 @@ def _run_crawl_inner(
         est_rows = sum(f["rows"] for f in next_frontier_frags) if next_frontier_frags else (
             candidates_tbl.num_rows if candidates_tbl is not None else 0
         )
+        seed_candidates_tbl = candidates_tbl
         candidates_tbl = None
         parts = max(1, min(num_partitions, est_rows // 1500))
         # split the (size-bundled) read into enough blocks that the
@@ -216,27 +272,18 @@ def _run_crawl_inner(
             ds = ds.repartition(1)
         ds = ds.map_batches(dedup_block, batch_format="pandas")
         ds = ds.map_batches(seen_filter, batch_format="pandas")
-        pre = ds.materialize()
         _t1 = _time.time()
 
         # ---- priority (M7): listing alternation is sequential by definition
-        # (reference RR counter) → computed on the driver over the wave's
-        # listing candidates only (O(hosts) rows), broadcast back as a dict.
-        listings = pre.map_batches(
-            lambda b: b.loc[b["is_listing_page"], ["url", "seq", "known_city", "target"]],
-            batch_format="pandas",
-        ).to_pandas()
-        listing_pri: dict[str, int] = {}
-        if len(listings) == 0 or "seq" not in listings.columns:
-            listings = pd.DataFrame(columns=["url", "seq", "known_city", "target"])
-        listings = listings.sort_values(["seq", "url"], kind="mergesort")
-        for row in listings.itertuples(index=False):
-            if not row.target or not row.known_city:
-                listing_pri[row.url] = -1
-                continue
-            listing_counter += 1
-            listing_pri[row.url] = 1 if listing_counter % 2 == 0 else 2
-        lp = dict(listing_pri)
+        # (reference RR counter). Listing candidates are O(hosts), so the
+        # driver re-derives them directly from the frontier fragments with a
+        # pushed-down substring scan + the scalar rule chain — no
+        # materialization of the full prep output is needed, keeping the
+        # whole wave ONE streaming execution.
+        lp, listing_counter = _listing_priorities(
+            out_root, next_frontier_frags, seed_candidates_tbl, robots_by_host,
+            city_state, seen, listing_counter,
+        )
 
         def assign_priority(b: pd.DataFrame, lp=lp) -> pd.DataFrame:
             pri = np.where(
@@ -262,9 +309,9 @@ def _run_crawl_inner(
         _t2 = _time.time()
         fp = FetchProcess(params=params, out_root=out_root,
                           wave=wave, seed=cfg.seed, max_retries=cfg.max_retries)
-        # pre is already host-partitioned; row-wise stages preserve block
+        # blocks are already host-partitioned; row-wise stages preserve block
         # membership, so politeness needs no further exchange
-        chain = pre.map_batches(assign_priority, batch_format="pandas").map_batches(
+        chain = ds.map_batches(assign_priority, batch_format="pandas").map_batches(
             seen_add, batch_format="pandas"
         ).map_batches(lambda b, w=wave: b.assign(wave=np.int32(w)), batch_format="pandas")
         chain = chain.map_batches(politeness, batch_format="pandas")
