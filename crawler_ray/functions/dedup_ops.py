@@ -83,6 +83,38 @@ def minhash_bands(batch: pd.DataFrame, num_perm: int = 32, bands: int = 8,
     )
 
 
+def connected_components(pairs: pd.DataFrame, all_ids=None) -> pd.DataFrame:
+    """Near-dup clusters from verified pairs: iterative min-label
+    propagation (each round every node takes the min label among itself and
+    its neighbors; converges in O(diameter) rounds — the groupby-friendly
+    formulation). The pair set is verified-near-dups, i.e. orders of
+    magnitude smaller than the corpus, so rounds run in memory here; at
+    cluster scale each round is a groupby(node).min(label) shuffle with the
+    identical dataflow."""
+    edges = pd.concat([
+        pairs.rename(columns={"doc_a": "node", "doc_b": "peer"})[["node", "peer"]],
+        pairs.rename(columns={"doc_b": "node", "doc_a": "peer"})[["node", "peer"]],
+    ], ignore_index=True)
+    label = {}
+    for n in pd.unique(edges[["node", "peer"]].to_numpy().ravel()):
+        label[int(n)] = int(n)
+    changed = True
+    while changed:
+        changed = False
+        merged = edges.assign(peer_label=edges["peer"].map(label))
+        mins = merged.groupby("node")["peer_label"].min()
+        for n, m in mins.items():
+            m = min(int(m), label[int(n)])
+            if m < label[int(n)]:
+                label[int(n)] = m
+                changed = True
+    out_ids = sorted(label) if all_ids is None else sorted(set(all_ids) | set(label))
+    return pd.DataFrame({
+        "doc_id": np.array(out_ids, np.int64),
+        "cluster_id": np.array([label.get(i, i) for i in out_ids], np.int64),
+    })
+
+
 def collide_pairs(bands: pd.DataFrame) -> pd.DataFrame:
     """(band, band_hash, doc_id) rows → unique candidate pairs, touching only
     colliding buckets: a vectorized duplicated() mask removes the (vast)

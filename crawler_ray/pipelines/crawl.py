@@ -307,8 +307,10 @@ def _run_crawl_inner(
         # fetch/parse/store/links. ONE streaming execution; worker processes
         # persist across waves so broadcast host shards stay cached.
         _t2 = _time.time()
+        gate = (_time.time(), cfg.time_scale) if cfg.politeness_mode == "wall" else None
         fp = FetchProcess(params=params, out_root=out_root,
-                          wave=wave, seed=cfg.seed, max_retries=cfg.max_retries)
+                          wave=wave, seed=cfg.seed, max_retries=cfg.max_retries,
+                          gate=gate)
         # blocks are already host-partitioned; row-wise stages preserve block
         # membership, so politeness needs no further exchange
         chain = ds.map_batches(assign_priority, batch_format="pandas").map_batches(

@@ -498,6 +498,17 @@ def _load_queries(sf_dir: str, n: int = 5) -> dict:
             "mat": np.stack([np.asarray(v, np.float64) for v in q["embedding"]])}
 
 
+def near_dup_clusters(sf_dir: str):
+    """[rows-only] Near-dup CLUSTERS: MinHash-LSH pairs → verified Jaccard
+    → connected components (min-label propagation). Returns one row per doc
+    that belongs to a non-singleton cluster."""
+    pairs = minhash_near_dups(sf_dir)
+    if len(pairs) == 0:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                             "cluster_id": pd.Series([], dtype=np.int64)})
+    return dedup_ops.connected_components(pairs[["doc_a", "doc_b"]])
+
+
 def ann_cosine_topk(sf_dir: str):
     """Brute-force cosine top-10 for 5 query vectors (exact baseline)."""
     queries = _load_queries(sf_dir)
@@ -569,6 +580,7 @@ QUERIES = {
     "doc_fingerprints": doc_fingerprints,
     "minhash_near_dups": minhash_near_dups,
     "simhash_near_dups": simhash_near_dups,
+    "near_dup_clusters": near_dup_clusters,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "embedding_norm_stats": embedding_norm_stats,

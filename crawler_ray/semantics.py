@@ -141,6 +141,12 @@ class CrawlConfig:
     max_waves: int = 10
     num_shards: int = NUM_SHARDS
     seed: int = 42
+    # politeness enforcement: "virtual" computes the deterministic per-host
+    # schedule without sleeping (the conformance/bench mode — there is no
+    # real network to be polite to); "wall" additionally gates each fetch to
+    # its scheduled_at in real time × time_scale (live-crawl behavior)
+    politeness_mode: str = "virtual"
+    time_scale: float = 1.0
 
 
 @dataclass

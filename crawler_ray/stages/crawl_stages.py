@@ -214,14 +214,24 @@ class Fetcher:
     the network itself. Applies the html_downloader retry policy
     (is_valid_url gate, blocked/short/status retries → DLQ)."""
 
-    def __init__(self, params, max_retries: int = semantics.MAX_RETRIES):
+    def __init__(self, params, max_retries: int = semantics.MAX_RETRIES,
+                 gate: tuple | None = None):
         from crawler_ray.sources.synthetic_web import _host_index
 
         self.params = params
         self.hidx = _host_index(params)
         self.max_retries = max_retries
+        self.gate = gate  # (epoch_wall_time, time_scale) → live politeness
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        if self.gate is not None and len(batch) and "scheduled_at" in batch.columns:
+            import time as _t
+
+            epoch, scale = self.gate
+            batch = batch.sort_values("scheduled_at", kind="mergesort")
+            targets = epoch + batch["scheduled_at"].to_numpy(np.float64) * scale
+        else:
+            targets = None
         n = len(batch)
         ok = np.zeros(n, bool)
         step = np.full(n, "", object)
@@ -230,6 +240,12 @@ class Fetcher:
         duration = np.zeros(n, np.float64)
         fetchable = valid_fetch_mask(batch["url"]) if n else np.zeros(0, bool)
         for i, url in enumerate(batch["url"].tolist()):
+            if targets is not None:
+                import time as _t
+
+                wait = targets[i] - _t.time()
+                if wait > 0:
+                    _t.sleep(wait)
             if not fetchable[i]:
                 step[i] = "invalid_url"
                 continue
@@ -333,10 +349,10 @@ class FetchProcess:
     """
 
     def __init__(self, params, out_root: str, wave: int,
-                 seed: int, max_retries: int):
+                 seed: int, max_retries: int, gate: tuple | None = None):
         from crawler_ray.sources.lance_layout import FragmentWriter
 
-        self.fetcher = Fetcher(params, max_retries)
+        self.fetcher = Fetcher(params, max_retries, gate=gate)
         self.images = ImageStage(params, seed)
         self.writers = {
             "dlq": FragmentWriter(out_root, "dlq", f"w{wave}"),
