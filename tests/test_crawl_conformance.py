@@ -139,3 +139,25 @@ def test_oracle_determinism():
     a = run_oracle(build_web(p), p)
     b = run_oracle(build_web(p), p)
     assert a["order"] == b["order"] and a["seen"] == b["seen"] and a["dlq"] == b["dlq"]
+
+
+@pytest.mark.parametrize("seed", [7, 99])
+def test_conformance_other_seeds(ray_session, tmp_path, seed):
+    """Seed sweep: engine==oracle must hold for arbitrary web seeds."""
+    from crawler_ray.pipelines.crawl import run_crawl
+
+    p = WebParams(seed=seed, n_hosts=4, props_per_host=6, hot_hosts=1,
+                  hot_factor=3, props_per_listing=4)
+    web = build_web(p)
+    run = run_crawl(web, p, str(tmp_path / f"s{seed}"))
+    oracle = run_oracle(web, p)
+    t = run.read("seen")
+    assert dict(zip(t["url"].to_pylist(), t["url_hash"].to_pylist())) == oracle["seen"]
+    rows = sorted(run.read("order").to_pylist(),
+                  key=lambda r: (r["wave"], r["priority"], r["host_shard"], r["seq"], r["url"]))
+    eng = [(r["url"], r["wave"], r["priority"], r["host_shard"], r["seq"]) for r in rows]
+    orc = [(r["url"], r["wave"], r["priority"], r["host_shard"], r["seq"]) for r in oracle["order"]]
+    assert eng == orc
+    es = sorted((r["image_id"], r["caption"], r["phash"]) for r in run.read("store").to_pylist())
+    os_ = sorted((r["image_id"], r["caption"], r["phash"]) for r in oracle["store"])
+    assert es == os_
