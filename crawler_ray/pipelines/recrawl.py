@@ -40,7 +40,7 @@ class RecrawlProcess:
         self.old_ref = old_hashes_ref
         self.writers = {
             "pages": ll.FragmentWriter(out_root, "pages", f"w{wave}"),
-            "store": ll.FragmentWriter(out_root, "store", f"w{wave}"),
+            "store": ll.FragmentWriter(out_root, "store", f"w{wave}", compression="none"),
             "dlq": ll.FragmentWriter(out_root, "dlq", f"w{wave}"),
         }
         self._old: dict | None = None

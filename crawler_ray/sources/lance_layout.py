@@ -49,10 +49,11 @@ class FragmentWriter:
     """map_batches callable: write each batch as an immutable fragment,
     emit one metadata row per fragment (collected small on the driver)."""
 
-    def __init__(self, root: str, table: str, prefix: str):
+    def __init__(self, root: str, table: str, prefix: str, compression: str = "zstd"):
         self.dir = os.path.join(root, table)
         self.tmp = os.path.join(root, table, "_tmp")
         self.prefix = prefix
+        self.compression = compression
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         meta_schema = pa.schema([("fragment", pa.string()), ("rows", pa.int64())])
@@ -61,7 +62,7 @@ class FragmentWriter:
         os.makedirs(self.tmp, exist_ok=True)
         name = f"{self.prefix}-{_batch_digest(batch)}.parquet"
         tmp_path = os.path.join(self.tmp, name)
-        pq.write_table(batch, tmp_path, compression="zstd")
+        pq.write_table(batch, tmp_path, compression=self.compression)
         os.replace(tmp_path, os.path.join(self.dir, name))
         return pa.table({"fragment": [name], "rows": [batch.num_rows]}, schema=meta_schema)
 
