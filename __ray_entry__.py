@@ -81,8 +81,7 @@ def _phash_dups(sf_dir: str):
     run = _crawl_run("queries")
     m = ll.latest_manifest(run.root)
     paths = ll.fragment_paths(run.root, "store", m["tables"]["store"])
-    feats = featurize_store(rd.read_parquet(paths)).to_pandas()
-    return phash_near_dups(feats)
+    return phash_near_dups(featurize_store(rd.read_parquet(paths)))
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

@@ -118,7 +118,12 @@ def connected_components(pairs: pd.DataFrame, all_ids=None) -> pd.DataFrame:
 def collide_pairs(bands: pd.DataFrame) -> pd.DataFrame:
     """(band, band_hash, doc_id) rows → unique candidate pairs, touching only
     colliding buckets: a vectorized duplicated() mask removes the (vast)
-    singleton majority first, then pairs expand per surviving bucket."""
+    singleton majority first, then pairs expand per surviving bucket.
+
+    Used as the per-block kernel AFTER a (band, band_hash)-keyed repartition:
+    every bucket is then fully contained in one block, so per-block pairs are
+    exactly the global candidate set (modulo cross-band pair duplicates,
+    deduped by a second keyed pass)."""
     dup = bands.duplicated(["band", "band_hash"], keep=False)
     hot = bands.loc[dup]
     if len(hot) == 0:
@@ -127,6 +132,27 @@ def collide_pairs(bands: pd.DataFrame) -> pd.DataFrame:
     pieces = [bucket_pairs(g) for _, g in hot.groupby(["band", "band_hash"])]
     out = pd.concat(pieces, ignore_index=True)
     return out.drop_duplicates(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def dedup_pairs_block(batch: pd.DataFrame) -> pd.DataFrame:
+    """Per-block global pair dedup (run after a (doc_a, doc_b)-keyed
+    repartition co-locates every copy of a pair)."""
+    cols = [c for c in ("doc_a", "doc_b", "image_a", "image_b") if c in batch.columns]
+    return batch.drop_duplicates(cols)
+
+
+def doc_shingles(batch: pd.DataFrame, k: int = 5,
+                 keep_ids: frozenset | None = None) -> pd.DataFrame:
+    """map_batches kernel: (doc_id, text) → (doc_id, shingles list<uint64>),
+    optionally restricted to ``keep_ids`` (the candidate-doc semi-join —
+    shingles are computed distributed, only for docs that appear in a
+    candidate pair)."""
+    if keep_ids is not None:
+        batch = batch.loc[batch["doc_id"].isin(keep_ids)]
+    return pd.DataFrame({
+        "doc_id": batch["doc_id"].to_numpy(np.int64),
+        "shingles": [shingle_hashes(str(t), k) for t in batch["text"]],
+    })
 
 
 def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
@@ -150,14 +176,15 @@ def jaccard(sh_a: np.ndarray, sh_b: np.ndarray) -> float:
 class PairVerifier:
     """Actor-pool stage: exact-Jaccard verification of candidate pairs.
 
-    Holds the doc_id → shingle-set index built ONCE per actor from a
-    broadcast ref (ray.put on the driver) — the small-side lookup pattern."""
+    Holds a doc_id → shingle-set index fetched ONCE per actor from a
+    broadcast ref (ray.put on the driver). The index covers only CANDIDATE
+    docs (those appearing in ≥1 LSH pair) — computed distributed upstream by
+    ``doc_shingles`` — so the broadcast is candidate-scale, not corpus-scale."""
 
-    def __init__(self, texts_ref, k: int = 5, threshold: float = 0.5):
+    def __init__(self, shingles_ref, threshold: float = 0.5):
         import ray
 
-        texts = ray.get(texts_ref)
-        self.shingles = {d: shingle_hashes(t, k) for d, t in texts.items()}
+        self.shingles = ray.get(shingles_ref)
         self.threshold = threshold
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
@@ -197,36 +224,82 @@ def simhash64(batch: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
-def simhash_bands(batch: pd.DataFrame) -> pd.DataFrame:
-    """(doc_id, simhash) → 4 band rows of 16 bits each; Hamming≤3 dups must
-    collide in ≥1 band (pigeonhole)."""
-    sh = batch["simhash"].to_numpy(np.int64).view(np.uint64)
+def hash_bands(batch: pd.DataFrame, bands: int = 4, id_col: str = "doc_id",
+               hash_col: str = "simhash") -> pd.DataFrame:
+    """(id, 64-bit hash) → ``bands`` band rows of 64/bands bits each. By
+    pigeonhole, any pair at Hamming ≤ bands−1 collides in ≥1 band — choose
+    ``bands ≥ max_hamming+1`` for a recall guarantee at that radius."""
+    width = 64 // bands
+    sh = batch[hash_col].to_numpy(np.int64).view(np.uint64)
+    mask = np.uint64((1 << width) - 1)
     rows = []
-    for band in range(4):
-        chunk = (sh >> np.uint64(16 * band)) & np.uint64(0xFFFF)
+    for band in range(bands):
+        chunk = (sh >> np.uint64(width * band)) & mask
         rows.append(pd.DataFrame({
             "band": np.int32(band), "band_hash": chunk.astype(np.int64),
-            "doc_id": batch["doc_id"].to_numpy(np.int64),
-            "simhash": batch["simhash"].to_numpy(np.int64)}))
+            id_col: batch[id_col].to_numpy(),
+            hash_col: batch[hash_col].to_numpy(np.int64)}))
     return pd.concat(rows, ignore_index=True)
 
 
-def simhash_bucket_pairs(group: pd.DataFrame, max_hamming: int = 3) -> pd.DataFrame:
-    g = group.drop_duplicates("doc_id").sort_values("doc_id")
-    ids = g["doc_id"].to_numpy(np.int64)
-    hs = g["simhash"].to_numpy(np.int64).view(np.uint64)
-    empty = pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
-                          "doc_b": pd.Series([], dtype=np.int64),
-                          "hamming": pd.Series([], dtype=np.int32)})
-    if len(ids) < 2:
-        return empty
-    ii, jj = np.triu_indices(len(ids), k=1)
-    x = hs[ii] ^ hs[jj]
+def simhash_bands(batch: pd.DataFrame) -> pd.DataFrame:
+    """(doc_id, simhash) → 4 band rows of 16 bits each; Hamming≤3 dups must
+    collide in ≥1 band (pigeonhole)."""
+    return hash_bands(batch, bands=4)
+
+
+def _hamming64(x: np.ndarray) -> np.ndarray:
     ham = np.zeros(len(x), np.int32)
     for _ in range(64):
         ham += (x & np.uint64(1)).astype(np.int32)
         x = x >> np.uint64(1)
         if not x.any():
             break
+    return ham
+
+
+def hamming_bucket_pairs(group: pd.DataFrame, max_hamming: int,
+                         id_col: str = "doc_id", hash_col: str = "simhash",
+                         a_col: str = "doc_a", b_col: str = "doc_b") -> pd.DataFrame:
+    """One band bucket → verified pairs at Hamming ≤ max_hamming. Works for
+    int64 doc ids and string image ids alike (ids sort lexicographically)."""
+    g = group.drop_duplicates(id_col).sort_values(id_col)
+    ids = g[id_col].to_numpy()
+    empty = pd.DataFrame({a_col: pd.Series([], dtype=ids.dtype if len(ids) else np.int64),
+                          b_col: pd.Series([], dtype=ids.dtype if len(ids) else np.int64),
+                          "hamming": pd.Series([], dtype=np.int32)})
+    if len(ids) < 2:
+        return empty
+    hs = g[hash_col].to_numpy(np.int64).view(np.uint64)
+    ii, jj = np.triu_indices(len(ids), k=1)
+    ham = _hamming64(hs[ii] ^ hs[jj])
     keep = ham <= max_hamming
-    return pd.DataFrame({"doc_a": ids[ii][keep], "doc_b": ids[jj][keep], "hamming": ham[keep]})
+    return pd.DataFrame({a_col: ids[ii][keep], b_col: ids[jj][keep], "hamming": ham[keep]})
+
+
+def simhash_bucket_pairs(group: pd.DataFrame, max_hamming: int = 3) -> pd.DataFrame:
+    return hamming_bucket_pairs(group, max_hamming)
+
+
+def hamming_collide_block(batch: pd.DataFrame, max_hamming: int = 3,
+                          id_col: str = "doc_id", hash_col: str = "simhash",
+                          a_col: str = "doc_a", b_col: str = "doc_b",
+                          id_dtype=np.int64) -> pd.DataFrame:
+    """Per-block kernel AFTER a (band, band_hash)-keyed repartition: drop the
+    singleton-bucket majority with one vectorized duplicated() mask, then
+    emit Hamming-verified pairs per surviving bucket."""
+    empty = pd.DataFrame({a_col: pd.Series([], dtype=id_dtype),
+                          b_col: pd.Series([], dtype=id_dtype),
+                          "hamming": pd.Series([], dtype=np.int32)})
+    if len(batch) == 0:
+        return empty
+    dup = batch.duplicated(["band", "band_hash"], keep=False)
+    hot = batch.loc[dup]
+    if len(hot) == 0:
+        return empty
+    pieces = [hamming_bucket_pairs(g, max_hamming, id_col, hash_col, a_col, b_col)
+              for _, g in hot.groupby(["band", "band_hash"])]
+    out = pd.concat(pieces, ignore_index=True)
+    if len(out) == 0:
+        return empty
+    return out.drop_duplicates([a_col, b_col]).reset_index(drop=True)

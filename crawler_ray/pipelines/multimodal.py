@@ -78,30 +78,47 @@ def featurize_store(store_ds, concurrency: int = 2, batch_size: int = 64):
     )
 
 
-def phash_near_dups(features_df: pd.DataFrame, max_hamming: int = 6) -> pd.DataFrame:
-    """Near-duplicate images by phash Hamming distance (16-bit banding →
-    verify), same blocking scheme as SimHash text dedup."""
-    from crawler_ray.functions.dedup_ops import simhash_bucket_pairs
+def phash_near_dups(features_ds, max_hamming: int = 6) -> pd.DataFrame:
+    """Near-duplicate images by phash Hamming distance, distributed: band
+    explode via map_batches → (band, band_hash)-keyed repartition →
+    per-block bucket pairs → keyed pair dedup. Uses 8 bands of 8 bits so the
+    pigeonhole guarantee covers Hamming ≤ 7 ⊇ the default threshold 6 (4×16
+    banding only guarantees ≤ 3 — pairs at distance 4–6 could be missed).
 
-    df = features_df.rename(columns={"phash": "simhash"}).copy()
-    df["doc_id"] = np.arange(len(df), dtype=np.int64)
-    pairs = []
-    sh = df["simhash"].to_numpy(np.int64).view(np.uint64)
-    for band in range(4):
-        chunk = ((sh >> np.uint64(16 * band)) & np.uint64(0xFFFF)).astype(np.int64)
-        g = df.assign(band_hash=chunk)
-        for _, grp in g.groupby("band_hash"):
-            if len(grp) > 1:
-                pairs.append(simhash_bucket_pairs(grp, max_hamming))
-    if not pairs:
-        return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
-                             "doc_b": pd.Series([], dtype=np.int64),
+    ``features_ds`` is a Dataset with (image_id, phash) columns (e.g. the
+    output of ``featurize_store``); a pandas DataFrame also works for tests.
+    """
+    import functools
+
+    import ray.data as rd
+
+    from crawler_ray.functions.dedup_ops import hamming_collide_block, hash_bands
+    from crawler_ray.pipelines.queries import _keyed
+
+    n_bands = next(b for b in (4, 8, 16, 32) if b >= max_hamming + 1)
+    if isinstance(features_ds, pd.DataFrame):
+        features_ds = rd.from_pandas(features_ds[["image_id", "phash"]])
+    bands_fn = functools.partial(hash_bands, bands=n_bands,
+                                 id_col="image_id", hash_col="phash")
+    collide_fn = functools.partial(hamming_collide_block, max_hamming=max_hamming,
+                                   id_col="image_id", hash_col="phash",
+                                   a_col="image_a", b_col="image_b", id_dtype=object)
+    out = (_keyed(features_ds).map_batches(bands_fn, batch_format="pandas")
+           .repartition(8, keys=["band", "band_hash"])
+           .map_batches(collide_fn, batch_format="pandas")
+           .repartition(4, keys=["image_a", "image_b"])
+           .map_batches(_dedup_image_pairs_block, batch_format="pandas")
+           .to_pandas())
+    if len(out) == 0:
+        return pd.DataFrame({"image_a": pd.Series([], dtype=str),
+                             "image_b": pd.Series([], dtype=str),
                              "hamming": pd.Series([], dtype=np.int32)})
-    out = pd.concat(pairs, ignore_index=True).drop_duplicates(["doc_a", "doc_b"])
-    a = df.set_index("doc_id")["image_id"]
-    out["image_a"] = out["doc_a"].map(a)
-    out["image_b"] = out["doc_b"].map(a)
-    return out[["image_a", "image_b", "hamming"]].sort_values(["image_a", "image_b"]).reset_index(drop=True)
+    out["hamming"] = out["hamming"].astype(np.int32)
+    return out.sort_values(["image_a", "image_b"]).reset_index(drop=True)
+
+
+def _dedup_image_pairs_block(batch: pd.DataFrame) -> pd.DataFrame:
+    return batch.drop_duplicates(["image_a", "image_b"])
 
 
 # --- stubs: formats with no codec in this container --------------------------

@@ -30,6 +30,18 @@ from crawler_ray.hashing import xxh64_array
 
 
 
+def _keyed(ds):
+    """Enable keyed ``Dataset.repartition(keys=...)`` on THIS dataset only:
+    each Dataset snapshots DataContext at creation, so flipping the
+    snapshot's shuffle_strategy scopes HASH_SHUFFLE to this chain — a leaked
+    GLOBAL HASH_SHUFFLE hangs unrelated groupby().map_groups pipelines
+    (see CLAUDE.md)."""
+    from ray.data.context import ShuffleStrategy
+
+    ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    return ds
+
+
 def _fold(ds, keys: list[str], aggs: dict):
     """Final fold of combiner partials ON THE DRIVER.
 
@@ -306,15 +318,23 @@ def seeded_sample(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 def dedup_first(sf_dir: str):
-    """D1 first-wins dedup: first event per user (min event_id) + count."""
+    """D1 first-wins dedup: first event per user (min event_id) + count.
+
+    Cluster-safe aggregate path: per-batch combiner (shrinks the shuffle to
+    O(batches × users-per-batch)) → DISTRIBUTED ``groupby(user_id)`` — the
+    group-key space is unbounded (one group per user), so the final merge
+    must shuffle, not fold on the driver."""
     ds = _read(sf_dir, "events", ["event_id", "user_id"])
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         return b.groupby("user_id", as_index=False).agg(first_event_id=("event_id", "min"),
                                                         n_events=("event_id", "size"))
 
-    out = _fold(ds.map_batches(partial, batch_format="pandas"), ["user_id"],
-                dict(first_event_id=("first_event_id", "min"), n_events=("n_events", "sum")))
+    out = (ds.map_batches(partial, batch_format="pandas")
+           .groupby("user_id")
+           .aggregate(Min("first_event_id", alias_name="first_event_id"),
+                      Sum("n_events", alias_name="n_events"))
+           .to_pandas())
     for c in out.columns:
         out[c] = out[c].astype(np.int64)
     return out.sort_values("user_id").reset_index(drop=True)
@@ -333,9 +353,14 @@ def exact_dedup_docs(sf_dir: str):
         return b.groupby("text_hash", as_index=False).agg(rep_doc_id=("doc_id", "min"),
                                                           dup_count=("doc_id", "size"))
 
-    out = _fold(ds.map_batches(hash_stage, batch_format="pandas")
-                .map_batches(partial, batch_format="pandas"),
-                ["text_hash"], dict(rep_doc_id=("rep_doc_id", "min"), dup_count=("dup_count", "sum")))
+    # distributed groupby: ~one group per distinct text ⇒ unbounded keys,
+    # the merge must be a shuffle (the combiner still shrinks it per batch)
+    out = (ds.map_batches(hash_stage, batch_format="pandas")
+           .map_batches(partial, batch_format="pandas")
+           .groupby("text_hash")
+           .aggregate(Min("rep_doc_id", alias_name="rep_doc_id"),
+                      Sum("dup_count", alias_name="dup_count"))
+           .to_pandas())
     out = out[["rep_doc_id", "dup_count"]].astype(np.int64)
     return out.sort_values("rep_doc_id").reset_index(drop=True)
 
@@ -345,13 +370,19 @@ def events_window(sf_dir: str):
     ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
-        win = (b["ts"].astype("int64") // 3_600_000_000).astype(np.int64)
+        # explicit µs resolution: datetime64[ns] inputs would otherwise make
+        # the // 3_600_000_000 divisor off by 1000× (dtype-dependent bins)
+        win = (b["ts"].astype("datetime64[us]").astype("int64") // 3_600_000_000).astype(np.int64)
         g = b.assign(win=win).groupby(["user_id", "win"], as_index=False).agg(
             n_events=("value", "size"), sum_value=("value", "sum"))
         return g
 
-    out = _fold(ds.map_batches(partial, batch_format="pandas"), ["user_id", "win"],
-                dict(n_events=("n_events", "sum"), sum_value=("sum_value", "sum")))
+    # user×hour key space is unbounded ⇒ distributed groupby merge
+    out = (ds.map_batches(partial, batch_format="pandas")
+           .groupby(["user_id", "win"])
+           .aggregate(Sum("n_events", alias_name="n_events"),
+                      Sum("sum_value", alias_name="sum_value"))
+           .to_pandas())
     out["n_events"] = out["n_events"].astype(np.int64)
     out["sum_value"] = out["sum_value"].round(2)
     out["user_id"] = out["user_id"].astype(np.int64)
@@ -448,45 +479,61 @@ def doc_fingerprints(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 def minhash_near_dups(sf_dir: str):
-    """[rows-only] MinHash-LSH near-dup pairs (Jaccard ≥ 0.5, verified).
+    """MinHash-LSH near-dup pairs (Jaccard ≥ 0.5, verified), distributed
+    end-to-end — no corpus-scale driver materialization:
 
-    shingle→minhash→band explode→band-bucket groupby→candidate pairs→
-    exact verify (broadcast text index). Returns (doc_a, doc_b, jaccard).
+    shingle→minhash→band explode (map_batches) → (band, band_hash)-keyed
+    repartition → per-block candidate pairs (singleton buckets dropped by a
+    vectorized mask) → (doc_a, doc_b)-keyed repartition → per-block global
+    pair dedup → distributed shingle computation for CANDIDATE docs only
+    (semi-join by broadcast id set) → actor-pool exact-Jaccard verify with a
+    candidate-scale broadcast index. Returns (doc_a, doc_b, jaccard).
     """
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    empty = pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
+                          "doc_b": pd.Series([], dtype=np.int64),
+                          "jaccard": pd.Series([], dtype=np.float64)})
+    ds = _keyed(_read(sf_dir, "documents", ["doc_id", "text"]))
     bands = ds.map_batches(dedup_ops.minhash_bands, batch_format="pandas")
-    # bucket join: almost all band buckets are singletons — drop them with a
-    # vectorized duplicated() mask BEFORE pair expansion (per-group Python
-    # over millions of singleton buckets is the anti-pattern)
-    cand_pd = dedup_ops.collide_pairs(bands.to_pandas())
-    if len(cand_pd) == 0:
-        return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
-                             "doc_b": pd.Series([], dtype=np.int64),
-                             "jaccard": pd.Series([], dtype=np.float64)})
-    texts = dict(zip(*[pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])[c].to_pylist()
-                       for c in ("doc_id", "text")]))
-    texts_ref = ray.put(texts)
-    verified = rd.from_pandas(cand_pd).map_batches(
-        dedup_ops.PairVerifier, fn_constructor_kwargs=dict(texts_ref=texts_ref),
+    cand = (bands.repartition(8, keys=["band", "band_hash"])
+            .map_batches(dedup_ops.collide_pairs, batch_format="pandas")
+            .repartition(4, keys=["doc_a", "doc_b"])
+            .map_batches(dedup_ops.dedup_pairs_block, batch_format="pandas")
+            .materialize())
+    cand_ids = cand.unique("doc_a")
+    cand_ids = frozenset(cand_ids) | frozenset(cand.unique("doc_b"))
+    if not cand_ids:
+        return empty
+    # shingles for candidate docs, computed distributed over the corpus scan
+    sh_pd = ds.map_batches(dedup_ops.doc_shingles,
+                           fn_kwargs=dict(keep_ids=cand_ids),
+                           batch_format="pandas").to_pandas()
+    sh_ref = ray.put(dict(zip(sh_pd["doc_id"].astype(np.int64),
+                              (np.asarray(s, np.uint64) for s in sh_pd["shingles"]))))
+    verified = cand.map_batches(
+        dedup_ops.PairVerifier, fn_constructor_kwargs=dict(shingles_ref=sh_ref),
         batch_format="pandas", concurrency=2)
     out = verified.to_pandas()
+    if len(out) == 0:
+        return empty
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
 def simhash_near_dups(sf_dir: str):
-    """[rows-only] SimHash near-dup pairs (Hamming ≤ 3) via 16-bit banding."""
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    """SimHash near-dup pairs (Hamming ≤ 3) via 16-bit banding, distributed:
+    simhash+bands via map_batches, bucket pairs per keyed-repartition block,
+    global pair dedup per second keyed block."""
+    ds = _keyed(_read(sf_dir, "documents", ["doc_id", "text"]))
     sh = ds.map_batches(dedup_ops.simhash64, batch_format="pandas")
-    bands = sh.map_batches(dedup_ops.simhash_bands, batch_format="pandas").to_pandas()
-    dup = bands.duplicated(["band", "band_hash"], keep=False)
-    pieces = [dedup_ops.simhash_bucket_pairs(g)
-              for _, g in bands.loc[dup].groupby(["band", "band_hash"])]
-    out = pd.concat(pieces, ignore_index=True) if pieces else pd.DataFrame()
+    bands = sh.map_batches(dedup_ops.simhash_bands, batch_format="pandas")
+    out = (bands.repartition(8, keys=["band", "band_hash"])
+           .map_batches(dedup_ops.hamming_collide_block, batch_format="pandas")
+           .repartition(4, keys=["doc_a", "doc_b"])
+           .map_batches(dedup_ops.dedup_pairs_block, batch_format="pandas")
+           .to_pandas())
     if len(out) == 0:
         return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
                              "doc_b": pd.Series([], dtype=np.int64),
                              "hamming": pd.Series([], dtype=np.int32)})
-    out = out.drop_duplicates(["doc_a", "doc_b"])
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 

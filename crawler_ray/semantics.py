@@ -44,13 +44,15 @@ def is_listing_url(url: str) -> bool:
 
 
 def is_property_url(url: str) -> bool:
-    """Reference's loose substring-order check (property_matcher.py:43-54)."""
+    """Reference's loose substring-order check (property_matcher.py:43-54).
+    Note: the '.html' position is the FIRST occurrence (reference uses
+    find, not rfind) — a URL with '.html' before 'apa' is irrelevant."""
     low = url.lower()
     i = low.find("craigslist.org")
     if i < 0 or not low.endswith(".html"):
         return False
     j = low.find("apa")
-    return 0 <= i < j < low.rfind(".html")
+    return 0 <= i < j < low.find(".html")
 
 
 def is_relevant_url(url: str) -> bool:

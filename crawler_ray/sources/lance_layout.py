@@ -26,23 +26,40 @@ import pyarrow.parquet as pq
 
 from crawler_ray.hashing import xxh64_array
 
-_KEY_COLS = ("url_hash", "image_id", "url", "band_hash", "doc_id")
+def _column_hashes(col: pa.ChunkedArray | pa.Array) -> np.ndarray | None:
+    """Per-row 64-bit hashes of one column, or None for unhashable types
+    (large binary payloads, lists — those are covariant with a key column
+    in every table we write, e.g. image bytes with image_id)."""
+    t = col.type
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return xxh64_array(col)
+    if pa.types.is_floating(t):
+        return col.to_numpy(zero_copy_only=False).astype(np.float64).view(np.uint64)
+    if pa.types.is_unsigned_integer(t):
+        return col.to_numpy(zero_copy_only=False).astype(np.uint64)
+    if (pa.types.is_integer(t) or pa.types.is_boolean(t)
+            or pa.types.is_temporal(t)):
+        return col.cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+    return None
 
 
 def _batch_digest(batch: pa.Table) -> str:
     """Content-derived fragment id: a task retry rewrites the SAME name
     (os.replace idempotent), so side-effect writes are retry-safe and a
-    resumed wave converges to the same fragment set."""
-    for c in _KEY_COLS:
-        if c in batch.column_names:
-            col = batch[c]
-            if pa.types.is_string(col.type):
-                h = xxh64_array(col)
-            else:
-                h = col.to_numpy(zero_copy_only=False).astype(np.uint64)
-            digest = np.bitwise_xor.reduce(h) ^ np.uint64(batch.num_rows) if len(h) else np.uint64(0)
-            return f"{int(digest):016x}"
-    return f"{batch.num_rows:016x}"
+    resumed wave converges to the same fragment set. ALL hashable columns
+    contribute (position-mixed), so two batches sharing a key multiset but
+    differing elsewhere (e.g. same URLs, different seq) get distinct names
+    — only a true retry of the identical batch collides."""
+    if batch.num_rows == 0:
+        return f"{0:016x}"
+    mix = np.uint64(0x9E3779B185EBCA87)
+    rows = np.zeros(batch.num_rows, np.uint64)
+    for name in batch.column_names:
+        h = _column_hashes(batch[name])
+        if h is not None:
+            rows = (rows ^ h) * mix
+    digest = np.bitwise_xor.reduce(rows) ^ np.uint64(batch.num_rows)
+    return f"{int(digest):016x}"
 
 
 class FragmentWriter:

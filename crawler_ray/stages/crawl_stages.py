@@ -32,12 +32,13 @@ def listing_mask(urls: pd.Series) -> np.ndarray:
 
 def property_mask(urls: pd.Series) -> np.ndarray:
     """Reference's substring-order check (property_matcher.py:43-54),
-    vectorized: find('craigslist.org') < find('apa') < rfind('.html')."""
+    vectorized: find('craigslist.org') < find('apa') < find('.html')
+    (FIRST '.html' occurrence, matching the reference's find)."""
     low = urls.str.lower()
     i = low.str.find("craigslist.org")
     j = low.str.find("apa")
     ends = low.str.endswith(".html")
-    k = low.str.len() - 5  # rfind('.html') == len-5 when endswith
+    k = low.str.find(".html")
     return ((i >= 0) & ends & (i < j) & (j < k)).fillna(False).to_numpy(bool)
 
 

@@ -34,6 +34,14 @@ class CuckooFilter:
         self.n_buckets = np.uint64(1 << capacity_log2)
         self.buckets = np.zeros((1 << capacity_log2, 4), np.uint16)
         self._rng = np.random.default_rng(seed)
+        # Fingerprints orphaned by a kick-limit failure. The homeless
+        # fingerprint after a failed kick chain belongs to a PREVIOUSLY
+        # inserted item (the new item lands on the first swap), so dropping
+        # it would create a false negative for that older item. Instead we
+        # park the fingerprint here and treat any query whose fingerprint
+        # matches as a 'maybe' (exact set resolves it).
+        self._orphans: set[int] = set()
+        self._orphans_arr = np.zeros(0, np.uint16)
 
     def _fingerprint(self, h: np.ndarray) -> np.ndarray:
         f = ((h >> np.uint64(48)) & np.uint64(0xFFFF)).astype(np.uint16)
@@ -79,7 +87,11 @@ class CuckooFilter:
             if len(empty):
                 row[empty[0]] = f
                 return True
-        return False
+        # Kick limit hit: the carried f is an evicted victim, not the new
+        # item. Keep it queryable via the orphan set (never lose a resident).
+        self._orphans.add(int(f))
+        self._orphans_arr = np.fromiter(self._orphans, np.uint16, len(self._orphans))
+        return True
 
     def maybe_contains(self, hashes: np.ndarray) -> np.ndarray:
         f = self._fingerprint(hashes)
@@ -87,7 +99,10 @@ class CuckooFilter:
         i2 = self._index2(i1, f)
         hit1 = (self.buckets[i1] == f[:, None]).any(axis=1)
         hit2 = (self.buckets[i2] == f[:, None]).any(axis=1)
-        return hit1 | hit2
+        hits = hit1 | hit2
+        if len(self._orphans_arr):
+            hits |= np.isin(f, self._orphans_arr)
+        return hits
 
 
 @ray.remote(num_cpus=0)

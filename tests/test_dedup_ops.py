@@ -72,8 +72,9 @@ def test_simhash_banding_pigeonhole():
 def test_verifier_blocks_false_positives(ray_session):
     import ray
 
-    texts_ref = ray.put({0: BASE, 1: NEAR, 2: FAR})
-    v = dedup_ops.PairVerifier(texts_ref, threshold=0.5)
+    shingles_ref = ray.put({i: dedup_ops.shingle_hashes(t)
+                            for i, t in enumerate((BASE, NEAR, FAR))})
+    v = dedup_ops.PairVerifier(shingles_ref, threshold=0.5)
     batch = pd.DataFrame({"doc_a": np.array([0, 0], np.int64), "doc_b": np.array([1, 2], np.int64)})
     out = v(batch)
     assert list(zip(out["doc_a"], out["doc_b"])) == [(0, 1)]

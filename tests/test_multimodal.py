@@ -42,7 +42,7 @@ def test_featurize_store_dataset(ray_session):
     assert set(out.columns) == {"image_id", "w", "h", "fmt", "phash", "feature"}
 
 
-def test_phash_near_dups_finds_identical_images():
+def test_phash_near_dups_finds_identical_images(ray_session):
     # same pixels encoded twice → phash identical → pair at hamming 0
     iid = "00000000000000aa"
     arr = image_array(iid, 64, 64)

@@ -18,15 +18,17 @@ def test_cuckoo_no_false_negatives_and_low_fp():
     assert fp < 0.01  # 16-bit fingerprints → ~0.01-0.1% expected
 
 
-def test_cuckoo_overflow_reports_unstored():
+def test_cuckoo_overflow_never_false_negative():
+    # Overfill an 8×-too-small filter: kick-limit evictions park victim
+    # fingerprints in the orphan set, so EVERY inserted item — including
+    # earlier items whose fingerprint was evicted later — still reports
+    # 'maybe' (the no-false-negatives invariant; ADVICE r1 medium finding).
     cf = CuckooFilter(capacity_log2=6)  # 64 buckets × 4 = 256 slots
     rng = np.random.default_rng(2)
     many = rng.integers(1, 2**64 - 1, 2000, dtype=np.uint64)
-    failed = cf.insert_many(many)
-    assert failed > 0  # must overflow
-    # everything NOT reported failed is findable
-    stored_mask = cf.maybe_contains(many)
-    assert stored_mask.sum() >= len(many) - failed
+    cf.insert_many(many)
+    assert len(cf._orphans) > 0  # saturation actually exercised
+    assert cf.maybe_contains(many).all()
 
 
 def test_sharded_seen_exactness(ray_session):
