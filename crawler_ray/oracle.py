@@ -59,8 +59,9 @@ def run_oracle(web: dict, params: WebParams, cfg: semantics.CrawlConfig | None =
     # candidates: (seq_key, base_url|None, url, source); extracted URLs are
     # already canonical (normalized at extraction, like the reference)
     candidates = [(int(r["seq"]), None, r["url"], "seed") for r in seeds]
+    retries: list[dict] = []   # cross-wave re-enqueues (SURVEY §4 retry row)
     wave = 0
-    while candidates and wave < cfg.max_waves:
+    while (candidates or retries) and wave < cfg.max_waves:
         enq = []
         for seqk, base, raw, source in sorted(candidates, key=lambda c: (c[0], c[2])):
             url = normalize_url(raw, base) if source == "seed" else raw
@@ -79,8 +80,14 @@ def run_oracle(web: dict, params: WebParams, cfg: semantics.CrawlConfig | None =
             seen[url] = xxh64(url)
             enq.append(
                 dict(url=url, host=host, priority=pri, seq=seqk, source=source,
-                     host_shard=semantics.host_shard(xxh64(host)))
+                     host_shard=semantics.host_shard(xxh64(host)),
+                     prior_attempts=0, n_enq=0)
             )
+        # re-enqueued URLs keep their original (priority, host_shard, seq)
+        # key and bypass relevance/robots/seen/priority (already admitted;
+        # in particular the listing RR counter must NOT advance again)
+        enq.extend(retries)
+        retries = []
         if not enq:
             break
         ordered = sorted(enq, key=lambda r: (r["priority"], r["host_shard"], r["seq"], r["url"]))
@@ -98,11 +105,14 @@ def run_oracle(web: dict, params: WebParams, cfg: semantics.CrawlConfig | None =
                 dlq.append(dict(url=url, failed_step="invalid_url", retry_count=0, wave=wave))
                 continue
             meta = pages_by_url.get(url)
-            ok, step, attempts = semantics.fetch_outcome(meta, cfg.max_retries)
+            ok, step, attempts, html = semantics.fetch_decision(
+                meta, render_html, cfg.max_retries, r["prior_attempts"])
+            total_attempts = r["prior_attempts"] + attempts
             if not ok:
-                dlq.append(dict(url=url, failed_step=step, retry_count=attempts - 1, wave=wave))
+                dlq.append(dict(url=url, failed_step=step, retry_count=total_attempts - 1, wave=wave))
+                if semantics.retryable_step(step) and r["n_enq"] < cfg.max_enqueue_retries:
+                    retries.append(dict(r, prior_attempts=total_attempts, n_enq=r["n_enq"] + 1))
                 continue
-            html = render_html(meta)
             content_hash = xxh64(html)
             if meta["kind"] == "property":
                 day = int(meta["posted_days"])

@@ -294,9 +294,15 @@ def _run_crawl_inner(
             isl = b["is_listing_page"].to_numpy(bool)
             if isl.any():
                 pri[isl] = b.loc[isl, "url"].map(lp).fillna(-1).astype(np.int8)
+            # cross-wave retries keep their ORIGINAL priority (in particular
+            # the listing RR counter must not advance again for them)
+            isr = (b["source"] == "retry").to_numpy(bool)
+            if isr.any():
+                pri[isr] = b.loc[isr, "priority0"].to_numpy(np.int8)
             b = b.copy()
             b["priority"] = pri
-            b = b.loc[pri >= 0, ["url", "url_hash", "host", "host_shard", "priority", "seq", "source"]]
+            b = b.loc[pri >= 0, ["url", "url_hash", "host", "host_shard", "priority",
+                                 "seq", "source", "prior_attempts", "n_enq"]]
             return b
 
         # priority assign + register in seen shards + politeness schedule
@@ -310,7 +316,7 @@ def _run_crawl_inner(
         gate = (_time.time(), cfg.time_scale) if cfg.politeness_mode == "wall" else None
         fp = FetchProcess(params=params, out_root=out_root,
                           wave=wave, seed=cfg.seed, max_retries=cfg.max_retries,
-                          gate=gate)
+                          gate=gate, max_enqueue_retries=cfg.max_enqueue_retries)
         # blocks are already host-partitioned; row-wise stages preserve block
         # membership, so politeness needs no further exchange
         chain = ds.map_batches(assign_priority, batch_format="pandas").map_batches(

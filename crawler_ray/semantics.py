@@ -34,6 +34,25 @@ from crawler_ray.hashing import xxh64
 NUM_SHARDS = 64               # host_shard space (partitioning key)
 MIN_REQUEST_INTERVAL = 8.0    # reference config.json:9 (virtual seconds)
 MAX_RETRIES = 3               # reference config.json:10
+MAX_ENQUEUE_RETRIES = 2       # cross-wave re-enqueues of transient failures
+                              # (SURVEY §4 upgrade: the reference silently
+                              # drops URLs whose in-fetch retries exhaust,
+                              # worker.py:370-372,493-496)
+SHORT_CONTENT_FLOOR = 5000    # html_downloader.py:205 min_content_length
+
+# the reference's full blocking-indicator table (html_downloader.py:255-278)
+BLOCK_INDICATORS = (
+    "access denied", "blocked", "captcha", "security check",
+    "unusual traffic", "not available", "forbidden", "bot detected",
+    "automated access", "verify you are human", "cloudflare", "please verify",
+)
+
+
+def is_blocked_html(html: str) -> bool:
+    """Reference block-page detector: case-insensitive substring scan of the
+    fetched content against the 12-indicator table."""
+    low = html.lower()
+    return any(ind in low for ind in BLOCK_INDICATORS)
 
 LISTING_RE = re.compile(r"^https?://[a-z0-9\-]+\.craigslist\.org(?:/search/apa)(?:[#?].*)?$", re.IGNORECASE)
 PROPERTY_RE = re.compile(r"^https?://[a-z0-9\-]+\.craigslist\.org/apa/d/[^/]+/\d+\.html$", re.IGNORECASE)
@@ -116,18 +135,39 @@ def politeness_delay(rules: dict | None, min_interval: float = MIN_REQUEST_INTER
     return max(float(delay), min_interval)
 
 
-def fetch_outcome(meta: dict, max_retries: int = MAX_RETRIES) -> tuple[bool, str, int]:
-    """(success, failed_step, attempts_used) for a page's metadata row."""
+def retryable_step(step: str) -> bool:
+    """Only HTTP-status failures are transient (eligible for cross-wave
+    re-enqueue); blocked/short are content-level — the content won't change
+    on refetch — and invalid/not_found are structural."""
+    return step.startswith("status_")
+
+
+def fetch_decision(meta: dict | None, html_fn, max_retries: int = MAX_RETRIES,
+                   prior_attempts: int = 0) -> tuple[bool, str, int, str | None]:
+    """One wave's fetch outcome for a page: (ok, failed_step,
+    attempts_this_wave, html|None).
+
+    Models the html_downloader retry loop (:172-217): each wave grants
+    ``max_retries + 1`` attempts; HTTP-status failures consume attempts
+    until the page's ``fail_attempts`` budget clears — cumulatively across
+    waves via ``prior_attempts`` (the cross-wave re-enqueue path). Once a
+    response body arrives, the content checks run in reference order:
+    block-indicator scan (``is_blocked_html``), then the short-content
+    floor; both exhaust the wave budget and are permanent.
+    ``html_fn(meta) -> str`` renders the body lazily (only when the status
+    budget clears)."""
+    budget = max_retries + 1
     if meta is None:
-        return False, "not_found", max_retries + 1
-    if meta["blocked"]:
-        return False, "blocked", max_retries + 1
-    if meta["short"]:
-        return False, "short_content", max_retries + 1
-    fa = int(meta["fail_attempts"])
-    if fa > max_retries:
-        return False, f"status_{meta['status_code']}", max_retries + 1
-    return True, "", fa + 1
+        return False, "not_found", budget, None
+    remaining = int(meta["fail_attempts"]) - prior_attempts
+    if remaining >= budget:
+        return False, f"status_{meta['status_code']}", budget, None
+    html = html_fn(meta)
+    if is_blocked_html(html):
+        return False, "blocked", budget, None
+    if len(html) < SHORT_CONTENT_FLOOR:
+        return False, "short_content", budget, None
+    return True, "", max(remaining, 0) + 1, html
 
 
 def url_path(url: str) -> str:
@@ -140,6 +180,7 @@ def url_path(url: str) -> str:
 class CrawlConfig:
     min_request_interval: float = MIN_REQUEST_INTERVAL
     max_retries: int = MAX_RETRIES
+    max_enqueue_retries: int = MAX_ENQUEUE_RETRIES
     max_waves: int = 10
     num_shards: int = NUM_SHARDS
     seed: int = 42

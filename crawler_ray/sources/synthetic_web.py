@@ -17,11 +17,11 @@ function over all URLs for the oracle and tests.
 
 Failure injection (html_downloader.py retry semantics, :172-217):
 - ``status_code`` + ``fail_attempts``: attempts < fail_attempts observe
-  ``status_code``; later attempts observe 200 (transient-failure path).
-- ``blocked``: HTML contains a block-indicator substring on every attempt.
+  ``status_code``; later attempts observe 200 (transient-failure path,
+  cumulative ACROSS waves via the DLQ re-enqueue — semantics.fetch_decision).
+- ``blocked``: HTML contains one of the 12 block indicators on every attempt
+  (detected from the rendered content, like the reference's _is_blocked).
 - ``short``: HTML is < 5000 chars on every attempt.
-A page is fetchable iff not blocked, not short, and
-``fail_attempts <= max_retries``.
 """
 
 from __future__ import annotations
@@ -37,7 +37,8 @@ from crawler_ray import geo
 from crawler_ray.hashing import xxh64
 from crawler_ray.imaging import encode_png, encode_qpng
 
-BLOCK_INDICATOR = "unusual traffic"  # one of the reference's 12 indicators
+# block pages embed one of semantics.BLOCK_INDICATORS (all 12 exercised,
+# chosen deterministically per URL — see render_html)
 _FILLER_WORDS = (
     "spacious bright modern renovated cozy charming quiet sunny updated "
     "hardwood granite stainless laundry parking balcony garden rooftop gym "
@@ -128,12 +129,24 @@ def _listing_url(host: str, li: int) -> str:
 
 
 def _failure_flags(p: WebParams, url: str) -> dict:
+    """Failure injection. ``fail_attempts`` spans three tiers against the
+    per-wave attempt budget B = max_retries+1 and the cross-wave cap
+    (1 + max_enqueue_retries) re-enqueues: [1, B] succeed in-wave or after
+    one re-enqueue, (B, 3B] need 1–2 re-enqueues, > 3B are permanent — so
+    every branch of the DLQ re-enqueue path is exercised."""
     r = _rng("fail", p.seed, url)
     out = dict(status_code=200, fail_attempts=0, blocked=False, short=False,
                latency_ms=int(r.integers(20, 400)))
     if r.random() < p.fail_frac:
         out["status_code"] = int(r.choice([403, 429, 500, 503]))
-        out["fail_attempts"] = int(r.integers(1, p.max_retries + 3))
+        budget = p.max_retries + 1
+        tier = r.random()
+        if tier < 0.5:
+            out["fail_attempts"] = int(r.integers(1, budget + 1))
+        elif tier < 0.85:
+            out["fail_attempts"] = int(r.integers(budget + 1, 3 * budget + 1))
+        else:
+            out["fail_attempts"] = int(3 * budget + r.integers(1, 5))
     out["blocked"] = bool(r.random() < p.blocked_frac)
     out["short"] = bool(r.random() < p.short_frac)
     return out
@@ -330,7 +343,13 @@ def render_html(meta: dict) -> str:
 """
     else:
         body = f'<h1 class="searchtitle">{meta["title"]}</h1>'
-    block = f"<p>{BLOCK_INDICATOR} notice</p>" if meta["blocked"] else ""
+    if meta["blocked"]:
+        from crawler_ray.semantics import BLOCK_INDICATORS
+
+        ind = BLOCK_INDICATORS[xxh64("blockind:" + meta["url"]) % len(BLOCK_INDICATORS)]
+        block = f"<p>{ind} notice</p>"
+    else:
+        block = ""
     html = f"""<!DOCTYPE html>
 <html><head><title>{meta['title']} - craigslist</title></head>
 <body>{block}

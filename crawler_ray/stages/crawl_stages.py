@@ -62,14 +62,18 @@ class PrepStage:
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         if len(batch) == 0:
             return _empty_frontier()
+        if "prior_attempts" not in batch.columns:
+            batch = batch.assign(prior_attempts=np.int32(0), n_enq=np.int32(0),
+                                 priority0=np.int8(-1))
         urls = batch["url"].astype("string")
         if self.normalize_seeds:
             is_seed = batch["source"] == "seed"
             if is_seed.any():
                 urls = urls.mask(is_seed, normalize_series(urls[is_seed]))
         keep = urls.notna()
-        # relevance: extracted links must be listing|property (worker.py:409)
-        extracted = (batch["source"] != "seed").to_numpy(bool)
+        # relevance: extracted links must be listing|property (worker.py:409);
+        # retry rows were admitted in a previous wave — always pass
+        extracted = (batch["source"] == "extracted").to_numpy(bool)
         relevant = listing_mask(urls) | property_mask(urls)
         keep &= ~extracted | relevant
         batch = batch.loc[keep.fillna(False)].copy()
@@ -102,6 +106,9 @@ class PrepStage:
                 "seq": batch["seq"].astype(np.int64),
                 "source": batch["source"].astype(str),
                 "host": host.astype(str),
+                "prior_attempts": batch["prior_attempts"].astype(np.int32),
+                "n_enq": batch["n_enq"].astype(np.int32),
+                "priority0": batch["priority0"].astype(np.int8),
             }
         )
         out["url_hash"] = xxh64_array(out["url"])
@@ -124,6 +131,9 @@ def _empty_frontier() -> pa.Table:
             {
                 "url": pd.Series([], dtype=str), "seq": pd.Series([], dtype=np.int64),
                 "source": pd.Series([], dtype=str), "host": pd.Series([], dtype=str),
+                "prior_attempts": pd.Series([], dtype=np.int32),
+                "n_enq": pd.Series([], dtype=np.int32),
+                "priority0": pd.Series([], dtype=np.int8),
                 "url_hash": pd.Series([], dtype=np.uint64),
                 "host_shard": pd.Series([], dtype=np.int32),
                 "region": pd.Series([], dtype=np.int32),
@@ -138,12 +148,16 @@ def _empty_frontier() -> pa.Table:
 def dedup_block(batch: pd.DataFrame) -> pd.DataFrame:
     """Vectorized first-wins dedup for a hash-partitioned block: all rows of
     a url_hash are co-located (repartition(keys=['url_hash'])), so one
-    sort + drop_duplicates per block replaces per-group Python."""
+    sort + drop_duplicates per block replaces per-group Python. A retry row
+    outranks extracted duplicates of the same URL (it carries the original
+    order key and must survive the downstream seen anti-join)."""
     if len(batch) == 0:
         return batch
-    return batch.sort_values(["url_hash", "seq", "url"], kind="mergesort").drop_duplicates(
+    b = batch.assign(_new=(batch["source"] != "retry").to_numpy(bool))
+    b = b.sort_values(["url_hash", "_new", "seq", "url"], kind="mergesort").drop_duplicates(
         "url_hash", keep="first"
     )
+    return b.drop(columns=["_new"])
 
 
 def make_politeness_block(delay_by_host: dict, min_interval: float):
@@ -195,6 +209,9 @@ class SeenFilter:
         live, results = self._call_shards("contains", hashes)
         for idx, res in zip(live, results):
             mask[idx] = res
+        # cross-wave retries are in the seen set by definition — keep them
+        if "source" in batch.columns:
+            mask &= (batch["source"] != "retry").to_numpy(bool)
         return batch.loc[~mask]
 
 
@@ -236,10 +253,12 @@ class Fetcher:
         n = len(batch)
         ok = np.zeros(n, bool)
         step = np.full(n, "", object)
-        retries = np.zeros(n, np.int32)
+        attempts_total = np.zeros(n, np.int32)
         html = np.full(n, "", object)
         duration = np.zeros(n, np.float64)
         fetchable = valid_fetch_mask(batch["url"]) if n else np.zeros(0, bool)
+        prior = (batch["prior_attempts"].to_numpy(np.int32)
+                 if "prior_attempts" in batch.columns else np.zeros(n, np.int32))
         for i, url in enumerate(batch["url"].tolist()):
             if targets is not None:
                 import time as _t
@@ -251,18 +270,20 @@ class Fetcher:
                 step[i] = "invalid_url"
                 continue
             meta = page_meta(url, self.params, self.hidx)
-            success, fstep, attempts = semantics.fetch_outcome(meta, self.max_retries)
+            success, fstep, attempts, body = semantics.fetch_decision(
+                meta, render_html, self.max_retries, int(prior[i]))
+            attempts_total[i] = prior[i] + attempts
             if not success:
                 step[i] = fstep
-                retries[i] = attempts - 1
                 continue
             ok[i] = True
-            html[i] = render_html(meta)
+            html[i] = body
             duration[i] = meta["latency_ms"] / 1000.0
         out = batch.copy()
         out["ok"] = ok
         out["failed_step"] = step.astype(str)
-        out["retry_count"] = retries
+        out["attempts_total"] = attempts_total
+        out["retry_count"] = np.maximum(attempts_total - 1, 0)
         out["html"] = html.astype(str)
         out["crawl_duration"] = duration
         return out
@@ -273,7 +294,10 @@ def parse_links(batch: pd.DataFrame) -> pd.DataFrame:
     per-page first-occurrence dedup → child candidates with intrinsic seq."""
     empty = pd.DataFrame({"url": pd.Series([], dtype=str),
                           "seq": pd.Series([], dtype=np.int64),
-                          "source": pd.Series([], dtype=str)})
+                          "source": pd.Series([], dtype=str),
+                          "prior_attempts": pd.Series([], dtype=np.int32),
+                          "n_enq": pd.Series([], dtype=np.int32),
+                          "priority0": pd.Series([], dtype=np.int8)})
     batch = batch.loc[batch["ok"]]
     if len(batch) == 0:
         return empty
@@ -306,7 +330,9 @@ def parse_links(batch: pd.DataFrame) -> pd.DataFrame:
     ph = df["parent_hash"].to_numpy(np.uint64)
     seq = (((ph >> np.uint64(16)) & np.uint64((1 << 46) - 1)) << np.uint64(16)).astype(np.int64) | pos
     return pd.DataFrame({"url": df["url"].astype(str).to_numpy(),
-                         "seq": seq, "source": "extracted"})
+                         "seq": seq, "source": "extracted",
+                         "prior_attempts": np.int32(0), "n_enq": np.int32(0),
+                         "priority0": np.int8(-1)})
 
 
 def parse_fields(batch: pd.DataFrame) -> pd.DataFrame:
@@ -350,10 +376,12 @@ class FetchProcess:
     """
 
     def __init__(self, params, out_root: str, wave: int,
-                 seed: int, max_retries: int, gate: tuple | None = None):
+                 seed: int, max_retries: int, gate: tuple | None = None,
+                 max_enqueue_retries: int = semantics.MAX_ENQUEUE_RETRIES):
         from crawler_ray.sources.lance_layout import FragmentWriter
 
         self.fetcher = Fetcher(params, max_retries, gate=gate)
+        self.max_enqueue_retries = max_enqueue_retries
         self.images = ImageStage(params, seed)
         self.writers = {
             "dlq": FragmentWriter(out_root, "dlq", f"w{wave}"),
@@ -387,6 +415,25 @@ class FetchProcess:
             meta += self._write("pages", parsed.drop(columns=["img_urls"]))
             meta += self._write("store", self.images(parsed))
         links = parse_links(fetched)
+        # cross-wave DLQ re-enqueue (SURVEY §4): transient (HTTP-status)
+        # failures below the re-enqueue cap go back into the next wave's
+        # frontier carrying their cumulative attempt count and original
+        # priority/order key — fixing the reference's silent URL loss
+        # (worker.py:370-372,493-496)
+        failed = fetched.loc[~fetched["ok"]]
+        if len(failed):
+            retryable = (failed["failed_step"].map(semantics.retryable_step).to_numpy(bool)
+                         & (failed["n_enq"].to_numpy(np.int32) < self.max_enqueue_retries))
+            r = failed.loc[retryable]
+            if len(r):
+                links = pd.concat([links, pd.DataFrame({
+                    "url": r["url"].astype(str).to_numpy(),
+                    "seq": r["seq"].astype(np.int64).to_numpy(),
+                    "source": "retry",
+                    "prior_attempts": r["attempts_total"].astype(np.int32).to_numpy(),
+                    "n_enq": (r["n_enq"].to_numpy(np.int32) + 1),
+                    "priority0": r["priority"].astype(np.int8).to_numpy(),
+                })], ignore_index=True)
         meta += self._write("frontier", links)
         if not meta:
             return pa.table({"table": pa.array([], pa.string()),

@@ -134,6 +134,52 @@ def test_resume_bit_identity(ray_session, tmp_path):
     assert ab == bb
 
 
+def test_cross_wave_retry_and_block_indicators(ray_session, tmp_path):
+    """SURVEY §4 retry row: transient (HTTP-status) failures re-enqueue into
+    the next wave with a cumulative attempt budget and recover; hard
+    failures exhaust max_enqueue_retries and park permanently. Block pages
+    carry varied indicators from the reference's 12-entry table. Engine and
+    oracle agree on seen/order/DLQ throughout."""
+    from collections import Counter
+
+    from crawler_ray.pipelines.crawl import run_crawl
+    from crawler_ray.sources.synthetic_web import page_meta, render_html
+
+    p = WebParams(seed=11, n_hosts=5, props_per_host=20, hot_hosts=1, hot_factor=3,
+                  props_per_listing=8, fail_frac=0.35, blocked_frac=0.12)
+    web = build_web(p)
+    oracle = run_oracle(web, p)
+
+    # the fixture exercises every branch:
+    order_count = Counter(r["url"] for r in oracle["order"])
+    retried = {u for u, c in order_count.items() if c > 1}
+    assert retried, "no URL was re-enqueued"
+    recovered = retried & {r["url"] for r in oracle["pages"]}
+    assert recovered, "no transient failure recovered in a later wave"
+    dlq_count = Counter(r["url"] for r in oracle["dlq"])
+    assert any(c >= 3 for c in dlq_count.values()), "no URL exhausted the re-enqueue cap"
+    blocked = [r["url"] for r in oracle["dlq"] if r["failed_step"] == "blocked"]
+    inds = set()
+    for u in blocked:
+        h = render_html(page_meta(u, p)).lower()
+        inds.update(i for i in semantics.BLOCK_INDICATORS if i in h)
+    assert len(inds) >= 3, f"only {inds} indicators fired"
+
+    run = run_crawl(web, p, str(tmp_path / "retry"))
+    t = run.read("seen")
+    assert dict(zip(t["url"].to_pylist(), t["url_hash"].to_pylist())) == oracle["seen"]
+    rows = sorted(run.read("order").to_pylist(),
+                  key=lambda r: (r["wave"], r["priority"], r["host_shard"], r["seq"], r["url"]))
+    eng = [(r["url"], r["wave"], r["priority"], r["host_shard"], r["seq"]) for r in rows]
+    orc = [(r["url"], r["wave"], r["priority"], r["host_shard"], r["seq"]) for r in oracle["order"]]
+    assert eng == orc
+    edlq = sorted((r["url"], r["failed_step"], r["retry_count"], r["wave"])
+                  for r in run.read("dlq").to_pylist())
+    odlq = sorted((r["url"], r["failed_step"], r["retry_count"], r["wave"])
+                  for r in oracle["dlq"])
+    assert edlq == odlq
+
+
 def test_oracle_determinism():
     p = WebParams(seed=7, n_hosts=4, props_per_host=6, hot_hosts=1, hot_factor=3)
     a = run_oracle(build_web(p), p)
