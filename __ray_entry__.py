@@ -84,6 +84,30 @@ def _phash_dups(sf_dir: str):
     return phash_near_dups(featurize_store(rd.read_parquet(paths)))
 
 
+def _header_stats(sf_dir: str):
+    """Pages-per-server rollup over the nested ``headers`` JSON column (the
+    reference's JSONB transport metadata, database_service.py:45-66)."""
+    import ray.data as rd
+
+    from crawler_ray.sources import lance_layout as ll
+
+    run = _crawl_run("queries")
+    m = ll.latest_manifest(run.root)
+    paths = ll.fragment_paths(run.root, "pages", m["tables"]["pages"])
+
+    def partial(b):
+        srv = b["headers"].str.extract(r'"server": "([^"]+)"', expand=False).fillna("?")
+        return b.assign(server=srv).groupby("server", as_index=False).size().rename(
+            columns={"size": "n_pages"})
+
+    out = (rd.read_parquet(paths, columns=["headers"])
+           .map_batches(partial, batch_format="pandas")
+           .groupby("server").sum("n_pages").to_pandas())
+    out = out.rename(columns={"sum(n_pages)": "n_pages"})
+    out["n_pages"] = out["n_pages"].astype("int64")
+    return out.sort_values("server").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from crawler_ray.pipelines.queries import QUERIES
 
@@ -94,6 +118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["crawl_seen"] = _crawl_table("seen")
     out["crawl_pages"] = _crawl_table("pages")
     out["crawl_dlq"] = _crawl_table("dlq")
+    out["crawl_header_stats"] = _header_stats
     # multimodal (decode/feature/near-dup over the image store)
     out["image_features"] = _image_features
     out["image_phash_dups"] = _phash_dups

@@ -36,6 +36,21 @@ def punct_ratio(texts: pd.Series, n_chars: pd.Series | None = None) -> np.ndarra
     return np.divide(p, n, out=np.zeros_like(p), where=n > 0)
 
 
+def _stop_hits(words: pd.Series, stopset: set) -> tuple[np.ndarray, np.ndarray]:
+    """(hits, totals) per row for a token-list Series, fully vectorized:
+    explode to one row per token, Series.isin against the stopword set,
+    groupby(row).sum — no per-document Python."""
+    n = len(words)
+    ex = words.explode().dropna()
+    if len(ex) == 0:
+        return np.zeros(n), np.zeros(n)
+    hits = ex.isin(stopset).groupby(level=0).sum()
+    totals = ex.groupby(level=0).size()
+    idx = words.index
+    return (hits.reindex(idx).fillna(0).to_numpy(np.float64),
+            totals.reindex(idx).fillna(0).to_numpy(np.float64))
+
+
 def quality_score(batch: pd.DataFrame) -> pd.DataFrame:
     """Heuristic quality features: length, token count, punct/stopword/digit
     ratios and a composite [0,1] score."""
@@ -47,10 +62,8 @@ def quality_score(batch: pd.DataFrame) -> pd.DataFrame:
     out["n_tokens"] = toks
     out["punct_ratio"] = punct_ratio(text)
     words = text.str.lower().str.findall(TOKEN_RE)
-    all_stop = set().union(*_STOPWORDS.values())
-    out["stop_ratio"] = words.map(
-        lambda ws: sum(w in all_stop for w in ws) / len(ws) if len(ws) else 0.0
-    ).to_numpy(np.float64)
+    hits, totals = _stop_hits(words, set().union(*_STOPWORDS.values()))
+    out["stop_ratio"] = np.divide(hits, totals, out=np.zeros_like(hits), where=totals > 0)
     out["digit_ratio"] = np.divide(
         text.str.count(r"\d").fillna(0).to_numpy(np.float64), n, out=np.zeros(len(n)), where=n > 0
     )
@@ -73,15 +86,14 @@ def lang_id(batch: pd.DataFrame) -> pd.DataFrame:
     cjk = text.str.count(r"[一-鿿]").fillna(0).to_numpy(np.float64)
     cjk_frac = np.divide(cjk, n, out=np.zeros_like(cjk), where=n > 0)
     words = text.str.lower().str.findall(TOKEN_RE)
-    preds = []
-    for ws, zh in zip(words, cjk_frac > 0.05):
-        if zh:
-            preds.append("zh")
-            continue
-        wset = ws if isinstance(ws, list) else []
-        scores = {lang: sum(w in sw for w in wset) for lang, sw in _STOPWORDS.items()}
-        best = max(sorted(scores), key=lambda k: scores[k])
-        preds.append(best if scores[best] > 0 else "en")
+    # per-language stopword hit counts, vectorized (exploded-token isin +
+    # groupby); winner = argmax over alphabetically-sorted languages (argmax
+    # takes the first max ⇒ alphabetical tie-break), zero hits ⇒ 'en'
+    langs = sorted(_STOPWORDS)
+    score_mat = np.stack([_stop_hits(words, _STOPWORDS[lang])[0] for lang in langs], axis=1)
+    best = np.asarray(langs, object)[score_mat.argmax(axis=1)]
+    preds = np.where(cjk_frac > 0.05, "zh",
+                     np.where(score_mat.max(axis=1) > 0, best, "en"))
     out = batch[["doc_id"]].copy()
     if "lang" in batch.columns:
         out["lang"] = batch["lang"]

@@ -19,12 +19,18 @@ semantics.py):
 
 from __future__ import annotations
 
+import json
 from collections import defaultdict
 
 from crawler_ray import geo, semantics
 from crawler_ray.hashing import xxh64
 from crawler_ray.imaging import decode_png, phash64
-from crawler_ray.sources.synthetic_web import WebParams, image_bytes, render_html
+from crawler_ray.sources.synthetic_web import (
+    WebParams,
+    image_bytes,
+    render_html,
+    response_headers,
+)
 from crawler_ray.urlnorm import is_valid_fetch_url, is_valid_link, normalize_url, url_host
 
 
@@ -125,6 +131,7 @@ def run_oracle(web: dict, params: WebParams, cfg: semantics.CrawlConfig | None =
                         sqft=meta["sqft"],
                         posted_date=f"2025-{1 + day // 31:02d}-{1 + day % 28:02d}T{day % 24:02d}:00:00",
                         city=meta["city"], status_code=200, content_hash=content_hash, wave=wave,
+                        headers=json.dumps(response_headers(url, len(html)), sort_keys=True),
                     )
                 )
                 for iid in meta["img_ids"]:

@@ -216,9 +216,10 @@ def _run_crawl_inner(
             listing_counter = m["listing_counter"]
             start_wave = m["wave"] + 1
             next_frontier_frags = m["next_frontier"]
-            seen_tbl = ll.read_fragments(out_root, "seen", cum["seen"])
-            if seen_tbl.num_rows:
-                seen.restore(seen_tbl["url_hash"].to_numpy())
+            seen_paths = ll.fragment_paths(out_root, "seen", cum["seen"])
+            if seen_paths:
+                # shard-side parallel restore — no driver-side full-table read
+                seen.restore_from_fragments(seen_paths)
             if not next_frontier_frags:
                 return CrawlRun(out_root, start_wave, m.get("counts", {}))
         else:

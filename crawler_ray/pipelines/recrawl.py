@@ -10,9 +10,11 @@ a new manifest version whose rows carry ``wave = prev_max + 1`` —
 latest-wave-wins per url is the read-side merge rule
 (``read_pages_latest``).
 
-Scale note: the old (url_hash → content_hash) map is broadcast via
-``ray.put`` (one uint64 pair per crawled page). At 10^10 pages this becomes
-a shuffle join on url_hash instead — the stage boundary is identical.
+Scale path: the refetch frontier is the order log read distributed from its
+fragments, and the old (url_hash → content_hash) pairs reach the fetch
+batches via a left-outer shuffle join on url_hash (latest-wave-wins per
+url_hash resolved in keyed blocks first) — nothing corpus-sized ever
+touches the driver or a broadcast.
 """
 
 from __future__ import annotations
@@ -20,7 +22,6 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-import ray
 import ray.data as rd
 
 from crawler_ray import semantics
@@ -31,19 +32,19 @@ from crawler_ray.stages.parsers import dispatch_parse
 
 class RecrawlProcess:
     """Fused refetch→parse→compare→store stage (actor-free task callable,
-    same pattern as FetchProcess)."""
+    same pattern as FetchProcess). The previous content hash arrives ON the
+    batch rows (``old_content_hash``, delivered by the distributed
+    left-outer join upstream) — no corpus-sized broadcast."""
 
-    def __init__(self, params, old_hashes_ref, out_root: str, wave: int,
+    def __init__(self, params, out_root: str, wave: int,
                  seed: int, max_retries: int):
         self.fetcher = Fetcher(params, max_retries)
         self.images = ImageStage(params, seed)
-        self.old_ref = old_hashes_ref
         self.writers = {
             "pages": ll.FragmentWriter(out_root, "pages", f"w{wave}"),
             "store": ll.FragmentWriter(out_root, "store", f"w{wave}", compression="none"),
             "dlq": ll.FragmentWriter(out_root, "dlq", f"w{wave}"),
         }
-        self._old: dict | None = None
 
     def _write(self, table: str, data) -> list[dict]:
         if isinstance(data, pd.DataFrame):
@@ -53,9 +54,8 @@ class RecrawlProcess:
                 for f, r in zip(m["fragment"].to_pylist(), m["rows"].to_pylist())]
 
     def __call__(self, batch: pd.DataFrame) -> pa.Table:
-        if self._old is None:
-            self._old = ray.get(self.old_ref)
-        fetched = self.fetcher(batch)
+        old_by_hash = dict(zip(batch["url_hash"], batch["old_content_hash"]))
+        fetched = self.fetcher(batch.drop(columns=["old_content_hash"]))
         meta: list[dict] = []
         stats = {"checked": len(batch), "changed": 0, "unchanged": 0, "failed": 0}
         dlq = fetched.loc[~fetched["ok"],
@@ -65,8 +65,10 @@ class RecrawlProcess:
         prop = fetched.loc[fetched["ok"] & property_mask(fetched["url"])]
         if len(prop):
             parsed = dispatch_parse(prop)
-            old = parsed["url_hash"].map(self._old)
-            changed = parsed.loc[old.isna() | (old != parsed["content_hash"])]
+            old = parsed["url_hash"].map(old_by_hash)
+            # hashes travel as decimal strings through the join (a nullable
+            # uint64 column would degrade to float64 and lose bits)
+            changed = parsed.loc[old.isna() | (old != parsed["content_hash"].astype(str))]
             stats["changed"] = len(changed)
             stats["unchanged"] = len(parsed) - len(changed)
             if len(changed):
@@ -91,24 +93,49 @@ def run_recrawl(web: dict, params, out_root: str,
     m = ll.latest_manifest(out_root)
     if m is None:
         raise FileNotFoundError(f"no crawl manifest at {out_root}")
-    pages_tbl = ll.read_fragments(out_root, "pages", m["tables"]["pages"])
-    old_hashes = dict(zip(pages_tbl["url_hash"].to_pylist(),
-                          pages_tbl["content_hash"].to_pylist()))
-    old_ref = ray.put(old_hashes)
-
-    order_tbl = ll.read_fragments(out_root, "order", m["tables"]["order"])
     wave = int(m["wave"]) + 1
-    frontier = order_tbl.select(["url", "host", "priority", "seq", "scheduled_at"])
-    frontier = frontier.append_column("wave", pa.array([wave] * frontier.num_rows, pa.int32()))
     from crawler_ray.hashing import xxh64_array
+    from crawler_ray.pipelines.queries import _keyed
 
-    frontier = frontier.append_column("url_hash", pa.array(xxh64_array(frontier["url"])))
-    shard = (xxh64_array(frontier["host"]) % np.uint64(semantics.NUM_SHARDS)).astype(np.int32)
-    frontier = frontier.append_column("host_shard", pa.array(shard))
+    # frontier = the order log, read DISTRIBUTED from its fragments. A URL
+    # can appear in several order rows (cross-wave retries), so dedup per
+    # url_hash-keyed block before the join.
+    order_paths = ll.fragment_paths(out_root, "order", m["tables"]["order"])
 
-    rp = RecrawlProcess(params=params, old_hashes_ref=old_ref, out_root=out_root,
+    def prep_front(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.assign(url_hash=xxh64_array(b["url"]), wave=np.int32(wave))
+        b["host_shard"] = (xxh64_array(b["host"]) % np.uint64(semantics.NUM_SHARDS)).astype(np.int32)
+        return b
+
+    frontier_ds = (_keyed(rd.read_parquet(
+        order_paths, columns=["url", "host", "priority", "seq", "scheduled_at"]))
+        .map_batches(prep_front, batch_format="pandas")
+        .repartition(4, keys=["url_hash"])
+        .map_batches(lambda b: b.drop_duplicates("url_hash"), batch_format="pandas"))
+
+    # previous content hashes: distributed latest-wave-wins per url_hash,
+    # then a left-outer shuffle join onto the frontier — replaces the
+    # driver-side dict broadcast (unbounded at 10^10 pages)
+    pages_paths = ll.fragment_paths(out_root, "pages", m["tables"]["pages"])
+
+    def latest_block(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(["url_hash", "wave"], kind="mergesort").drop_duplicates(
+            "url_hash", keep="last")
+        return pd.DataFrame({
+            "url_hash": b["url_hash"].to_numpy(np.uint64),
+            "old_content_hash": b["content_hash"].to_numpy(np.uint64).astype(str),
+        })
+
+    prev_ds = (_keyed(rd.read_parquet(pages_paths, columns=["url_hash", "content_hash", "wave"]))
+               .repartition(4, keys=["url_hash"])
+               .map_batches(latest_block, batch_format="pandas"))
+
+    joined = frontier_ds.join(prev_ds, join_type="left_outer",
+                              num_partitions=4, on=("url_hash",))
+
+    rp = RecrawlProcess(params=params, out_root=out_root,
                         wave=wave, seed=cfg.seed, max_retries=cfg.max_retries)
-    ds = rd.from_arrow(frontier).repartition(target_num_rows_per_block=fetch_batch_size * 2)
+    ds = joined.repartition(target_num_rows_per_block=fetch_batch_size * 2)
     meta = ds.map_batches(rp, batch_format="pandas", batch_size=fetch_batch_size).take_all()
 
     stats = {"checked": 0, "changed": 0, "unchanged": 0, "failed": 0}

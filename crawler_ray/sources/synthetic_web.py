@@ -152,6 +152,19 @@ def _failure_flags(p: WebParams, url: str) -> dict:
     return out
 
 
+_SERVERS = ("nginx", "apache", "cloudfront", "envoy")
+
+
+def response_headers(url: str, html_len: int) -> dict[str, str]:
+    """Deterministic response headers for a fetched page — the transport
+    metadata the reference persists as JSONB (database_service.py:45-66).
+    Stored on pages as a sorted-key JSON string column."""
+    srv = _SERVERS[xxh64("srv:" + url) % len(_SERVERS)]
+    return {"content-length": str(html_len),
+            "content-type": "text/html; charset=utf-8",
+            "server": srv}
+
+
 def image_meta(img_url: str, p: WebParams) -> dict:
     """Image metadata derived from the URL (the 'image server')."""
     r = _rng("imgmeta", p.seed, img_url)

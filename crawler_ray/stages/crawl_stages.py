@@ -250,11 +250,16 @@ class Fetcher:
             targets = epoch + batch["scheduled_at"].to_numpy(np.float64) * scale
         else:
             targets = None
+        import json
+
+        from crawler_ray.sources.synthetic_web import response_headers
+
         n = len(batch)
         ok = np.zeros(n, bool)
         step = np.full(n, "", object)
         attempts_total = np.zeros(n, np.int32)
         html = np.full(n, "", object)
+        headers = np.full(n, "", object)
         duration = np.zeros(n, np.float64)
         fetchable = valid_fetch_mask(batch["url"]) if n else np.zeros(0, bool)
         prior = (batch["prior_attempts"].to_numpy(np.int32)
@@ -278,6 +283,7 @@ class Fetcher:
                 continue
             ok[i] = True
             html[i] = body
+            headers[i] = json.dumps(response_headers(url, len(body)), sort_keys=True)
             duration[i] = meta["latency_ms"] / 1000.0
         out = batch.copy()
         out["ok"] = ok
@@ -285,6 +291,7 @@ class Fetcher:
         out["attempts_total"] = attempts_total
         out["retry_count"] = np.maximum(attempts_total - 1, 0)
         out["html"] = html.astype(str)
+        out["headers"] = headers.astype(str)
         out["crawl_duration"] = duration
         return out
 
@@ -338,7 +345,8 @@ def parse_links(batch: pd.DataFrame) -> pd.DataFrame:
 def parse_fields(batch: pd.DataFrame) -> pd.DataFrame:
     """Property-page parser (M8/M9): vectorized regex extraction of the
     fields the reference parser produces (craigslist_parser.py:52-191)."""
-    cols = ["url", "url_hash", "host", "host_shard", "wave", "crawl_duration"]
+    cols = ["url", "url_hash", "host", "host_shard", "wave", "crawl_duration", "headers"]
+    cols = [c for c in cols if c in batch.columns]
     h = batch["html"]
     out = batch[cols].copy()
     out["title"] = h.str.extract(r'<span id="titletextonly">([^<]*)</span>', expand=False)

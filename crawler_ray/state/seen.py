@@ -148,6 +148,22 @@ class SeenShard:
                 self._overflow.update(int(h) for h in fresh[~stored])
         return len(self._set)
 
+    def restore_from(self, paths: list[str], num_shards: int, shard_id: int) -> int:
+        """Resume path: read the url_hash column of the seen fragments
+        INSIDE the actor and keep only this shard's partition — the driver
+        never materializes the full seen history (each shard streams its own
+        column scan in parallel; at cluster scale, write seen fragments
+        bucketed by shard id so each actor opens only its own files)."""
+        import pyarrow.parquet as pq
+
+        for p in paths:
+            h = pq.read_table(p, columns=["url_hash"])["url_hash"].to_numpy()
+            h = np.asarray(h, np.uint64)
+            mine = h[(h % np.uint64(num_shards)).astype(np.int64) == shard_id]
+            if len(mine):
+                self.add(mine)
+        return len(self._set)
+
     def snapshot(self) -> np.ndarray:
         return np.fromiter(self._set, np.uint64, len(self._set))
 
@@ -186,6 +202,14 @@ class ShardedSeen:
 
     def restore(self, hashes: np.ndarray) -> None:
         self.add(hashes)
+
+    def restore_from_fragments(self, paths: list[str]) -> None:
+        """Parallel shard-side restore: each shard actor scans the seen
+        fragments' url_hash column and keeps its own partition."""
+        ray.get([
+            s.restore_from.remote(paths, self.num_shards, i)
+            for i, s in enumerate(self.shards)
+        ])
 
     def total(self) -> int:
         return sum(ray.get([s.size.remote() for s in self.shards]))

@@ -82,7 +82,7 @@ def test_parsed_pages_equality(unit_results):
     for op in oracle["pages"]:
         ep = eng[op["url"]]
         for k in ["title", "address", "price", "latitude", "longitude", "property_type",
-                  "beds", "baths", "sqft", "city", "content_hash", "wave"]:
+                  "beds", "baths", "sqft", "city", "content_hash", "wave", "headers"]:
             assert ep[k] == op[k], (op["url"], k)
         assert str(ep["posted_date"]).startswith(op["posted_date"].replace("T", " "))
 
