@@ -125,7 +125,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return out
 
 
+# Queries DuckDB SQL cannot express are checked against committed golden
+# parquet produced by STRAIGHT-LINE independent implementations
+# (tools/make_goldens.py): the crawl tables come from the single-threaded
+# reference-semantics oracle, SimHash/phash near-dups from brute-force
+# all-pairs Hamming scans, language-ID/fingerprints from per-document
+# loops, ANN-LSH from a plain numpy replication. Only seeded_sample stays
+# oracle-less (inherently random; reproducibility asserted in-query).
+_GOLDEN_CHECKED = (
+    "crawl_order", "crawl_seen", "crawl_dlq", "crawl_pages",
+    "crawl_store_meta", "crawl_header_stats", "image_features",
+    "image_phash_dups", "minhash_near_dups", "simhash_near_dups",
+    "near_dup_clusters", "lang_id_confusion", "doc_fingerprints",
+    "ann_lsh_topk",
+)
+
+
 def oracle_sql() -> dict[str, str]:
+    import os
+
     from crawler_ray.pipelines.queries import ORACLE_SQL
 
-    return dict(ORACLE_SQL)
+    out = dict(ORACLE_SQL)
+    golden_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "golden")
+    for name in _GOLDEN_CHECKED:
+        out[name] = f"SELECT * FROM read_parquet('{golden_dir}/{name}.parquet')"
+    return out

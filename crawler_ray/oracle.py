@@ -124,7 +124,10 @@ def run_oracle(web: dict, params: WebParams, cfg: semantics.CrawlConfig | None =
                 day = int(meta["posted_days"])
                 pages_out.append(
                     dict(
-                        url=url, url_hash=seen[url], host=r["host"], title=meta["title"],
+                        url=url, url_hash=seen[url], host=r["host"],
+                        host_shard=r["host_shard"],
+                        crawl_duration=meta["latency_ms"] / 1000.0,
+                        caption=meta["caption"], title=meta["title"],
                         address=meta["address"], price=meta["price"],
                         latitude=meta["latitude"], longitude=meta["longitude"],
                         property_type="apartment", beds=meta["beds"], baths=meta["baths"],

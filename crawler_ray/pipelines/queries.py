@@ -463,14 +463,29 @@ def lang_id_confusion(sf_dir: str):
 
 
 def doc_fingerprints(sf_dir: str):
-    """[rows-only] Rolling-hash fingerprint per doc; distinct count per source."""
+    """Rolling-hash fingerprint per doc; docs + EXACT distinct fingerprints
+    per source. Distinctness is computed by deduplicating (source,
+    fingerprint) pairs in keyed blocks before counting — a per-batch
+    nunique summed across batches would overcount duplicates that span
+    batch boundaries (caught by the golden oracle)."""
     ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
     fp = ds.map_batches(lambda b: textops.fingerprint(b).assign(source=b["source"].to_numpy()),
-                        batch_format="pandas")
-    out = _fold(fp.map_batches(lambda b: b.groupby("source", as_index=False).agg(n_docs=("fingerprint", "size"),
-                                                                                 n_distinct=("fingerprint", "nunique")),
-                               batch_format="pandas"),
-                ["source"], dict(n_docs=("n_docs", "sum"), n_distinct=("n_distinct", "sum")))
+                        batch_format="pandas").materialize()
+    docs = (fp.map_batches(lambda b: b.groupby("source", as_index=False).size()
+                           .rename(columns={"size": "n_docs"}), batch_format="pandas")
+            .groupby("source").aggregate(Sum("n_docs", alias_name="n_docs")).to_pandas())
+    # one row per unique (source, fingerprint) via a single sort-shuffle,
+    # then a combiner + tiny groupby for the per-source distinct count
+    distinct = (fp.map_batches(lambda b: b[["source", "fingerprint"]].drop_duplicates(),
+                               batch_format="pandas")
+                .groupby(["source", "fingerprint"]).aggregate(Count(alias_name="_c"))
+                .map_batches(lambda b: b.groupby("source", as_index=False).size()
+                             .rename(columns={"size": "n_distinct"}), batch_format="pandas")
+                .groupby("source").aggregate(Sum("n_distinct", alias_name="n_distinct"))
+                .to_pandas())
+    out = docs.merge(distinct, on="source")
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    out["n_distinct"] = out["n_distinct"].astype(np.int64)
     return out.sort_values("source").reset_index(drop=True)
 
 

@@ -1,0 +1,304 @@
+"""Golden-oracle generator for the queries DuckDB SQL cannot express.
+
+Each golden parquet under ``golden/`` is produced by a STRAIGHT-LINE,
+single-threaded implementation that is independent of the Ray
+orchestration under test (shared math kernels only — the same standard as
+the crawl conformance oracle). The driver's ``oracle_sql`` entries read
+these files via DuckDB ``read_parquet`` and get full rows+schema+hash
+checks instead of rows-only.
+
+Where a complete independent formulation exists, it is STRONGER than the
+engine's: SimHash and phash near-dup goldens are brute-force all-pairs
+Hamming scans (the banding guarantee must recover exactly that set);
+image features are decoded and embedded in a plain loop; language ID and
+stopword ratios use the original per-document loop the vectorized engine
+replaced.
+
+Inputs: ``/root/testdata/sf0.01`` (the driver's correctness tier) and the
+fixed crawl fixture of ``__ray_entry__._crawl_run``. Re-run after any
+semantics/fixture change:  python tools/make_goldens.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from crawler_ray.functions.dedup_ops import (  # noqa: E402
+    collide_pairs,
+    connected_components,
+    jaccard,
+    minhash_bands,
+    shingle_hashes,
+    simhash64,
+)
+from crawler_ray.hashing import xxh64, xxh64_array  # noqa: E402
+from crawler_ray.oracle import run_oracle  # noqa: E402
+from crawler_ray.sources.synthetic_web import WebParams, build_web, image_bytes  # noqa: E402
+from crawler_ray.urlnorm import url_host  # noqa: E402
+
+SF = "/root/testdata/sf0.01"
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "golden")
+
+
+def write(name: str, df: pd.DataFrame, schema: pa.Schema | None = None):
+    t = pa.Table.from_pandas(df, preserve_index=False, schema=schema)
+    pq.write_table(t, os.path.join(OUT, f"{name}.parquet"))
+    print(f"golden/{name}.parquet  {t.num_rows} rows  [{', '.join(t.column_names)}]")
+
+
+# ---------------------------------------------------------------------------
+# Crawl goldens (fixed fixture of __ray_entry__._crawl_run)
+# ---------------------------------------------------------------------------
+
+def crawl_goldens():
+    params = WebParams(seed=42, n_hosts=6, props_per_host=10, hot_hosts=1, hot_factor=4)
+    o = run_oracle(build_web(params), params)
+
+    sched = {(s["url"], s["wave"]): s for s in o["schedule"]}
+    order = pd.DataFrame([
+        dict(url=r["url"], wave=np.int32(r["wave"]), priority=np.int8(r["priority"]),
+             host_shard=np.int32(r["host_shard"]), seq=np.int64(r["seq"]),
+             host=sched[(r["url"], r["wave"])]["host"],
+             scheduled_at=np.float64(sched[(r["url"], r["wave"])]["scheduled_at"]))
+        for r in o["order"]
+    ])
+    write("crawl_order", order)
+
+    seen = pd.DataFrame({
+        "url": order["url"], "url_hash": xxh64_array(order["url"]),
+        "wave": order["wave"].astype(np.int32),
+    })
+    write("crawl_seen", seen)
+
+    dlq = pd.DataFrame([
+        dict(url=r["url"], url_hash=np.uint64(xxh64(r["url"])), host=url_host(r["url"]),
+             failed_step=r["failed_step"], retry_count=np.int32(r["retry_count"]),
+             wave=np.int32(r["wave"]))
+        for r in o["dlq"]
+    ])
+    write("crawl_dlq", dlq)
+
+    pages = pd.DataFrame([
+        dict(url=r["url"], url_hash=np.uint64(r["url_hash"]), host=r["host"],
+             host_shard=np.int32(r["host_shard"]), wave=np.int32(r["wave"]),
+             crawl_duration=np.float64(r["crawl_duration"]), headers=r["headers"],
+             title=r["title"], price=r["price"], address=r["address"],
+             latitude=r["latitude"], longitude=r["longitude"],
+             beds=r["beds"], baths=r["baths"], sqft=r["sqft"],
+             posted_date=pd.to_datetime(r["posted_date"]),
+             property_type=r["property_type"], city=r["city"], caption=r["caption"],
+             status_code=np.int16(r["status_code"]), content_hash=np.uint64(r["content_hash"]))
+        for r in o["pages"]
+    ])
+    pages["price"] = pages["price"].astype("Int64")
+    pages["beds"] = pages["beds"].astype("Int32")
+    pages["sqft"] = pages["sqft"].astype("Int32")
+    write("crawl_pages", pages)
+
+    store = pd.DataFrame([
+        dict(image_id=r["image_id"], w=np.int32(r["w"]), h=np.int32(r["h"]), fmt=r["fmt"],
+             caption=r["caption"], phash=np.int64(r["phash"]), host=r["host"],
+             host_shard=np.int32(r["host_shard"]), wave=np.int32(r["wave"]),
+             src_url=r["src_url"])
+        for r in o["store"]
+    ])
+    write("crawl_store_meta", store)
+
+    srv = pages["headers"].map(lambda s: json.loads(s)["server"])
+    hs = srv.value_counts().rename_axis("server").reset_index(name="n_pages")
+    hs["n_pages"] = hs["n_pages"].astype(np.int64)
+    write("crawl_header_stats", hs.sort_values("server").reset_index(drop=True))
+
+    return o, params
+
+
+# ---------------------------------------------------------------------------
+# Image goldens (decode + feature + brute-force phash dups, plain loops)
+# ---------------------------------------------------------------------------
+
+def image_goldens(o, params):
+    from crawler_ray.imaging import decode_png
+    from crawler_ray.pipelines.multimodal import _block_mean
+
+    rows = []
+    for r in sorted(o["store"], key=lambda r: r["image_id"]):
+        rgb = decode_png(image_bytes(r["image_id"], r["w"], r["h"], r["fmt"], 42))
+        gray = rgb.astype(np.float64).mean(axis=2)
+        feat = _block_mean(gray, 8, 8).ravel()
+        norm = np.linalg.norm(feat)
+        feat32 = (feat / norm if norm else feat).astype(np.float32)
+        rows.append(dict(image_id=r["image_id"], w=np.int32(r["w"]), h=np.int32(r["h"]),
+                         fmt=r["fmt"], phash=np.int64(r["phash"]),
+                         feat_norm=round(float(np.linalg.norm(feat32.astype(np.float64))), 4)))
+    feats = pd.DataFrame(rows)
+    write("image_features", feats)
+
+    uniq = feats.drop_duplicates("image_id")
+    ids = uniq["image_id"].to_numpy()
+    ph = uniq["phash"].to_numpy(np.int64).view(np.uint64)
+    pairs = []
+    for i in range(len(ids)):
+        x = ph[i] ^ ph[i + 1:]
+        ham = np.zeros(len(x), np.int32)
+        for _ in range(64):
+            ham += (x & np.uint64(1)).astype(np.int32)
+            x >>= np.uint64(1)
+            if not x.any():
+                break
+        for j in np.nonzero(ham <= 6)[0]:
+            a, b = sorted((ids[i], ids[i + 1 + j]))
+            pairs.append((a, b, np.int32(ham[j])))
+    dups = pd.DataFrame(sorted(set(pairs)), columns=["image_a", "image_b", "hamming"])
+    dups["hamming"] = dups["hamming"].astype(np.int32)
+    write("image_phash_dups", dups)
+
+
+# ---------------------------------------------------------------------------
+# Text goldens over the sf0.01 documents table
+# ---------------------------------------------------------------------------
+
+def text_goldens():
+    df = pq.read_table(f"{SF}/documents.parquet",
+                       columns=["doc_id", "text", "lang", "source"]).to_pandas()
+
+    # --- MinHash-LSH pairs: straight-line banding + loop verify ----------
+    bands = minhash_bands(df[["doc_id", "text"]])
+    cand = collide_pairs(bands)
+    sh = {int(d): shingle_hashes(str(t)) for d, t in zip(df["doc_id"], df["text"])}
+    rows = []
+    for a, b in zip(cand["doc_a"], cand["doc_b"]):
+        j = jaccard(sh[int(a)], sh[int(b)])
+        if j >= 0.5:
+            rows.append((int(a), int(b), round(j, 6)))
+    mh = pd.DataFrame(sorted(rows), columns=["doc_a", "doc_b", "jaccard"])
+    mh["doc_a"] = mh["doc_a"].astype(np.int64)
+    mh["doc_b"] = mh["doc_b"].astype(np.int64)
+    write("minhash_near_dups", mh)
+
+    cl = connected_components(mh[["doc_a", "doc_b"]]) if len(mh) else pd.DataFrame(
+        {"doc_id": pd.Series([], dtype=np.int64), "cluster_id": pd.Series([], dtype=np.int64)})
+    write("near_dup_clusters", cl)
+
+    # --- SimHash pairs: BRUTE-FORCE all-pairs Hamming ≤ 3 (stronger than
+    # banding — the 4×16 pigeonhole guarantee must recover exactly this) ---
+    sh64 = simhash64(df[["doc_id", "text"]])
+    ids = sh64["doc_id"].to_numpy(np.int64)
+    hs = sh64["simhash"].to_numpy(np.int64).view(np.uint64)
+    rows = []
+    for i in range(len(ids)):
+        x = hs[i] ^ hs[i + 1:]
+        ham = np.zeros(len(x), np.int32)
+        for _ in range(64):
+            ham += (x & np.uint64(1)).astype(np.int32)
+            x >>= np.uint64(1)
+            if not x.any():
+                break
+        for j in np.nonzero(ham <= 3)[0]:
+            a, b = sorted((int(ids[i]), int(ids[i + 1 + j])))
+            rows.append((a, b, np.int32(ham[j])))
+    sm = pd.DataFrame(sorted(set(rows)), columns=["doc_a", "doc_b", "hamming"])
+    sm["doc_a"] = sm["doc_a"].astype(np.int64)
+    sm["doc_b"] = sm["doc_b"].astype(np.int64)
+    sm["hamming"] = sm["hamming"].astype(np.int32)
+    write("simhash_near_dups", sm)
+
+    # --- language-ID confusion: the original per-document loop ----------
+    from crawler_ray.functions.textops import _STOPWORDS, TOKEN_RE
+
+    preds = []
+    for t in df["text"]:
+        t = str(t)
+        n = len(t)
+        cjk = sum(1 for c in t if "一" <= c <= "鿿")
+        if n and cjk / n > 0.05:
+            preds.append("zh")
+            continue
+        import re
+
+        ws = re.findall(TOKEN_RE, t.lower())
+        scores = {lang: sum(w in sw for w in ws) for lang, sw in _STOPWORDS.items()}
+        best = max(sorted(scores), key=lambda k: scores[k])
+        preds.append(best if scores[best] > 0 else "en")
+    conf = (df.assign(lang_pred=preds).groupby(["lang", "lang_pred"], as_index=False)
+            .size().rename(columns={"size": "cnt"}))
+    conf["cnt"] = conf["cnt"].astype(np.int64)
+    write("lang_id_confusion", conf.sort_values(["lang", "lang_pred"]).reset_index(drop=True))
+
+    # --- fingerprints: per-document loop over token windows -------------
+    import re
+
+    fps = []
+    for t in df["text"]:
+        ws = re.findall(TOKEN_RE, str(t).lower())
+        if not ws:
+            fps.append(0)
+            continue
+        grams = [" ".join(ws[j:j + 8]) for j in range(max(1, len(ws) - 7))]
+        fps.append(int(np.int64(np.uint64(min(xxh64(g) for g in grams)).astype(np.int64))))
+    fp = df.assign(fingerprint=np.array(fps, np.int64))
+    agg = fp.groupby("source", as_index=False).agg(n_docs=("fingerprint", "size"),
+                                                   n_distinct=("fingerprint", "nunique"))
+    agg["n_docs"] = agg["n_docs"].astype(np.int64)
+    agg["n_distinct"] = agg["n_distinct"].astype(np.int64)
+    write("doc_fingerprints", agg.sort_values("source").reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# ANN-LSH golden: straight numpy replication of the bucketing + probe search
+# ---------------------------------------------------------------------------
+
+def ann_golden():
+    from crawler_ray.functions.ann import hyperplanes, lsh_signature
+
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"]).to_pandas()
+    q = t[t["vec_id"] < 5].sort_values("vec_id")
+    corpus = t[t["vec_id"] >= 5]
+    qmat = np.stack([np.asarray(v, np.float64) for v in q["embedding"]])
+    cmat = np.stack([np.asarray(v, np.float64) for v in corpus["embedding"]])
+    planes = hyperplanes(qmat.shape[1], bits=10, seed=11)
+    qsig = lsh_signature(qmat, planes)
+    probe = set()
+    for s in qsig:
+        probe.add(int(s))
+        for b in range(10):
+            probe.add(int(s) ^ (1 << b))
+    csig = lsh_signature(cmat, planes)
+    keep = np.isin(csig, np.array(sorted(probe), np.int64))
+    vids = corpus["vec_id"].to_numpy(np.int64)[keep]
+    cm = cmat[keep]
+
+    def norml(m):
+        n = np.linalg.norm(m, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        return m / n
+
+    sims = norml(cm) @ norml(qmat).T
+    rows = []
+    for j, qid in enumerate(q["vec_id"].to_numpy(np.int64)):
+        col = sims[:, j]
+        order = np.lexsort((vids, -col))[:10]
+        for i in order:
+            rows.append((int(qid), int(vids[i]), round(float(col[i]), 6)))
+    out = pd.DataFrame(rows, columns=["qid", "vid", "sim"]).sort_values(
+        ["qid", "vid"]).reset_index(drop=True)
+    out["qid"] = out["qid"].astype(np.int64)
+    out["vid"] = out["vid"].astype(np.int64)
+    write("ann_lsh_topk", out)
+
+
+if __name__ == "__main__":
+    os.makedirs(OUT, exist_ok=True)
+    o, params = crawl_goldens()
+    image_goldens(o, params)
+    text_goldens()
+    ann_golden()
+    print("done")
