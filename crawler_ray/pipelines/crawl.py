@@ -134,11 +134,45 @@ def _listing_priorities(root, frags, seeds_tbl, robots_by_host, city_state, seen
     return lp, counter
 
 
-def _candidates_ds(root: str, fragments: list[dict], table: pa.Table | None):
+def _candidates_ds(root: str, fragments: list[dict], table: pa.Table | None,
+                   num_blocks: int | None = None):
     if table is not None:
         return rd.from_arrow(table)
     paths = ll.fragment_paths(root, "frontier", fragments)
-    return rd.read_parquet(paths) if paths else None
+    if not paths:
+        return None
+    # coalesce the (many, small) frontier fragments into few blocks: the
+    # downstream sort's exchange fan-out is blocks², so 80 tiny inputs
+    # would pay an 80×80 object exchange for megabytes of rows
+    return rd.read_parquet(paths, override_num_blocks=num_blocks)
+
+
+def _run_wave_local(root: str, frags: list[dict], seeds_tbl: pa.Table | None,
+                    prep, wave_tail, fp, fetch_batch_size: int) -> list[dict]:
+    """Driver-local execution of a TINY wave with the identical kernels the
+    distributed path uses (prep → per-host wave_tail → FetchProcess) — no
+    executor launch, no exchange. Output fragments and side effects are the
+    same tables the distributed path writes."""
+    import pyarrow.parquet as pq
+
+    if seeds_tbl is not None:
+        cand = seeds_tbl.to_pandas()
+    else:
+        paths = ll.fragment_paths(root, "frontier", frags)
+        cand = pd.concat([pq.read_table(p).to_pandas() for p in paths],
+                         ignore_index=True)
+    prepped = prep(cand)
+    if isinstance(prepped, pa.Table):
+        prepped = prepped.to_pandas()
+    meta: list[dict] = []
+    if len(prepped) == 0:
+        return meta
+    pieces = [wave_tail(g) for _, g in prepped.groupby("host", sort=True)]
+    tail = pd.concat(pieces, ignore_index=True) if pieces else prepped.iloc[0:0]
+    for i in range(0, len(tail), fetch_batch_size):
+        t = fp(tail.iloc[i:i + fetch_batch_size])
+        meta.extend(t.to_pylist())
+    return meta
 
 
 def run_crawl(
@@ -153,21 +187,15 @@ def run_crawl(
     num_partitions: int = 8,
 ) -> CrawlRun:
     """Run (or resume) the crawl over a synthetic web; returns handles to the
-    Lance-layout output at ``out_root``."""
-    from ray.data.context import DataContext, ShuffleStrategy
+    Lance-layout output at ``out_root``.
 
-    # keyed repartition needs HASH_SHUFFLE; restore afterwards — leaking it
-    # globally hangs unrelated groupby().map_groups pipelines (observed)
-    ctx = DataContext.get_current()
-    prev_strategy = ctx.shuffle_strategy
-    ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-    try:
-        return _run_crawl_inner(
-            web, params, out_root, cfg, resume, num_seen_shards,
-            fetch_concurrency, fetch_batch_size, num_partitions,
-        )
-    finally:
-        ctx.shuffle_strategy = prev_strategy
+    The wave's keyed exchange is a sort-based ``groupby('host').map_groups``
+    (NOT a HASH_SHUFFLE keyed repartition: its per-execution aggregator-actor
+    spawn measured ~14 s PER WAVE at 32 cpus — the dominant scaling killer)."""
+    return _run_crawl_inner(
+        web, params, out_root, cfg, resume, num_seen_shards,
+        fetch_concurrency, fetch_batch_size, num_partitions,
+    )
 
 
 def _run_crawl_inner(
@@ -243,36 +271,22 @@ def _run_crawl_inner(
     import time as _time
 
     debug = bool(os.environ.get("GRAFT_CRAWL_DEBUG"))
+    # frontiers at or below this run driver-local (identical kernels, zero
+    # executor launches): tail waves are a handful of URLs, and per-wave
+    # executor+exchange fixed costs would exceed their compute by 10×. The
+    # same reasoning holds on a real cluster — a 50-row wave is not
+    # cluster-sized work.
+    local_threshold = int(os.environ.get("GRAFT_LOCAL_WAVE_ROWS", "600"))
     wave = start_wave
     while wave < cfg.max_waves:
         _t0 = _time.time()
-        ds = _candidates_ds(out_root, next_frontier_frags, candidates_tbl)
-        if ds is None:
-            break
-        # adaptive partitioning: tiny waves coalesce to one block (skip the
-        # hash shuffle), big waves hash-partition for parallel exact dedup
         est_rows = sum(f["rows"] for f in next_frontier_frags) if next_frontier_frags else (
             candidates_tbl.num_rows if candidates_tbl is not None else 0
         )
+        if candidates_tbl is None and not next_frontier_frags:
+            break
         seed_candidates_tbl = candidates_tbl
         candidates_tbl = None
-        parts = max(1, min(num_partitions, est_rows // 1500))
-        # split the (size-bundled) read into enough blocks that the
-        # vectorized prep parallelizes across the pool
-        if est_rows > 32768:
-            ds = ds.repartition(target_num_rows_per_block=16384)
-        ds = ds.map_batches(prep, batch_format="pandas")
-        # ONE host-keyed shuffle serves both wide steps of the wave:
-        # duplicates of a URL always share its host, so host partitioning
-        # co-locates every url_hash (exact first-wins dedup per block) AND
-        # gives politeness its per-host grouping downstream — no second
-        # exchange needed.
-        if parts > 1:
-            ds = ds.repartition(parts, keys=["host"])
-        else:
-            ds = ds.repartition(1)
-        ds = ds.map_batches(dedup_block, batch_format="pandas")
-        ds = ds.map_batches(seen_filter, batch_format="pandas")
         _t1 = _time.time()
 
         # ---- priority (M7): listing alternation is sequential by definition
@@ -306,37 +320,79 @@ def _run_crawl_inner(
                                  "seq", "source", "prior_attempts", "n_enq"]]
             return b
 
-        # priority assign + register in seen shards + politeness schedule
-        # (host-partitioned so per-host ranks are computable per block)
-        # ---- fused wave tail: priority → seen-add → politeness (host-keyed
-        # partition) → write seen/order logs (passthrough side effect) →
-        # even rebalance (breaks hot-host skew before the heavy stage) →
-        # fetch/parse/store/links. ONE streaming execution; worker processes
-        # persist across waves so broadcast host shards stay cached.
+        # ---- fused wave tail per host group: dedup → seen anti-join →
+        # priority → seen-add → politeness → write seen/order logs
+        # (passthrough side effect). ONE sort-based groupby('host') serves
+        # both wide steps of the wave: duplicates of a URL always share its
+        # host, so host grouping co-locates every url_hash (exact first-wins
+        # dedup per group) AND gives politeness its per-host ranks — and it
+        # avoids HASH_SHUFFLE keyed repartition, whose per-execution
+        # aggregator-actor spawn dominated wave wall-clock at 32 cpus.
         _t2 = _time.time()
         gate = (_time.time(), cfg.time_scale) if cfg.politeness_mode == "wall" else None
         fp = FetchProcess(params=params, out_root=out_root,
                           wave=wave, seed=cfg.seed, max_retries=cfg.max_retries,
                           gate=gate, max_enqueue_retries=cfg.max_enqueue_retries)
-        # blocks are already host-partitioned; row-wise stages preserve block
-        # membership, so politeness needs no further exchange
-        chain = ds.map_batches(assign_priority, batch_format="pandas").map_batches(
-            seen_add, batch_format="pandas"
-        ).map_batches(lambda b, w=wave: b.assign(wave=np.int32(w)), batch_format="pandas")
-        chain = chain.map_batches(politeness, batch_format="pandas")
-        chain = chain.map_batches(_SeenOrderWriter(out_root, wave), batch_format="pandas")
-        # break hot-host skew before the heavy stage: fetch is stateless
-        # w.r.t. host (functional web), so an even row split suffices.
-        # blocks ≈ 2×batch keeps task count moderate (scheduling overhead)
-        # while giving the pool enough tasks to balance
-        fetch_rows = fetch_batch_size * 2
-        meta_ds = chain.repartition(target_num_rows_per_block=fetch_rows).map_batches(
-            fp, batch_format="pandas", batch_size=fetch_batch_size
-        )
-        if debug and est_rows > 50000:
-            meta_ds = meta_ds.materialize()
-            print(meta_ds.stats(), flush=True)
-        meta = meta_ds.take_all()
+        writer = _SeenOrderWriter(out_root, wave)
+
+        def wave_tail(g: pd.DataFrame, w=wave, ap=assign_priority) -> pd.DataFrame:
+            g = dedup_block(g)
+            g = seen_filter(g)
+            g = ap(g)
+            g = seen_add(g)
+            g = g.assign(wave=np.int32(w))
+            g = politeness(g)
+            return writer(g)
+
+        if est_rows <= local_threshold:
+            meta = _run_wave_local(out_root, next_frontier_frags, seed_candidates_tbl,
+                                   prep, wave_tail, fp, fetch_batch_size)
+        else:
+            def bucket_block(b: pd.DataFrame, wt=wave_tail) -> pd.DataFrame:
+                p = prep(b)
+                if isinstance(p, pa.Table):
+                    p = p.to_pandas()
+                if len(p) == 0:
+                    return wt(p)
+                return pd.concat([wt(g) for _, g in p.groupby("host", sort=True)],
+                                 ignore_index=True)
+
+            if seed_candidates_tbl is not None:
+                # non-bucketed external candidates (a seed list can be
+                # arbitrarily large): one sort-based host groupby, paid only
+                # on wave 0
+                ds = rd.from_arrow(seed_candidates_tbl).map_batches(
+                    prep, batch_format="pandas")
+                chain = ds.groupby("host").map_groups(wave_tail, batch_format="pandas")
+            else:
+                # bucketed frontier (host-sharded at write time): each
+                # bucket's fragments read as ONE co-located block → exact
+                # dedup + per-host politeness WITHOUT any shuffle. The only
+                # exchange in the steady-state wave happened at write time,
+                # file-granular and embarrassingly parallel.
+                by_bucket: dict[str, list[str]] = {}
+                for f in next_frontier_frags:
+                    bucket = f["fragment"].split("-")[1]
+                    by_bucket.setdefault(bucket, []).append(
+                        os.path.join(out_root, "frontier", f["fragment"]))
+                parts = [rd.read_parquet(paths, override_num_blocks=1)
+                         for _, paths in sorted(by_bucket.items())]
+                ds = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
+                chain = ds.map_batches(bucket_block, batch_format="pandas",
+                                       batch_size=None)
+            # break hot-host skew before the heavy stage: fetch is stateless
+            # w.r.t. host (functional web), so an even row split suffices.
+            # block size adapts so the pool has ≥2 tasks per fetch slot even
+            # on small waves (fixed 512-row blocks left 32-cpu pools idle)
+            fetch_rows = int(np.clip(-(-est_rows // (2 * fetch_concurrency)),
+                                     64, fetch_batch_size * 2))
+            meta_ds = chain.repartition(target_num_rows_per_block=fetch_rows).map_batches(
+                fp, batch_format="pandas", batch_size=fetch_rows
+            )
+            if debug and est_rows > 50000:
+                meta_ds = meta_ds.materialize()
+                print(meta_ds.stats(), flush=True)
+            meta = meta_ds.take_all()
         _t3 = _time.time()
         seen_frags = ll.glob_fragments(out_root, "seen", f"w{wave}")
         order_frags = ll.glob_fragments(out_root, "order", f"w{wave}")

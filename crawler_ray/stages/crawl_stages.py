@@ -304,7 +304,8 @@ def parse_links(batch: pd.DataFrame) -> pd.DataFrame:
                           "source": pd.Series([], dtype=str),
                           "prior_attempts": pd.Series([], dtype=np.int32),
                           "n_enq": pd.Series([], dtype=np.int32),
-                          "priority0": pd.Series([], dtype=np.int8)})
+                          "priority0": pd.Series([], dtype=np.int8),
+                          "host_shard": pd.Series([], dtype=np.int32)})
     batch = batch.loc[batch["ok"]]
     if len(batch) == 0:
         return empty
@@ -336,10 +337,12 @@ def parse_links(batch: pd.DataFrame) -> pd.DataFrame:
     pos = df.groupby("page").cumcount().to_numpy(np.int64)
     ph = df["parent_hash"].to_numpy(np.uint64)
     seq = (((ph >> np.uint64(16)) & np.uint64((1 << 46) - 1)) << np.uint64(16)).astype(np.int64) | pos
-    return pd.DataFrame({"url": df["url"].astype(str).to_numpy(),
+    urls = df["url"].astype(str)
+    shard = (xxh64_array(host_series(urls)) % np.uint64(semantics.NUM_SHARDS)).astype(np.int32)
+    return pd.DataFrame({"url": urls.to_numpy(),
                          "seq": seq, "source": "extracted",
                          "prior_attempts": np.int32(0), "n_enq": np.int32(0),
-                         "priority0": np.int8(-1)})
+                         "priority0": np.int8(-1), "host_shard": shard})
 
 
 def parse_fields(batch: pd.DataFrame) -> pd.DataFrame:
@@ -383,6 +386,8 @@ class FetchProcess:
     never transit the driver and the whole wave is one streaming execution.
     """
 
+    FRONTIER_BUCKETS = 16  # host-shard buckets per wave (scale with cluster)
+
     def __init__(self, params, out_root: str, wave: int,
                  seed: int, max_retries: int, gate: tuple | None = None,
                  max_enqueue_retries: int = semantics.MAX_ENQUEUE_RETRIES):
@@ -397,7 +402,14 @@ class FetchProcess:
             # store rows are dominated by already-compressed PNG bytes —
             # zstd over them wastes ~2.5 s CPU per GB for ~0% gain
             "store": FragmentWriter(out_root, "store", f"w{wave}", compression="none"),
-            "frontier": FragmentWriter(out_root, "frontier", f"w{wave + 1}"),
+        }
+        # next-wave frontier fragments are BUCKETED BY HOST SHARD at write
+        # time (Mercator-style host-sharded frontier): every row of a host
+        # lands in exactly one bucket, so the next wave reads each bucket as
+        # one co-located block and needs NO shuffle for dedup/politeness.
+        self.frontier_writers = {
+            b: FragmentWriter(out_root, "frontier", f"w{wave + 1}-b{b:02d}")
+            for b in range(self.FRONTIER_BUCKETS)
         }
 
     def _write(self, table: str, data) -> list[dict]:
@@ -441,8 +453,15 @@ class FetchProcess:
                     "prior_attempts": r["attempts_total"].astype(np.int32).to_numpy(),
                     "n_enq": (r["n_enq"].to_numpy(np.int32) + 1),
                     "priority0": r["priority"].astype(np.int8).to_numpy(),
+                    "host_shard": r["host_shard"].astype(np.int32).to_numpy(),
                 })], ignore_index=True)
-        meta += self._write("frontier", links)
+        if len(links):
+            buckets = links["host_shard"].to_numpy(np.int32) % self.FRONTIER_BUCKETS
+            for b in np.unique(buckets):
+                part = pa.Table.from_pandas(links.loc[buckets == b], preserve_index=False)
+                w = self.frontier_writers[int(b)](part)
+                meta += [{"table": "frontier", "fragment": f, "rows": int(rr)}
+                         for f, rr in zip(w["fragment"].to_pylist(), w["rows"].to_pylist())]
         if not meta:
             return pa.table({"table": pa.array([], pa.string()),
                              "fragment": pa.array([], pa.string()),
