@@ -108,6 +108,69 @@ def _header_stats(sf_dir: str):
     return out.sort_values("server").reset_index(drop=True)
 
 
+def _pages_ds(columns=None):
+    import ray.data as rd
+
+    from crawler_ray.sources import lance_layout as ll
+
+    run = _crawl_run("queries")
+    m = ll.latest_manifest(run.root)
+    paths = ll.fragment_paths(run.root, "pages", m["tables"]["pages"])
+    return rd.read_parquet(paths, columns=columns)
+
+
+def _page_lookup(sf_dir: str):
+    """/properties/{id} analogue (api/main.py:251-261): point lookup of one
+    property by id — the id with the smallest value in the crawl, for a
+    deterministic key. Extract-id + filter are distributed scans."""
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    ds = _pages_ds(["url", "title", "price", "city", "beds"])
+
+    def with_pid(b):
+        return b.assign(pid=b["url"].str.extract(r"/(\d+)\.html$", expand=False).astype("int64"))
+
+    pids = ds.map_batches(with_pid, batch_format="pandas")
+    target = pids.aggregate(Min("pid", alias_name="pid"))["pid"]
+    out = (pids.map_batches(lambda b, t=target: b.loc[b["pid"] == t], batch_format="pandas")
+           .to_pandas())
+    for c in ("pid", "beds", "price"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("url").reset_index(drop=True)
+
+
+def _city_pages(sf_dir: str):
+    """/properties/city/{city} analogue (api/main.py:263-277): all crawled
+    properties of one fixed city."""
+    ds = _pages_ds(["url", "title", "price", "beds", "city"])
+    out = (ds.map_batches(lambda b: b.loc[b["city"] == "atlanta"], batch_format="pandas")
+           .to_pandas())
+    for c in ("beds", "price"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("url").reset_index(drop=True)
+
+
+def _city_locations(sf_dir: str):
+    """/location/city/{city} analogue (api/main.py:279-290): per-city
+    centroid + listing count over the crawled pages (combiner + tiny fold)."""
+    import numpy as np
+
+    ds = _pages_ds(["city", "latitude", "longitude"])
+
+    def partial(b):
+        return b.groupby("city", as_index=False).agg(
+            n=("latitude", "size"), slat=("latitude", "sum"), slon=("longitude", "sum"))
+
+    p = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    g = p.groupby("city", as_index=False).sum()
+    g["avg_latitude"] = (g["slat"] / g["n"]).round(4)
+    g["avg_longitude"] = (g["slon"] / g["n"]).round(4)
+    g["n"] = g["n"].astype(np.int64)
+    return g[["city", "n", "avg_latitude", "avg_longitude"]].sort_values(
+        "city").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from crawler_ray.pipelines.queries import QUERIES
 
@@ -119,6 +182,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["crawl_pages"] = _crawl_table("pages")
     out["crawl_dlq"] = _crawl_table("dlq")
     out["crawl_header_stats"] = _header_stats
+    # REST point-lookup analogues (api/main.py:251-290)
+    out["crawl_page_lookup"] = _page_lookup
+    out["crawl_city_pages"] = _city_pages
+    out["crawl_city_locations"] = _city_locations
     # multimodal (decode/feature/near-dup over the image store)
     out["image_features"] = _image_features
     out["image_phash_dups"] = _phash_dups
@@ -137,7 +204,8 @@ _GOLDEN_CHECKED = (
     "crawl_store_meta", "crawl_header_stats", "image_features",
     "image_phash_dups", "minhash_near_dups", "simhash_near_dups",
     "near_dup_clusters", "lang_id_confusion", "doc_fingerprints",
-    "ann_lsh_topk",
+    "ann_lsh_topk", "crawl_page_lookup", "crawl_city_pages",
+    "crawl_city_locations",
 )
 
 

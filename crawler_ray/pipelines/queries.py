@@ -593,6 +593,46 @@ def ann_lsh_topk(sf_dir: str):
     return out.sort_values(["qid", "vid"]).reset_index(drop=True)
 
 
+def embedding_near_dups(sf_dir: str, threshold: float = 0.45):
+    """Embedding-cosine near-dup pairs (cosine ≥ threshold): per-batch
+    blocked matmul against a broadcast L2-normalized corpus matrix — the
+    exactness baseline of the dedup family (the LSH-bucketed variant is the
+    scale path, see ann.lsh_topk). Emits (vid_a < vid_b, sim). The default
+    threshold sits ≥5e-4 from every pair in the synthetic fixture, so the
+    engine/DuckDB float comparison cannot flip on a boundary."""
+    from crawler_ray.functions.ann import _normalize, _to_matrix
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]).to_pandas()
+    ids = t["vec_id"].to_numpy(np.int64)
+    nmat = _normalize(_to_matrix(t["embedding"]))
+    ref = ray.put((ids, nmat))
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    class NearDup:
+        def __init__(self, corpus_ref, thr):
+            self.ids, self.nmat = ray.get(corpus_ref)
+            self.thr = thr
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            bm = _normalize(_to_matrix(b["embedding"]))
+            bids = b["vec_id"].to_numpy(np.int64)
+            sims = bm @ self.nmat.T
+            keep = (sims >= self.thr) & (bids[:, None] < self.ids[None, :])
+            ii, jj = np.nonzero(keep)
+            return pd.DataFrame({"vid_a": bids[ii], "vid_b": self.ids[jj],
+                                 "sim": np.round(sims[ii, jj], 6)})
+
+    out = ds.map_batches(NearDup, fn_constructor_kwargs=dict(corpus_ref=ref, thr=threshold),
+                         batch_format="pandas", concurrency=2).to_pandas()
+    if len(out) == 0:
+        return pd.DataFrame({"vid_a": pd.Series([], dtype=np.int64),
+                             "vid_b": pd.Series([], dtype=np.int64),
+                             "sim": pd.Series([], dtype=np.float64)})
+    out["vid_a"] = out["vid_a"].astype(np.int64)
+    out["vid_b"] = out["vid_b"].astype(np.int64)
+    return out.sort_values(["vid_a", "vid_b"]).reset_index(drop=True)
+
+
 def embedding_norm_stats(sf_dir: str):
     """Vector-column aggregate: mean L2 norm per label."""
     ds = _read(sf_dir, "embeddings", ["label", "embedding"])
@@ -645,6 +685,7 @@ QUERIES = {
     "near_dup_clusters": near_dup_clusters,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_topk": ann_lsh_topk,
+    "embedding_near_dups": embedding_near_dups,
     "embedding_norm_stats": embedding_norm_stats,
 }
 
@@ -747,6 +788,13 @@ ORACLE_SQL = {
                ROUND(SUM(n_chars) * 1.0 / COUNT(*), 2) AS avg_chars,
                ROUND(SUM(LEN(regexp_extract_all(text, '[.,!?;:]')) * 1.0 / n_chars) / COUNT(*), 4) AS avg_punct_ratio
         FROM documents GROUP BY lang""",
+    "embedding_near_dups": """
+        WITH s AS (
+          SELECT a.vec_id AS vid_a, b.vec_id AS vid_b,
+                 list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])) AS c
+          FROM embeddings a JOIN embeddings b ON b.vec_id > a.vec_id)
+        SELECT vid_a, vid_b, ROUND(c, 6) AS sim FROM s WHERE c >= 0.45""",
     "ann_cosine_topk": """
         WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 5),
              t AS (SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS tv FROM embeddings WHERE vec_id >= 5),

@@ -118,6 +118,29 @@ def crawl_goldens():
     hs["n_pages"] = hs["n_pages"].astype(np.int64)
     write("crawl_header_stats", hs.sort_values("server").reset_index(drop=True))
 
+    # REST point-lookup analogues (api/main.py:251-290)
+    pg = pd.DataFrame(o["pages"])
+    pg["pid"] = pg["url"].str.extract(r"/(\d+)\.html$", expand=False).astype("int64")
+    look = pg.loc[pg["pid"] == pg["pid"].min(),
+                  ["url", "title", "price", "city", "beds", "pid"]].copy()
+    for c in ("price", "beds", "pid"):
+        look[c] = look[c].astype("int64")
+    write("crawl_page_lookup", look.sort_values("url").reset_index(drop=True))
+
+    cp = pg.loc[pg["city"] == "atlanta", ["url", "title", "price", "beds", "city"]].copy()
+    for c in ("price", "beds"):
+        cp[c] = cp[c].astype("int64")
+    write("crawl_city_pages", cp.sort_values("url").reset_index(drop=True))
+
+    loc = pg.groupby("city", as_index=False).agg(
+        n=("latitude", "size"), slat=("latitude", "sum"), slon=("longitude", "sum"))
+    loc["avg_latitude"] = (loc["slat"] / loc["n"]).round(4)
+    loc["avg_longitude"] = (loc["slon"] / loc["n"]).round(4)
+    loc["n"] = loc["n"].astype(np.int64)
+    write("crawl_city_locations",
+          loc[["city", "n", "avg_latitude", "avg_longitude"]]
+          .sort_values("city").reset_index(drop=True))
+
     return o, params
 
 
