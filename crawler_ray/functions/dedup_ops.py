@@ -134,6 +134,44 @@ def collide_pairs(bands: pd.DataFrame) -> pd.DataFrame:
     return out.drop_duplicates(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
+def _edge_mask(b: pd.DataFrame) -> pd.Series:
+    """Rows belonging to the FIRST or LAST (band, band_hash) bucket of a
+    sorted block — the only buckets that can straddle block boundaries."""
+    first = (b["band"] == b["band"].iloc[0]) & (b["band_hash"] == b["band_hash"].iloc[0])
+    last = (b["band"] == b["band"].iloc[-1]) & (b["band_hash"] == b["band_hash"].iloc[-1])
+    return first | last
+
+
+def banded_candidate_pairs(bands_ds, collide_block_fn):
+    """Distributed LSH bucket collision WITHOUT a keyed repartition: sort
+    the band rows (keys land in ordered block ranges), run the vectorized
+    collide kernel per block over its COMPLETE buckets, and resolve the ≤2
+    possibly-straddling edge buckets per block on the driver (bucket-scale
+    rows, not corpus-scale). Returns a pandas frame of candidate pairs
+    (may contain duplicates; caller dedups).
+
+    Why not repartition(keys=...): HASH_SHUFFLE spawns aggregator actors
+    per execution (~seconds); why not groupby().map_groups: per-group
+    Python over the singleton-bucket majority. The sort path keeps every
+    data-sized step vectorized and block-local."""
+    s = bands_ds.sort(["band", "band_hash"]).materialize()
+
+    def inner(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return collide_block_fn(b)
+        return collide_block_fn(b.loc[~_edge_mask(b)])
+
+    def edges(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return b
+        return b.loc[_edge_mask(b)]
+
+    inner_pairs = s.map_batches(inner, batch_format="pandas", batch_size=None).to_pandas()
+    edge_rows = s.map_batches(edges, batch_format="pandas", batch_size=None).to_pandas()
+    edge_pairs = collide_block_fn(edge_rows.sort_values(["band", "band_hash"], kind="mergesort"))
+    return pd.concat([inner_pairs, edge_pairs], ignore_index=True)
+
+
 def dedup_pairs_block(batch: pd.DataFrame) -> pd.DataFrame:
     """Per-block global pair dedup (run after a (doc_a, doc_b)-keyed
     repartition co-locates every copy of a pair)."""

@@ -80,10 +80,11 @@ def featurize_store(store_ds, concurrency: int = 2, batch_size: int = 64):
 
 def phash_near_dups(features_ds, max_hamming: int = 6) -> pd.DataFrame:
     """Near-duplicate images by phash Hamming distance, distributed: band
-    explode via map_batches → (band, band_hash)-keyed repartition →
-    per-block bucket pairs → keyed pair dedup. Uses 8 bands of 8 bits so the
-    pigeonhole guarantee covers Hamming ≤ 7 ⊇ the default threshold 6 (4×16
-    banding only guarantees ≤ 3 — pairs at distance 4–6 could be missed).
+    explode via map_batches → sort-shuffle bucket collision with per-block
+    vectorized kernels (dedup_ops.banded_candidate_pairs) → candidate-scale
+    pair dedup. Uses 8 bands of 8 bits so the pigeonhole guarantee covers
+    Hamming ≤ 7 ⊇ the default threshold 6 (4×16 banding only guarantees
+    ≤ 3 — pairs at distance 4–6 could be missed).
 
     ``features_ds`` is a Dataset with (image_id, phash) columns (e.g. the
     output of ``featurize_store``); a pandas DataFrame also works for tests.
@@ -92,8 +93,11 @@ def phash_near_dups(features_ds, max_hamming: int = 6) -> pd.DataFrame:
 
     import ray.data as rd
 
-    from crawler_ray.functions.dedup_ops import hamming_collide_block, hash_bands
-    from crawler_ray.pipelines.queries import _keyed
+    from crawler_ray.functions.dedup_ops import (
+        banded_candidate_pairs,
+        hamming_collide_block,
+        hash_bands,
+    )
 
     n_bands = next(b for b in (4, 8, 16, 32) if b >= max_hamming + 1)
     if isinstance(features_ds, pd.DataFrame):
@@ -103,22 +107,15 @@ def phash_near_dups(features_ds, max_hamming: int = 6) -> pd.DataFrame:
     collide_fn = functools.partial(hamming_collide_block, max_hamming=max_hamming,
                                    id_col="image_id", hash_col="phash",
                                    a_col="image_a", b_col="image_b", id_dtype=object)
-    out = (_keyed(features_ds).map_batches(bands_fn, batch_format="pandas")
-           .repartition(8, keys=["band", "band_hash"])
-           .map_batches(collide_fn, batch_format="pandas")
-           .repartition(4, keys=["image_a", "image_b"])
-           .map_batches(_dedup_image_pairs_block, batch_format="pandas")
-           .to_pandas())
+    bands = features_ds.map_batches(bands_fn, batch_format="pandas")
+    out = banded_candidate_pairs(bands, collide_fn)
+    out = out.drop_duplicates(["image_a", "image_b"])
     if len(out) == 0:
         return pd.DataFrame({"image_a": pd.Series([], dtype=str),
                              "image_b": pd.Series([], dtype=str),
                              "hamming": pd.Series([], dtype=np.int32)})
     out["hamming"] = out["hamming"].astype(np.int32)
     return out.sort_values(["image_a", "image_b"]).reset_index(drop=True)
-
-
-def _dedup_image_pairs_block(batch: pd.DataFrame) -> pd.DataFrame:
-    return batch.drop_duplicates(["image_a", "image_b"])
 
 
 # --- stubs: formats with no codec in this container --------------------------

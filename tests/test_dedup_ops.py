@@ -69,6 +69,20 @@ def test_simhash_banding_pigeonhole():
     assert len(pairs) >= 1 and pairs.iloc[0]["hamming"] == 3
 
 
+def test_banded_pairs_straddling_bucket(ray_session):
+    """The sort-shuffle collision path must not lose pairs when a single
+    (band, band_hash) bucket spans many sorted blocks — edge buckets are
+    resolved across block boundaries."""
+    import ray.data as rd
+
+    n = 40
+    df = pd.DataFrame({"band": np.int32(0), "band_hash": np.int64(7),
+                       "doc_id": np.arange(n, dtype=np.int64)})
+    bands = rd.from_pandas(df).repartition(8)
+    pairs = dedup_ops.banded_candidate_pairs(bands, dedup_ops.collide_pairs)
+    assert len(pairs.drop_duplicates(["doc_a", "doc_b"])) == n * (n - 1) // 2
+
+
 def test_verifier_blocks_false_positives(ray_session):
     import ray
 
