@@ -207,3 +207,28 @@ def test_conformance_other_seeds(ray_session, tmp_path, seed):
     es = sorted((r["image_id"], r["caption"], r["phash"]) for r in run.read("store").to_pylist())
     os_ = sorted((r["image_id"], r["caption"], r["phash"]) for r in oracle["store"])
     assert es == os_
+
+
+def test_frontier_bucketing_invariant(unit_results):
+    """Every frontier fragment holds rows of exactly its bucket (host_shard
+    % FRONTIER_BUCKETS parsed from the fragment name) — the co-location
+    contract the shuffle-free wave read relies on."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from crawler_ray.sources import lance_layout as ll
+    from crawler_ray.stages.crawl_stages import FetchProcess
+
+    _, _, run, _ = unit_results
+    fdir = os.path.join(run.root, "frontier")
+    n_checked = 0
+    for fn in sorted(os.listdir(fdir)):
+        if not fn.endswith(".parquet"):
+            continue
+        bucket = int(fn.split("-")[1][1:])
+        t = pq.read_table(os.path.join(fdir, fn), columns=["host_shard"])
+        shards = t["host_shard"].to_numpy()
+        assert (shards % FetchProcess.FRONTIER_BUCKETS == bucket).all(), fn
+        n_checked += 1
+    assert n_checked > 0

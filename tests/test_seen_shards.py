@@ -54,3 +54,27 @@ def test_snapshot_restore(ray_session):
     fresh.restore(snaps)
     assert fresh.contains(h).all()
     assert fresh.total() == 100
+
+
+def test_restore_from_fragments(ray_session, tmp_path):
+    """Shard-side resume: each shard scans the seen fragments itself and
+    keeps only its partition — result equals a direct add of all hashes."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(5)
+    hashes = np.unique(rng.integers(1, 2**64 - 1, 5000, dtype=np.uint64))
+    paths = []
+    for i, part in enumerate(np.array_split(hashes, 3)):
+        p = str(tmp_path / f"seen-{i}.parquet")
+        pq.write_table(pa.table({"url_hash": part,
+                                 "url": [f"u{h}" for h in part]}), p)
+        paths.append(p)
+    seen = ShardedSeen(num_shards=4)
+    seen.restore_from_fragments(paths)
+    assert seen.total() == len(hashes)
+    assert seen.contains(hashes).all()
+    other = rng.integers(1, 2**64 - 1, 2000, dtype=np.uint64)
+    other = other[~np.isin(other, hashes)]
+    assert not seen.contains(other).any()
