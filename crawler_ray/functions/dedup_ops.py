@@ -153,7 +153,12 @@ def banded_candidate_pairs(bands_ds, collide_block_fn):
     Why not repartition(keys=...): HASH_SHUFFLE spawns aggregator actors
     per execution (~seconds); why not groupby().map_groups: per-group
     Python over the singleton-bucket majority. The sort path keeps every
-    data-sized step vectorized and block-local."""
+    data-sized step vectorized and block-local.
+
+    The sorted band table is materialized once so the inner-pairs and
+    edge-buckets passes share it (re-sorting would double the shuffle);
+    Ray's object store spills it to disk past memory — acceptable for an
+    intermediate that is ~bands× the id column, never the documents."""
     s = bands_ds.sort(["band", "band_hash"]).materialize()
 
     def inner(b: pd.DataFrame) -> pd.DataFrame:

@@ -51,6 +51,11 @@ from crawler_ray.state.seen import ShardedSeen
 
 TABLES = ["order", "seen", "dlq", "pages", "store", "frontier"]
 
+# frontier size above which the per-wave listing-candidate substring scan
+# runs as a distributed map_batches filter instead of a driver-side
+# pyarrow scan (the driver only ever receives the O(hosts) candidates)
+LISTING_SCAN_DISTRIBUTED_ROWS = 100_000
+
 
 class _SeenOrderWriter:
     """Passthrough stage writing both per-wave conformance logs as a side
@@ -106,11 +111,21 @@ def _listing_priorities(root, frags, seeds_tbl, robots_by_host, city_state, seen
         paths = ll.fragment_paths(root, "frontier", frags)
         if not paths:
             return {}, counter
-        tbl = pads.dataset(paths).to_table(
-            columns=["url", "seq"],
-            filter=pc.match_substring(pc.utf8_lower(pc.field("url")), "/search/apa"),
-        )
-        cand = tbl.to_pandas()
+        n_rows = sum(f["rows"] for f in frags)
+        if n_rows > LISTING_SCAN_DISTRIBUTED_ROWS:
+            # large wave: distribute the substring scan (the driver only
+            # receives the O(hosts) listing candidates)
+            cand = (rd.read_parquet(paths, columns=["url", "seq"])
+                    .map_batches(lambda b: b.loc[b["url"].str.contains(
+                        "/search/apa", case=False, regex=False)],
+                        batch_format="pandas")
+                    .to_pandas())
+        else:
+            tbl = pads.dataset(paths).to_table(
+                columns=["url", "seq"],
+                filter=pc.match_substring(pc.utf8_lower(pc.field("url")), "/search/apa"),
+            )
+            cand = tbl.to_pandas()
         cand = cand.loc[[semantics.is_relevant_url(u) for u in cand["url"]]]
     if len(cand) == 0:
         return {}, counter

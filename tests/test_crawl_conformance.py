@@ -232,3 +232,21 @@ def test_frontier_bucketing_invariant(unit_results):
         assert (shards % FetchProcess.FRONTIER_BUCKETS == bucket).all(), fn
         n_checked += 1
     assert n_checked > 0
+
+
+def test_distributed_listing_scan_equivalence(ray_session, tmp_path, monkeypatch):
+    """The distributed listing-candidate scan (large-wave path) produces the
+    same crawl as the driver-side pyarrow scan."""
+    from crawler_ray.pipelines import crawl as crawl_mod
+
+    p = unit_params(seed=31)
+    web = build_web(p)
+    base = crawl_mod.run_crawl(web, p, str(tmp_path / "drv"))
+    monkeypatch.setattr(crawl_mod, "LISTING_SCAN_DISTRIBUTED_ROWS", 0)
+    dist = crawl_mod.run_crawl(web, p, str(tmp_path / "dist"))
+    for table, keys in [("order", ["url", "wave", "priority", "host_shard", "seq"]),
+                        ("seen", ["url", "url_hash"]),
+                        ("dlq", ["url", "failed_step", "retry_count"])]:
+        a = sorted(tuple(r[k] for k in keys) for r in base.read(table).to_pylist())
+        b = sorted(tuple(r[k] for k in keys) for r in dist.read(table).to_pylist())
+        assert a == b, table
