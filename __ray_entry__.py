@@ -204,7 +204,7 @@ _GOLDEN_CHECKED = (
     "crawl_store_meta", "crawl_header_stats", "image_features",
     "image_phash_dups", "minhash_near_dups", "simhash_near_dups",
     "near_dup_clusters", "lang_id_confusion", "doc_fingerprints",
-    "ann_lsh_topk", "crawl_page_lookup", "crawl_city_pages",
+    "ann_lsh_topk", "ann_ivf_topk", "crawl_page_lookup", "crawl_city_pages",
     "crawl_city_locations",
 )
 

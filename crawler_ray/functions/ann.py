@@ -84,6 +84,65 @@ def brute_force_topk(ds, queries_ref, k: int = 10):
 
 
 # ---------------------------------------------------------------------------
+# IVF (inverted file over a k-means coarse quantizer)
+# ---------------------------------------------------------------------------
+
+def kmeans_centroids(mat: np.ndarray, nlist: int = 16, iters: int = 10,
+                     seed: int = 3) -> np.ndarray:
+    """Deterministic spherical k-means on L2-normalized vectors (cosine
+    assignment, renormalized mean update; empty lists keep their centroid).
+    Trained on a SAMPLE on the driver — the coarse quantizer is tiny and
+    broadcast; assignment of the full corpus stays distributed."""
+    m = _normalize(np.asarray(mat, np.float64))
+    rng = np.random.default_rng(seed)
+    c = m[rng.choice(len(m), min(nlist, len(m)), replace=False)].copy()
+    for _ in range(iters):
+        assign = (m @ c.T).argmax(axis=1)
+        for j in range(len(c)):
+            members = m[assign == j]
+            if len(members):
+                mean = members.mean(axis=0)
+                norm = np.linalg.norm(mean)
+                if norm:
+                    c[j] = mean / norm
+    return c
+
+
+def make_ivf_assigner(centroids: np.ndarray):
+    def assigner(batch: pd.DataFrame) -> pd.DataFrame:
+        m = _normalize(_to_matrix(batch["embedding"]))
+        out = batch.copy()
+        out["ivf_list"] = (m @ centroids.T).argmax(axis=1).astype(np.int32)
+        return out
+
+    return assigner
+
+
+def ivf_topk(ds, queries: dict, k: int = 10, nlist: int = 16, nprobe: int = 4,
+             iters: int = 10, seed: int = 3, train_rows: int = 4096):
+    """Approximate top-k via an inverted file: train a coarse quantizer on
+    the first ``train_rows`` corpus vectors (driver-side numpy — the
+    quantizer is nlist×d, broadcast once), assign the corpus to lists with
+    a distributed map_batches, probe each query's ``nprobe`` nearest lists,
+    and brute-force only the probed candidates. Recall<1 by design; the
+    probed fraction ≈ nprobe/nlist of the corpus."""
+    import ray
+
+    sample = _to_matrix(ds.limit(train_rows).to_pandas()["embedding"])
+    centroids = kmeans_centroids(sample, nlist, iters, seed)
+    qsim = _normalize(queries["mat"]) @ centroids.T
+    probe = set()
+    for row in qsim:
+        probe.update(int(j) for j in np.argsort(-row)[:nprobe])
+    assigned = ds.map_batches(make_ivf_assigner(centroids), batch_format="pandas")
+    cand = assigned.map_batches(
+        lambda b, pr=frozenset(probe): b.loc[b["ivf_list"].isin(pr)],
+        batch_format="pandas")
+    qref = ray.put(queries)
+    return brute_force_topk(cand, qref, k)
+
+
+# ---------------------------------------------------------------------------
 # LSH (random hyperplanes)
 # ---------------------------------------------------------------------------
 

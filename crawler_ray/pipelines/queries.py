@@ -408,6 +408,32 @@ def events_window(sf_dir: str):
     return out.sort_values(["user_id", "win"]).reset_index(drop=True)
 
 
+def events_sliding_window(sf_dir: str):
+    """Sliding 1-hour window with a 30-minute hop, aggregated per window:
+    each event lands in exactly two windows (duplicated in the per-batch
+    partial), then the unbounded window-key space folds via sort +
+    per-block aggregation."""
+    ds = _read(sf_dir, "events", ["ts", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        h = (b["ts"].astype("datetime64[us]").astype("int64") // 1_800_000_000).astype(np.int64)
+        two = pd.concat([pd.DataFrame({"win": h, "value": b["value"].to_numpy()}),
+                         pd.DataFrame({"win": h - 1, "value": b["value"].to_numpy()})],
+                        ignore_index=True)
+        return two.groupby("win", as_index=False).agg(n_events=("value", "size"),
+                                                      sum_value=("value", "sum"))
+
+    def fold(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("win", as_index=False).agg(n_events=("n_events", "sum"),
+                                                    sum_value=("sum_value", "sum"))
+
+    out = _sorted_fold(ds.map_batches(partial, batch_format="pandas"), ["win"], fold)
+    out["win"] = out["win"].astype(np.int64)
+    out["n_events"] = out["n_events"].astype(np.int64)
+    out["sum_value"] = out["sum_value"].round(2)
+    return out.sort_values("win").reset_index(drop=True)
+
+
 def sessionize(sf_dir: str):
     """Session windows: per-user 30-min-gap sessionization via
     groupby(user).map_groups over ts-sorted groups."""
@@ -606,6 +632,19 @@ def ann_lsh_topk(sf_dir: str):
     return out.sort_values(["qid", "vid"]).reset_index(drop=True)
 
 
+def ann_ivf_topk(sf_dir: str):
+    """IVF-bucketed approximate cosine top-10 (the inverted-file scale
+    path): k-means coarse quantizer trained on a corpus sample, corpus
+    assigned to lists distributed, queries probe their nearest lists."""
+    queries = _load_queries(sf_dir)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"],
+               filter=pc.field("vec_id") >= 5)
+    out = ann.ivf_topk(ds, queries, k=10).to_pandas()
+    out = out[["qid", "vid", "sim"]]
+    out["sim"] = out["sim"].round(6)
+    return out.sort_values(["qid", "vid"]).reset_index(drop=True)
+
+
 def embedding_near_dups(sf_dir: str, threshold: float = 0.45):
     """Embedding-cosine near-dup pairs (cosine ≥ threshold): per-batch
     blocked matmul against a broadcast L2-normalized corpus matrix — the
@@ -687,6 +726,7 @@ QUERIES = {
     "dedup_first": dedup_first,
     "exact_dedup_docs": exact_dedup_docs,
     "events_window": events_window,
+    "events_sliding_window": events_sliding_window,
     "sessionize": sessionize,
     "distinct_langs": distinct_langs,
     "token_stats": token_stats,
@@ -698,6 +738,7 @@ QUERIES = {
     "near_dup_clusters": near_dup_clusters,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_topk": ann_lsh_topk,
+    "ann_ivf_topk": ann_ivf_topk,
     "embedding_near_dups": embedding_near_dups,
     "embedding_norm_stats": embedding_norm_stats,
 }
@@ -784,6 +825,11 @@ ORACLE_SQL = {
         SELECT user_id, CAST(FLOOR(EPOCH(ts) / 3600) AS BIGINT) AS win,
                CAST(COUNT(*) AS BIGINT) AS n_events, ROUND(SUM(value), 2) AS sum_value
         FROM events GROUP BY 1, 2""",
+    "events_sliding_window": """
+        WITH e AS (SELECT value, CAST(FLOOR(EPOCH(ts) / 1800) AS BIGINT) AS h FROM events),
+             x AS (SELECT value, h AS win FROM e UNION ALL SELECT value, h - 1 AS win FROM e)
+        SELECT win, CAST(COUNT(*) AS BIGINT) AS n_events, ROUND(SUM(value), 2) AS sum_value
+        FROM x GROUP BY win""",
     "sessionize": """
         SELECT user_id, CAST(1 + SUM(CASE WHEN gap > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
         FROM (SELECT user_id,

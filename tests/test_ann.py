@@ -69,3 +69,26 @@ def test_lsh_recall_on_clustered_data(ray_session):
         g = set(got[got["qid"] == j]["vid"].tolist())
         recalls.append(len(g & truth) / n_near)
     assert np.mean(recalls) >= 0.6
+
+
+def test_ivf_topk_recall(ray_session):
+    """IVF probe search: valid top-k shape, and recall@10 vs brute force
+    stays useful at nprobe/nlist = 1/4 of the corpus."""
+    import ray
+    import ray.data as rd
+
+    from crawler_ray.functions import ann
+
+    rng = np.random.default_rng(9)
+    mat = rng.standard_normal((400, 16))
+    df = pd.DataFrame({"vec_id": np.arange(400, dtype=np.int64),
+                       "embedding": [v.astype(np.float32).tolist() for v in mat]})
+    queries = {"qid": np.arange(3, dtype=np.int64), "mat": mat[:3].astype(np.float64)}
+    ds = rd.from_pandas(df).repartition(4)
+    exact = ann.brute_force_topk(ds, ray.put(queries), k=10).to_pandas()
+    approx = ann.ivf_topk(ds, queries, k=10, nlist=16, nprobe=4).to_pandas()
+    assert set(approx["qid"]) == {0, 1, 2}
+    assert (approx.groupby("qid").size() == 10).all()
+    recall = len(set(zip(approx["qid"], approx["vid"]))
+                 & set(zip(exact["qid"], exact["vid"]))) / len(exact)
+    assert recall >= 0.5, recall

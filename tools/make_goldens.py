@@ -279,6 +279,44 @@ def text_goldens():
 # ANN-LSH golden: straight numpy replication of the bucketing + probe search
 # ---------------------------------------------------------------------------
 
+def ann_ivf_golden():
+    """Straight numpy replication of the IVF probe search (quantizer kernel
+    shared, orchestration independent)."""
+    from crawler_ray.functions.ann import kmeans_centroids
+
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"]).to_pandas()
+    q = t[t["vec_id"] < 5].sort_values("vec_id")
+    corpus = t[t["vec_id"] >= 5]
+    qmat = np.stack([np.asarray(v, np.float64) for v in q["embedding"]])
+    cmat = np.stack([np.asarray(v, np.float64) for v in corpus["embedding"]])
+
+    def norml(m):
+        n = np.linalg.norm(m, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        return m / n
+
+    centroids = kmeans_centroids(cmat[:4096], nlist=16, iters=10, seed=3)
+    qn = norml(qmat)
+    probe = set()
+    for row in qn @ centroids.T:
+        probe.update(int(j) for j in np.argsort(-row)[:4])
+    assign = (norml(cmat) @ centroids.T).argmax(axis=1)
+    keep = np.isin(assign, np.array(sorted(probe)))
+    vids = corpus["vec_id"].to_numpy(np.int64)[keep]
+    sims = norml(cmat[keep]) @ qn.T
+    rows = []
+    for j, qid in enumerate(q["vec_id"].to_numpy(np.int64)):
+        col = sims[:, j]
+        order = np.lexsort((vids, -col))[:10]
+        for i in order:
+            rows.append((int(qid), int(vids[i]), round(float(col[i]), 6)))
+    out = pd.DataFrame(rows, columns=["qid", "vid", "sim"]).sort_values(
+        ["qid", "vid"]).reset_index(drop=True)
+    out["qid"] = out["qid"].astype(np.int64)
+    out["vid"] = out["vid"].astype(np.int64)
+    write("ann_ivf_topk", out)
+
+
 def ann_golden():
     from crawler_ray.functions.ann import hyperplanes, lsh_signature
 
@@ -324,4 +362,5 @@ if __name__ == "__main__":
     image_goldens(o, params)
     text_goldens()
     ann_golden()
+    ann_ivf_golden()
     print("done")
