@@ -23,7 +23,10 @@ def _init_ray():
     import ray
 
     if not ray.is_initialized():
-        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+        # no explicit address: auto-connects via RAY_ADDRESS when a cluster
+        # connection exists (ray job submit sets it), starts local otherwise —
+        # a hard-coded "local" would silently shrink a submitted job to one node
+        ray.init(include_dashboard=False, logging_level="ERROR")
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False

@@ -142,6 +142,12 @@ def _edge_mask(b: pd.DataFrame) -> pd.Series:
     return first | last
 
 
+# Edge rows beyond this count stop being a driver concat and fall back to a
+# keyed repartition (a pathological hot (band, band_hash) bucket spanning
+# blocks would otherwise put O(bucket) rows on the driver).
+EDGE_ROWS_DRIVER_LIMIT = 2_000_000
+
+
 def banded_candidate_pairs(bands_ds, collide_block_fn):
     """Distributed LSH bucket collision WITHOUT a keyed repartition: sort
     the band rows (keys land in ordered block ranges), run the vectorized
@@ -172,8 +178,29 @@ def banded_candidate_pairs(bands_ds, collide_block_fn):
         return b.loc[_edge_mask(b)]
 
     inner_pairs = s.map_batches(inner, batch_format="pandas", batch_size=None).to_pandas()
-    edge_rows = s.map_batches(edges, batch_format="pandas", batch_size=None).to_pandas()
-    edge_pairs = collide_block_fn(edge_rows.sort_values(["band", "band_hash"], kind="mergesort"))
+    edge_ds = s.map_batches(edges, batch_format="pandas", batch_size=None).materialize()
+    if edge_ds.count() > EDGE_ROWS_DRIVER_LIMIT:
+        # Pathological hot bucket(s) straddling blocks: resolve edge buckets
+        # with a (band, band_hash)-keyed repartition (each bucket lands whole
+        # in one block) instead of a driver concat — degrades loudly to a
+        # distributed exchange rather than OOMing the driver.
+        import logging
+
+        from ray.data.context import ShuffleStrategy
+
+        logging.getLogger(__name__).warning(
+            "banded_candidate_pairs: %d edge rows exceed the driver limit "
+            "(%d); resolving edge buckets via keyed repartition",
+            edge_ds.count(), EDGE_ROWS_DRIVER_LIMIT)
+        edge_ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+        edge_pairs = (edge_ds.repartition(8, keys=["band", "band_hash"])
+                      .map_batches(collide_block_fn, batch_format="pandas",
+                                   batch_size=None)
+                      .to_pandas())
+    else:
+        edge_rows = edge_ds.to_pandas()
+        edge_pairs = collide_block_fn(
+            edge_rows.sort_values(["band", "band_hash"], kind="mergesort"))
     return pd.concat([inner_pairs, edge_pairs], ignore_index=True)
 
 

@@ -149,19 +149,6 @@ def _listing_priorities(root, frags, seeds_tbl, robots_by_host, city_state, seen
     return lp, counter
 
 
-def _candidates_ds(root: str, fragments: list[dict], table: pa.Table | None,
-                   num_blocks: int | None = None):
-    if table is not None:
-        return rd.from_arrow(table)
-    paths = ll.fragment_paths(root, "frontier", fragments)
-    if not paths:
-        return None
-    # coalesce the (many, small) frontier fragments into few blocks: the
-    # downstream sort's exchange fan-out is blocks², so 80 tiny inputs
-    # would pay an 80×80 object exchange for megabytes of rows
-    return rd.read_parquet(paths, override_num_blocks=num_blocks)
-
-
 def _run_wave_local(root: str, frags: list[dict], seeds_tbl: pa.Table | None,
                     prep, wave_tail, fp, fetch_batch_size: int) -> list[dict]:
     """Driver-local execution of a TINY wave with the identical kernels the

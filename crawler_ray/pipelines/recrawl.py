@@ -111,7 +111,12 @@ def run_recrawl(web: dict, params, out_root: str,
         order_paths, columns=["url", "host", "priority", "seq", "scheduled_at"]))
         .map_batches(prep_front, batch_format="pandas")
         .repartition(4, keys=["url_hash"])
-        .map_batches(lambda b: b.drop_duplicates("url_hash"), batch_format="pandas"))
+        # deterministic survivor for URLs with several order rows (cross-wave
+        # retries): latest (seq, scheduled_at) wins, matching latest_block's
+        # keep="last" convention — hash-shuffled block order is not stable
+        .map_batches(lambda b: b.sort_values(
+            ["url_hash", "seq", "scheduled_at", "priority"], kind="mergesort")
+            .drop_duplicates("url_hash", keep="last"), batch_format="pandas"))
 
     # previous content hashes: distributed latest-wave-wins per url_hash,
     # then a left-outer shuffle join onto the frontier — replaces the

@@ -24,9 +24,11 @@ class CuckooFilter:
     """Cuckoo filter (Fan et al., CoNLL'14 — public algorithm): 16-bit
     fingerprints, 4-slot buckets, partial-key cuckoo kicking. No false
     negatives (items that were successfully inserted always report maybe);
-    lookups are fully vectorized (two bucket gathers + compare). On insert
-    overflow the filter reports the item as unstorable and the caller's
-    exact set remains the authority (the filter is a negative fast path)."""
+    lookups are fully vectorized (two bucket gathers + compare). A
+    kick-limit overflow parks the evicted victim fingerprint in an orphan
+    set (still answers 'maybe'), so inserts never lose residents; callers
+    watch ``orphan_count`` and rebuild bigger when it grows (the caller's
+    exact set remains the authority — the filter is a negative fast path)."""
 
     _KICK_LIMIT = 500
 
@@ -56,16 +58,21 @@ class CuckooFilter:
         return (i1.astype(np.uint64) ^ fh).astype(np.int64) % int(self.n_buckets)
 
     def insert_many(self, hashes: np.ndarray) -> int:
-        """Insert; returns number NOT stored (overflowed after kicking)."""
+        """Insert all; returns the current orphan count (kick-limit victims
+        parked in the orphan set — every insert succeeds, items are never
+        lost, but each orphan fingerprint forces ~1/65536 of queries onto
+        the caller's exact-set slow path, so callers should rebuild at a
+        bigger capacity once ``orphan_count`` crosses a threshold)."""
         f_all = self._fingerprint(hashes)
         i1_all = self._index1(hashes)
         i2_all = self._index2(i1_all, f_all)
-        failed = 0
         for f, i1, i2 in zip(f_all, i1_all, i2_all):
-            if self._insert_one(int(f), int(i1), int(i2)):
-                continue
-            failed += 1
-        return failed
+            self._insert_one(int(f), int(i1), int(i2))
+        return len(self._orphans)
+
+    @property
+    def orphan_count(self) -> int:
+        return len(self._orphans)
 
     def _insert_one(self, f: int, i1: int, i2: int) -> bool:
         for idx in (i1, i2):
@@ -109,14 +116,17 @@ class CuckooFilter:
 class SeenShard:
     """One shard of the URL-seen set: cuckoo-filter fast path (vectorized
     negative lookups) backed by an exact hash set (the reproducibility
-    authority — cuckoo false positives are re-checked exactly, and the rare
-    insert overflow falls back to a small exact overflow set so there are
-    never false negatives)."""
+    authority — cuckoo false positives are re-checked exactly; inserts never
+    fail because kick-limit victims park in the filter's orphan set, and the
+    shard rebuilds the filter at double capacity once orphans accumulate,
+    so there are never false negatives and the slow path stays rare)."""
+
+    _ORPHAN_REBUILD = 64  # each orphan degrades ~1/65536 of queries
 
     def __init__(self, capacity_log2: int = 20):
         self._set: set[int] = set()
+        self._capacity_log2 = capacity_log2
         self._cuckoo = CuckooFilter(capacity_log2)
-        self._overflow: set[int] = set()
 
     def contains(self, hashes: np.ndarray) -> np.ndarray:
         if len(hashes) == 0:
@@ -124,9 +134,6 @@ class SeenShard:
         hashes = np.asarray(hashes, np.uint64)
         maybe = self._cuckoo.maybe_contains(hashes)
         out = np.zeros(len(hashes), bool)
-        if self._overflow:
-            ov = self._overflow
-            maybe = maybe | np.fromiter((int(h) in ov for h in hashes), bool, len(hashes))
         idx = np.nonzero(maybe)[0]
         if len(idx):
             s = self._set
@@ -140,13 +147,17 @@ class SeenShard:
         new = np.fromiter((int(h) not in self._set for h in hashes), bool, len(hashes))
         self._set.update(int(h) for h in hashes[new])
         if new.any():
-            fresh = hashes[new]
-            failed = self._cuckoo.insert_many(fresh)
-            if failed:
-                # identify which ones the filter couldn't store
-                stored = self._cuckoo.maybe_contains(fresh)
-                self._overflow.update(int(h) for h in fresh[~stored])
+            orphans = self._cuckoo.insert_many(hashes[new])
+            if orphans > self._ORPHAN_REBUILD:
+                self._rebuild()
         return len(self._set)
+
+    def _rebuild(self) -> None:
+        """Saturated filter: rebuild at double capacity from the exact set
+        (the authority) instead of accumulating orphans forever."""
+        self._capacity_log2 += 1
+        self._cuckoo = CuckooFilter(self._capacity_log2)
+        self._cuckoo.insert_many(np.fromiter(self._set, np.uint64, len(self._set)))
 
     def restore_from(self, paths: list[str], num_shards: int, shard_id: int) -> int:
         """Resume path: read the url_hash column of the seen fragments

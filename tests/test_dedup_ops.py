@@ -83,6 +83,20 @@ def test_banded_pairs_straddling_bucket(ray_session):
     assert len(pairs.drop_duplicates(["doc_a", "doc_b"])) == n * (n - 1) // 2
 
 
+def test_banded_pairs_hot_bucket_distributed_fallback(ray_session, monkeypatch):
+    """When edge rows exceed the driver limit, edge buckets resolve via a
+    keyed repartition instead of a driver concat — identical pair set."""
+    import ray.data as rd
+
+    n = 40
+    df = pd.DataFrame({"band": np.int32(0), "band_hash": np.int64(7),
+                       "doc_id": np.arange(n, dtype=np.int64)})
+    bands = rd.from_pandas(df).repartition(8)
+    monkeypatch.setattr(dedup_ops, "EDGE_ROWS_DRIVER_LIMIT", 0)
+    pairs = dedup_ops.banded_candidate_pairs(bands, dedup_ops.collide_pairs)
+    assert len(pairs.drop_duplicates(["doc_a", "doc_b"])) == n * (n - 1) // 2
+
+
 def test_verifier_blocks_false_positives(ray_session):
     import ray
 
