@@ -319,14 +319,37 @@ def union_streams(sf_dir: str):
     return out.sort_values("o_orderstatus").reset_index(drop=True)
 
 
-def seeded_sample(sf_dir: str):
-    """[rows-only] K5 deterministic seeded sampling/shuffle: same seed ⇒
-    same sample (reproducible crawl-order prerequisite)."""
+def _murmur64(x: np.ndarray) -> np.ndarray:
+    """DuckDB-compatible 64-bit hash (the murmur64 finalizer DuckDB's
+    ``hash()`` applies to integers — public algorithm, verified against
+    DuckDB output), vectorized so the engine-side sample predicate matches
+    the SQL oracle bit-for-bit."""
+    x = np.asarray(x, np.uint64).copy()
+    x ^= x >> np.uint64(32)
+    x *= np.uint64(0xD6E8FEB86659FD93)
+    x ^= x >> np.uint64(32)
+    x *= np.uint64(0xD6E8FEB86659FD93)
+    x ^= x >> np.uint64(32)
+    return x
+
+
+def seeded_sample(sf_dir: str, seed: int = 42):
+    """K5 deterministic seeded sampling: hash-based Bernoulli — keep rows
+    where murmur64(o_orderkey XOR seed) % 10 == 0. Same seed ⇒ identical
+    sample on ANY cluster size or block layout (``random_sample``'s draw
+    depends on block iteration order), and the predicate is expressible in
+    DuckDB, so the sample is fully oracle-checkable. Reproducibility is
+    additionally asserted by running the distributed filter twice."""
     ds = _read(sf_dir, "orders", ["o_orderkey"])
-    a = sorted(ds.random_sample(0.1, seed=42).to_pandas()["o_orderkey"].tolist())
-    b = sorted(ds.random_sample(0.1, seed=42).to_pandas()["o_orderkey"].tolist())
-    assert a == b, "seeded sample must be reproducible"
-    return pd.DataFrame({"o_orderkey": np.array(a, np.int64)})
+
+    def pick(b: pd.DataFrame, s=seed) -> pd.DataFrame:
+        h = _murmur64(b["o_orderkey"].to_numpy(np.int64).view(np.uint64) ^ np.uint64(s))
+        return b.loc[(h % np.uint64(10)) == 0]
+
+    a = np.sort(ds.map_batches(pick, batch_format="pandas").to_pandas()["o_orderkey"].to_numpy(np.int64))
+    b = np.sort(ds.map_batches(pick, batch_format="pandas").to_pandas()["o_orderkey"].to_numpy(np.int64))
+    assert (a == b).all(), "seeded sample must be reproducible"
+    return pd.DataFrame({"o_orderkey": a})
 
 
 # ---------------------------------------------------------------------------
@@ -435,17 +458,56 @@ def events_sliding_window(sf_dir: str):
 
 
 def sessionize(sf_dir: str):
-    """Session windows: per-user 30-min-gap sessionization via
-    groupby(user).map_groups over ts-sorted groups."""
+    """Session windows: per-user 30-min-gap sessionization, distributed as
+    sort + per-block fold: sort by (user_id, ts, event_id) co-locates each
+    user's events into ordered block ranges, each block counts its
+    session-break gaps with one vectorized diff, and the driver merges
+    per-user partials plus one boundary row per block (the seam gap between
+    adjacent blocks of the same user). Replaces groupby(user).map_groups,
+    whose ~1.5 ms/group Python cost (measured, Ray 2.49) is the slow path
+    at 10⁸–10⁹ users."""
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    s = ds.sort(["user_id", "ts", "event_id"]).materialize()
+    GAP_US = 1800 * 1_000_000
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
-        gaps = g["ts"].diff().dt.total_seconds()
-        return pd.DataFrame({"user_id": [np.int64(g["user_id"].iloc[0])],
-                             "n_sessions": [np.int64(1 + int((gaps > 1800).sum()))]})
+    def block_partial(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame({"user_id": pd.Series([], dtype=np.int64),
+                                 "n_breaks": pd.Series([], dtype=np.int64)})
+        u = b["user_id"].to_numpy(np.int64)
+        t = b["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        brk = np.concatenate([[False], (u[1:] == u[:-1]) & ((t[1:] - t[:-1]) > GAP_US)])
+        return (pd.DataFrame({"user_id": u, "brk": brk})
+                .groupby("user_id", as_index=False).agg(n_breaks=("brk", "sum")))
 
-    out = ds.groupby("user_id").map_groups(sessions, batch_format="pandas").to_pandas()
+    def block_bounds(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame({"first_user": pd.Series([], dtype=np.int64),
+                                 "first_ts": pd.Series([], dtype=np.int64),
+                                 "last_user": pd.Series([], dtype=np.int64),
+                                 "last_ts": pd.Series([], dtype=np.int64)})
+        t = b["ts"].astype("datetime64[us]").astype("int64")
+        return pd.DataFrame({"first_user": [np.int64(b["user_id"].iloc[0])],
+                             "first_ts": [np.int64(t.iloc[0])],
+                             "last_user": [np.int64(b["user_id"].iloc[-1])],
+                             "last_ts": [np.int64(t.iloc[-1])]})
+
+    parts = s.map_batches(block_partial, batch_format="pandas", batch_size=None).to_pandas()
+    bounds = s.map_batches(block_bounds, batch_format="pandas", batch_size=None).to_pandas()
+    agg = parts.groupby("user_id", as_index=False)["n_breaks"].sum()
+    bounds = bounds.sort_values(["first_user", "first_ts", "last_user", "last_ts"],
+                                kind="mergesort").reset_index(drop=True)
+    seam_user = bounds["first_user"].to_numpy()[1:]
+    seam = ((seam_user == bounds["last_user"].to_numpy()[:-1])
+            & ((bounds["first_ts"].to_numpy()[1:] - bounds["last_ts"].to_numpy()[:-1]) > GAP_US))
+    if seam.any():
+        extra = (pd.Series(seam_user[seam]).value_counts()
+                 .rename_axis("user_id").reset_index(name="extra"))
+        agg = agg.merge(extra, on="user_id", how="left")
+        agg["n_breaks"] += agg["extra"].fillna(0).astype(np.int64)
+        agg = agg.drop(columns=["extra"])
+    out = pd.DataFrame({"user_id": agg["user_id"].astype(np.int64),
+                        "n_sessions": (agg["n_breaks"] + 1).astype(np.int64)})
     return out.sort_values("user_id").reset_index(drop=True)
 
 
@@ -508,27 +570,57 @@ def lang_id_confusion(sf_dir: str):
 
 def doc_fingerprints(sf_dir: str):
     """Rolling-hash fingerprint per doc; docs + EXACT distinct fingerprints
-    per source. Distinctness is computed by deduplicating (source,
-    fingerprint) pairs in keyed blocks before counting — a per-batch
-    nunique summed across batches would overcount duplicates that span
-    batch boundaries (caught by the golden oracle)."""
+    per source, with NO corpus-scale driver pull: the sort shuffle
+    co-locates (source, fingerprint) into ordered block ranges, each block
+    counts its distinct pairs per source vectorized, and the driver
+    receives only per-block per-source COUNTS plus one boundary row per
+    block. A pair straddling k adjacent sorted blocks is counted k times
+    in-block and corrected by the k−1 boundary matches — distinct
+    fingerprints ≈ distinct docs, so materializing the unique pairs
+    themselves would hand the driver a corpus-scale frame at 100 TB."""
     ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
     fp = ds.map_batches(lambda b: textops.fingerprint(b).assign(source=b["source"].to_numpy()),
                         batch_format="pandas").materialize()
     docs = _fold(fp.map_batches(lambda b: b.groupby("source", as_index=False).size()
                                 .rename(columns={"size": "n_docs"}), batch_format="pandas"),
                  ["source"], dict(n_docs=("n_docs", "sum")))
-    # exact distinct: sort shuffle co-locates (source, fingerprint), each
-    # block deduplicates vectorized, the driver sees only unique pairs
-    # (result-sized) and counts per source
-    pairs = (fp.map_batches(lambda b: b[["source", "fingerprint"]].drop_duplicates(),
-                            batch_format="pandas")
-             .sort(["source", "fingerprint"])
-             .map_batches(lambda b: b.drop_duplicates(), batch_format="pandas",
-                          batch_size=None)
-             .to_pandas().drop_duplicates())
-    distinct = (pairs.groupby("source", as_index=False).size()
+    s = (fp.map_batches(lambda b: b[["source", "fingerprint"]].drop_duplicates(),
+                        batch_format="pandas")
+         .sort(["source", "fingerprint"]).materialize())
+
+    def block_counts(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame({"source": pd.Series([], dtype=str),
+                                 "n_distinct": pd.Series([], dtype=np.int64)})
+        return (b.drop_duplicates().groupby("source", as_index=False).size()
                 .rename(columns={"size": "n_distinct"}))
+
+    def block_bounds(b: pd.DataFrame) -> pd.DataFrame:
+        cols = {"first_source": str, "first_fp": np.int64,
+                "last_source": str, "last_fp": np.int64}
+        if len(b) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in cols.items()})
+        return pd.DataFrame({"first_source": [b["source"].iloc[0]],
+                             "first_fp": [np.int64(b["fingerprint"].iloc[0])],
+                             "last_source": [b["source"].iloc[-1]],
+                             "last_fp": [np.int64(b["fingerprint"].iloc[-1])]})
+
+    counts = s.map_batches(block_counts, batch_format="pandas", batch_size=None).to_pandas()
+    bounds = s.map_batches(block_bounds, batch_format="pandas", batch_size=None).to_pandas()
+    distinct = counts.groupby("source", as_index=False)["n_distinct"].sum()
+    # boundary correction: blocks in sorted order (ranges don't overlap
+    # except at endpoints, so (first, last) sorts them; the last-key
+    # tiebreak orders blocks that are entirely one straddling pair)
+    bounds = bounds.sort_values(["first_source", "first_fp", "last_source", "last_fp"],
+                                kind="mergesort").reset_index(drop=True)
+    over = ((bounds["first_source"].to_numpy()[1:] == bounds["last_source"].to_numpy()[:-1])
+            & (bounds["first_fp"].to_numpy()[1:] == bounds["last_fp"].to_numpy()[:-1]))
+    if over.any():
+        sub = (pd.Series(bounds["first_source"].to_numpy()[1:][over])
+               .value_counts().rename_axis("source").reset_index(name="overcount"))
+        distinct = distinct.merge(sub, on="source", how="left")
+        distinct["n_distinct"] -= distinct["overcount"].fillna(0).astype(np.int64)
+        distinct = distinct.drop(columns=["overcount"])
     out = docs.merge(distinct, on="source")
     out["n_docs"] = out["n_docs"].astype(np.int64)
     out["n_distinct"] = out["n_distinct"].astype(np.int64)
@@ -837,6 +929,9 @@ ORACLE_SQL = {
               FROM events)
         GROUP BY user_id""",
     "distinct_langs": "SELECT DISTINCT lang FROM documents",
+    "seeded_sample": """
+        SELECT o_orderkey FROM orders
+        WHERE hash(xor(CAST(o_orderkey AS BIGINT), CAST(42 AS BIGINT))) % 10 = 0""",
     "token_stats": """
         SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
                CAST(SUM(LEN(regexp_extract_all(text, '[A-Za-z0-9_]+'))) AS BIGINT) AS total_tokens,
