@@ -243,13 +243,43 @@ def jaccard(sh_a: np.ndarray, sh_b: np.ndarray) -> float:
     return inter / (len(sh_a) + len(sh_b) - inter)
 
 
+def verify_joined_pairs(batch: pd.DataFrame, threshold: float = 0.5,
+                        a_col: str = "sh_a", b_col: str = "sh_b") -> pd.DataFrame:
+    """map_batches kernel: exact-Jaccard verification of candidate pairs
+    whose shingle sets arrive IN the batch (attached by two keyed shuffle
+    joins of the pair table against the shingle dataset) — no driver-side
+    shingle index at any scale: verification survives candidate sets that
+    are a corpus fraction, because the shingle payload only ever moves
+    through the join exchange, never through the driver."""
+    empty = pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
+                          "doc_b": pd.Series([], dtype=np.int64),
+                          "jaccard": pd.Series([], dtype=np.float64)})
+    if len(batch) == 0:
+        return empty
+
+    def _sh(v) -> np.ndarray:
+        # shingle sets travel through the join as plain binary (uint64 LE
+        # bytes) — Arrow's hash join rejects tensor-extension payload columns
+        return np.frombuffer(v, np.uint64) if isinstance(v, (bytes, bytearray)) \
+            else np.asarray(v, np.uint64)
+
+    sims = np.array([jaccard(_sh(sa), _sh(sb))
+                     for sa, sb in zip(batch[a_col], batch[b_col])], np.float64)
+    keep = sims >= threshold
+    if not keep.any():
+        return empty
+    return pd.DataFrame({"doc_a": batch["doc_a"].to_numpy(np.int64)[keep],
+                         "doc_b": batch["doc_b"].to_numpy(np.int64)[keep],
+                         "jaccard": np.round(sims[keep], 6)})
+
+
 class PairVerifier:
     """Actor-pool stage: exact-Jaccard verification of candidate pairs.
 
     Holds a doc_id → shingle-set index fetched ONCE per actor from a
-    broadcast ref (ray.put on the driver). The index covers only CANDIDATE
-    docs (those appearing in ≥1 LSH pair) — computed distributed upstream by
-    ``doc_shingles`` — so the broadcast is candidate-scale, not corpus-scale."""
+    broadcast ref (ray.put on the driver). Small-candidate-set variant —
+    the production query path uses ``verify_joined_pairs`` (shuffle joins)
+    so no driver shingle index exists at corpus-fraction candidate scale."""
 
     def __init__(self, shingles_ref, threshold: float = 0.5):
         import ray

@@ -639,9 +639,11 @@ def minhash_near_dups(sf_dir: str):
     collision with per-block vectorized kernels (boundary buckets resolved
     at bucket scale — see dedup_ops.banded_candidate_pairs) → candidate
     pair dedup → distributed shingle computation for CANDIDATE docs only
-    (semi-join by broadcast id set) → actor-pool exact-Jaccard verify with a
-    candidate-scale broadcast index. Returns (doc_a, doc_b, jaccard).
-    """
+    (semi-join by broadcast id set — ids are bytes/candidate, not payload)
+    → TWO keyed shuffle joins attach sh_a/sh_b to each pair → vectorized
+    exact-Jaccard verify per block. The shingle payload moves only through
+    the join exchange, never the driver, so verification survives candidate
+    sets that are a corpus fraction. Returns (doc_a, doc_b, jaccard)."""
     empty = pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
                           "doc_b": pd.Series([], dtype=np.int64),
                           "jaccard": pd.Series([], dtype=np.float64)})
@@ -653,15 +655,22 @@ def minhash_near_dups(sf_dir: str):
         return empty
     cand_ids = frozenset(cand_pd["doc_a"]) | frozenset(cand_pd["doc_b"])
     # shingles for candidate docs, computed distributed over the corpus scan
-    sh_pd = ds.map_batches(dedup_ops.doc_shingles,
+    sh_ds = ds.map_batches(dedup_ops.doc_shingles,
                            fn_kwargs=dict(keep_ids=cand_ids),
-                           batch_format="pandas").to_pandas()
-    sh_ref = ray.put(dict(zip(sh_pd["doc_id"].astype(np.int64),
-                              (np.asarray(s, np.uint64) for s in sh_pd["shingles"]))))
-    verified = rd.from_pandas(cand_pd).map_batches(
-        dedup_ops.PairVerifier, fn_constructor_kwargs=dict(shingles_ref=sh_ref),
-        batch_format="pandas", concurrency=2)
-    out = verified.to_pandas()
+                           batch_format="pandas").materialize()
+    # shingle payload packed to plain binary for the join exchange (Arrow's
+    # hash join rejects tensor-extension non-key columns)
+    def _pack(b: pd.DataFrame, key: str, col: str) -> pd.DataFrame:
+        return pd.DataFrame({key: b["doc_id"].to_numpy(np.int64),
+                             col: [np.asarray(s, np.uint64).tobytes() for s in b["shingles"]]})
+
+    a_side = sh_ds.map_batches(lambda b: _pack(b, "doc_a", "sh_a"), batch_format="pandas")
+    b_side = sh_ds.map_batches(lambda b: _pack(b, "doc_b", "sh_b"), batch_format="pandas")
+    joined = (rd.from_pandas(cand_pd)
+              .join(a_side, join_type="inner", num_partitions=4, on=("doc_a",))
+              .join(b_side, join_type="inner", num_partitions=4, on=("doc_b",)))
+    out = joined.map_batches(dedup_ops.verify_joined_pairs,
+                             batch_format="pandas").to_pandas()
     if len(out) == 0:
         return empty
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
