@@ -143,6 +143,149 @@ def ivf_topk(ds, queries: dict, k: int = 10, nlist: int = 16, nprobe: int = 4,
 
 
 # ---------------------------------------------------------------------------
+# All-pairs near-dup (exact tiled baseline + banded scale path)
+# ---------------------------------------------------------------------------
+
+def _tile_pairs(ta, tb, same: bool, threshold: float) -> pd.DataFrame:
+    """One (block_a × block_b) tile of the exact all-pairs cosine grid."""
+    da, db = ta.to_pandas(), tb.to_pandas()
+    ia = da["vec_id"].to_numpy(np.int64)
+    ib = db["vec_id"].to_numpy(np.int64)
+    ma = _normalize(_to_matrix(da["embedding"]))
+    mb = _normalize(_to_matrix(db["embedding"]))
+    sims = ma @ mb.T
+    keep = sims >= threshold
+    if same:
+        keep &= ia[:, None] < ib[None, :]
+    ii, jj = np.nonzero(keep)
+    va, vb, s = ia[ii], ib[jj], sims[ii, jj]
+    lo, hi = np.minimum(va, vb), np.maximum(va, vb)
+    return pd.DataFrame({"vid_a": lo, "vid_b": hi, "sim": np.round(s, 6)})
+
+
+def tiled_near_dup_pairs(ds, threshold: float) -> pd.DataFrame:
+    """Exact all-pairs cosine near-dup (sim ≥ threshold) as a DISTRIBUTED
+    tile grid — the scale-safe shape of the exactness baseline: the corpus
+    blocks are materialized in the object store once, and each of the
+    B(B+1)/2 block-pair tiles is one Ray task that fetches exactly TWO
+    blocks and emits its qualifying pairs. No whole-corpus broadcast (peak
+    task memory = two blocks + one tile of sims), and the driver receives
+    only result pairs. Raw Ray tasks are the right tool here: the Dataset
+    API has no self-cross-product operator, and the tile grid is the
+    standard distributed-GEMM decomposition.
+
+    Why exact and not LSH at LOW thresholds: measured on the testdata
+    embeddings (64-d), pairs at sim≈0.45 are ~2σ tail events of the
+    random-pair sim distribution (no similarity gap); the hyperplane
+    bit-collision rates (≈0.65 for threshold pairs vs 0.5 for random
+    pairs) mean any banding with recall≈1 admits MORE candidates than
+    all-pairs. Banding becomes the production path only at true near-dup
+    thresholds (cos ≳ 0.85) — see ``banded_near_dup_pairs``."""
+    import ray
+
+    @ray.remote
+    def tile(ta, tb, same, thr):
+        return _tile_pairs(ta, tb, same, thr)
+
+    refs = ds.materialize().to_arrow_refs()
+    tasks = [tile.remote(refs[i], refs[j], i == j, threshold)
+             for i in range(len(refs)) for j in range(i, len(refs))]
+    parts = [p for p in ray.get(tasks) if len(p)]
+    if not parts:
+        return pd.DataFrame({"vid_a": pd.Series([], dtype=np.int64),
+                             "vid_b": pd.Series([], dtype=np.int64),
+                             "sim": pd.Series([], dtype=np.float64)})
+    return pd.concat(parts, ignore_index=True)
+
+
+def embedding_band_rows(batch: pd.DataFrame, bands: int = 96,
+                        band_bits: int = 16, seed: int = 17) -> pd.DataFrame:
+    """map_batches kernel: (vec_id, embedding) → LSH band rows for the
+    banded near-dup path. Each band owns ``band_bits`` random hyperplanes
+    (deterministic seed ⇒ identical planes in every batch); band_hash is
+    the packed sign pattern. P[pair at angle θ collides in one band] =
+    (1−θ/π)^band_bits; with 96×16-bit bands, recall at cos 0.95 is
+    1−4e-9 and random pairs collide at 96×0.5^16 ≈ 1.5e-3."""
+    m = _normalize(_to_matrix(batch["embedding"]))
+    planes = hyperplanes(m.shape[1], bands * band_bits, seed)
+    bits = (m @ planes.T) > 0  # (n, bands*band_bits)
+    ids = batch["vec_id"].to_numpy(np.int64)
+    rows = []
+    for band in range(bands):
+        chunk = bits[:, band * band_bits : (band + 1) * band_bits]
+        h = np.zeros(len(m), np.int64)
+        for i in range(band_bits):
+            h |= chunk[:, i].astype(np.int64) << i
+        rows.append(pd.DataFrame({"band": np.int32(band), "band_hash": h,
+                                  "doc_id": ids}))
+    return pd.concat(rows, ignore_index=True)
+
+
+def verify_cosine_joined(batch: pd.DataFrame, threshold: float) -> pd.DataFrame:
+    """map_batches kernel: exact-cosine verification of banded candidate
+    pairs whose (L2-normalized, binary-packed) vectors arrive IN the batch
+    via two keyed shuffle joins — one vectorized row-wise dot per block,
+    no driver-side vector index."""
+    empty = pd.DataFrame({"vid_a": pd.Series([], dtype=np.int64),
+                          "vid_b": pd.Series([], dtype=np.int64),
+                          "sim": pd.Series([], dtype=np.float64)})
+    if len(batch) == 0:
+        return empty
+    va = np.stack([np.frombuffer(x, np.float64) for x in batch["emb_a"]])
+    vb = np.stack([np.frombuffer(x, np.float64) for x in batch["emb_b"]])
+    sims = (va * vb).sum(axis=1)
+    keep = sims >= threshold
+    if not keep.any():
+        return empty
+    a = batch["doc_a"].to_numpy(np.int64)[keep]
+    b = batch["doc_b"].to_numpy(np.int64)[keep]
+    return pd.DataFrame({"vid_a": np.minimum(a, b), "vid_b": np.maximum(a, b),
+                         "sim": np.round(sims[keep], 6)})
+
+
+def banded_near_dup_pairs(ds, threshold: float = 0.9, bands: int = 96,
+                          band_bits: int = 16, seed: int = 17) -> pd.DataFrame:
+    """Embedding near-dup pairs at TRUE near-dup thresholds (cos ≳ 0.85),
+    fully distributed: hyperplane sign bands → sort-shuffle bucket
+    collision (dedup_ops.banded_candidate_pairs) → candidate pairs joined
+    back to their packed vectors (two keyed shuffle joins — vector payload
+    never crosses the driver) → vectorized exact-cosine verify. Linear in
+    corpus + candidates; recall is probabilistic (see embedding_band_rows)
+    but ≥1−4e-9 per pair at cos 0.95 with the defaults."""
+    import ray.data as rd
+
+    from crawler_ray.functions import dedup_ops
+
+    mat = ds.materialize()
+    bands_ds = mat.map_batches(
+        embedding_band_rows, fn_kwargs=dict(bands=bands, band_bits=band_bits, seed=seed),
+        batch_format="pandas")
+    cand = dedup_ops.banded_candidate_pairs(bands_ds, dedup_ops.collide_pairs)
+    cand = cand.drop_duplicates(["doc_a", "doc_b"])
+    empty = pd.DataFrame({"vid_a": pd.Series([], dtype=np.int64),
+                          "vid_b": pd.Series([], dtype=np.int64),
+                          "sim": pd.Series([], dtype=np.float64)})
+    if len(cand) == 0:
+        return empty
+    cand_ids = frozenset(cand["doc_a"]) | frozenset(cand["doc_b"])
+
+    def pack(b: pd.DataFrame, key: str, col: str) -> pd.DataFrame:
+        b = b.loc[b["vec_id"].isin(cand_ids)]
+        m = _normalize(_to_matrix(b["embedding"])) if len(b) else np.zeros((0, 1))
+        return pd.DataFrame({key: b["vec_id"].to_numpy(np.int64),
+                             col: [row.tobytes() for row in m]})
+
+    a_side = mat.map_batches(lambda b: pack(b, "doc_a", "emb_a"), batch_format="pandas")
+    b_side = mat.map_batches(lambda b: pack(b, "doc_b", "emb_b"), batch_format="pandas")
+    joined = (rd.from_pandas(cand)
+              .join(a_side, join_type="inner", num_partitions=4, on=("doc_a",))
+              .join(b_side, join_type="inner", num_partitions=4, on=("doc_b",)))
+    out = joined.map_batches(verify_cosine_joined, fn_kwargs=dict(threshold=threshold),
+                             batch_format="pandas").to_pandas()
+    return out if len(out) else empty
+
+
+# ---------------------------------------------------------------------------
 # LSH (random hyperplanes)
 # ---------------------------------------------------------------------------
 

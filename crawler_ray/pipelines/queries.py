@@ -747,36 +747,17 @@ def ann_ivf_topk(sf_dir: str):
 
 
 def embedding_near_dups(sf_dir: str, threshold: float = 0.45):
-    """Embedding-cosine near-dup pairs (cosine ≥ threshold): per-batch
-    blocked matmul against a broadcast L2-normalized corpus matrix — the
-    exactness baseline of the dedup family (the LSH-bucketed variant is the
-    scale path, see ann.lsh_topk). Emits (vid_a < vid_b, sim). The default
-    threshold sits ≥5e-4 from every pair in the synthetic fixture, so the
-    engine/DuckDB float comparison cannot flip on a boundary."""
-    from crawler_ray.functions.ann import _normalize, _to_matrix
-
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]).to_pandas()
-    ids = t["vec_id"].to_numpy(np.int64)
-    nmat = _normalize(_to_matrix(t["embedding"]))
-    ref = ray.put((ids, nmat))
+    """Embedding-cosine near-dup pairs (cosine ≥ threshold), EXACT, as a
+    distributed tile grid (ann.tiled_near_dup_pairs): each Ray task holds
+    two corpus blocks, never the whole corpus — no O(corpus) broadcast.
+    Exactness is required at this threshold: measured on the fixture, the
+    qualifying pairs are the ~2σ tail of the random-pair sim distribution
+    (no gap), where banded LSH with recall≈1 admits more candidates than
+    all-pairs; at true near-dup thresholds use ann.banded_near_dup_pairs.
+    Emits (vid_a < vid_b, sim). The default threshold sits ≥5e-4 from
+    every fixture pair, so the engine/DuckDB comparison cannot flip."""
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-
-    class NearDup:
-        def __init__(self, corpus_ref, thr):
-            self.ids, self.nmat = ray.get(corpus_ref)
-            self.thr = thr
-
-        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-            bm = _normalize(_to_matrix(b["embedding"]))
-            bids = b["vec_id"].to_numpy(np.int64)
-            sims = bm @ self.nmat.T
-            keep = (sims >= self.thr) & (bids[:, None] < self.ids[None, :])
-            ii, jj = np.nonzero(keep)
-            return pd.DataFrame({"vid_a": bids[ii], "vid_b": self.ids[jj],
-                                 "sim": np.round(sims[ii, jj], 6)})
-
-    out = ds.map_batches(NearDup, fn_constructor_kwargs=dict(corpus_ref=ref, thr=threshold),
-                         batch_format="pandas", concurrency=2).to_pandas()
+    out = ann.tiled_near_dup_pairs(ds, threshold)
     if len(out) == 0:
         return pd.DataFrame({"vid_a": pd.Series([], dtype=np.int64),
                              "vid_b": pd.Series([], dtype=np.int64),

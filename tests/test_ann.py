@@ -92,3 +92,48 @@ def test_ivf_topk_recall(ray_session):
     recall = len(set(zip(approx["qid"], approx["vid"]))
                  & set(zip(exact["qid"], exact["vid"]))) / len(exact)
     assert recall >= 0.5, recall
+
+
+def test_tiled_near_dup_exact_vs_bruteforce(ray_session):
+    """The tile-grid all-pairs path equals a single-matrix brute force."""
+    import ray.data as rd
+
+    from crawler_ray.functions import ann
+
+    rng = np.random.default_rng(12)
+    mat = rng.standard_normal((250, 32))
+    nm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = nm @ nm.T
+    iu = np.triu_indices(250, 1)
+    thr = float(np.quantile(sims[iu], 0.999))  # a few dozen qualifying pairs
+    truth = {(int(a), int(b)) for a, b in zip(*[x[sims[iu] >= thr] for x in iu])}
+    df = pd.DataFrame({"vec_id": np.arange(250, dtype=np.int64),
+                       "embedding": [v.tolist() for v in mat]})
+    got = ann.tiled_near_dup_pairs(rd.from_pandas(df).repartition(5), thr)
+    assert set(zip(got["vid_a"], got["vid_b"])) == truth
+    assert len(truth) > 0
+
+
+def test_banded_near_dup_matches_tiled_exact(ray_session):
+    """At true near-dup thresholds the banded LSH path finds the identical
+    pair set the exact tiled path finds (planted dups at cos≈0.95; the
+    96×16-bit default gives per-pair recall ≥ 1-4e-9 there)."""
+    import ray.data as rd
+
+    from crawler_ray.functions import ann
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((300, 64))
+    idx = rng.choice(300, 40, replace=False)
+    dup = base[idx] + 0.32 * rng.standard_normal((40, 64))
+    mat = np.vstack([base, dup])
+    df = pd.DataFrame({"vec_id": np.arange(len(mat), dtype=np.int64),
+                       "embedding": [v.tolist() for v in mat]})
+    ds = rd.from_pandas(df).repartition(4)
+    exact = ann.tiled_near_dup_pairs(ds, 0.9)
+    banded = ann.banded_near_dup_pairs(ds, 0.9)
+    assert len(exact) >= 30  # planting actually worked
+    assert (set(zip(exact["vid_a"], exact["vid_b"]))
+            == set(zip(banded["vid_a"], banded["vid_b"])))
+    m = exact.merge(banded, on=["vid_a", "vid_b"], suffixes=("_e", "_b"))
+    assert np.allclose(m["sim_e"], m["sim_b"])
