@@ -151,6 +151,37 @@ def _city_pages(sf_dir: str):
     return out.sort_values("url").reset_index(drop=True)
 
 
+_SIMILAR_NEARBY = dict(lat=34.5, lon=-83.0, radius=5.0, min_price=1000,
+                       max_price=3500, types=("apartment",), limit=10, offset=5)
+
+
+def _similar_nearby(sf_dir: str):
+    """/properties/similar/nearby analogue (api/main.py:93-142): ONE query
+    combining the spatial radius AND the price band AND a property-type
+    set around a point, with pagination. The reference leans on Postgres
+    (ST_DWithin + implicit scan order); here the radius/band/type predicate
+    is a distributed vectorized filter and pagination imposes a total
+    order (ORDER BY url) so the page is reproducible on any block layout."""
+    import numpy as np
+
+    p = _SIMILAR_NEARBY
+    ds = _pages_ds(["url", "title", "price", "latitude", "longitude",
+                    "property_type", "city"])
+
+    def flt(b):
+        d = np.sqrt((b["latitude"] - p["lat"]) ** 2 + (b["longitude"] - p["lon"]) ** 2)
+        m = ((d.to_numpy() <= p["radius"])
+             & b["price"].between(p["min_price"], p["max_price"]).to_numpy()
+             & b["property_type"].isin(p["types"]).to_numpy())
+        return b.loc[m]
+
+    page = (ds.map_batches(flt, batch_format="pandas")
+            .sort("url").limit(p["offset"] + p["limit"]).to_pandas()
+            .iloc[p["offset"]:])
+    page["price"] = page["price"].astype("int64")
+    return page.reset_index(drop=True)
+
+
 def _city_locations(sf_dir: str):
     """/location/city/{city} analogue (api/main.py:279-290): per-city
     centroid + listing count over the crawled pages (combiner + tiny fold)."""
@@ -186,6 +217,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["crawl_page_lookup"] = _page_lookup
     out["crawl_city_pages"] = _city_pages
     out["crawl_city_locations"] = _city_locations
+    out["crawl_similar_nearby"] = _similar_nearby
     # multimodal (decode/feature/near-dup over the image store)
     out["image_features"] = _image_features
     out["image_phash_dups"] = _phash_dups
@@ -205,7 +237,7 @@ _GOLDEN_CHECKED = (
     "image_phash_dups", "minhash_near_dups", "simhash_near_dups",
     "near_dup_clusters", "lang_id_confusion", "doc_fingerprints",
     "ann_lsh_topk", "ann_ivf_topk", "crawl_page_lookup", "crawl_city_pages",
-    "crawl_city_locations",
+    "crawl_city_locations", "crawl_similar_nearby",
 )
 
 

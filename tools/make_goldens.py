@@ -132,6 +132,20 @@ def crawl_goldens():
         cp[c] = cp[c].astype("int64")
     write("crawl_city_pages", cp.sort_values("url").reset_index(drop=True))
 
+    # combined radius + price band + type around a point (api/main.py:93-142)
+    from __ray_entry__ import _SIMILAR_NEARBY as snp
+
+    d = np.sqrt((pg["latitude"] - snp["lat"]) ** 2 + (pg["longitude"] - snp["lon"]) ** 2)
+    sn = pg.loc[(d <= snp["radius"])
+                & pg["price"].between(snp["min_price"], snp["max_price"])
+                & pg["property_type"].isin(snp["types"]),
+                ["url", "title", "price", "latitude", "longitude",
+                 "property_type", "city"]].copy()
+    sn = (sn.sort_values("url", kind="mergesort")
+          .iloc[snp["offset"]:snp["offset"] + snp["limit"]])
+    sn["price"] = sn["price"].astype("int64")
+    write("crawl_similar_nearby", sn.reset_index(drop=True))
+
     loc = pg.groupby("city", as_index=False).agg(
         n=("latitude", "size"), slat=("latitude", "sum"), slon=("longitude", "sum"))
     loc["avg_latitude"] = (loc["slat"] / loc["n"]).round(4)
