@@ -143,6 +143,78 @@ def ivf_topk(ds, queries: dict, k: int = 10, nlist: int = 16, nprobe: int = 4,
 
 
 # ---------------------------------------------------------------------------
+# Persisted IVF index (the reference's analogue is a persistent Postgres
+# GiST index behind ST_DWithin, api/main.py:81-90 — repeated queries must
+# be index scans, not corpus recomputation)
+# ---------------------------------------------------------------------------
+
+def build_ivf_index(ds, index_dir: str, nlist: int = 16, iters: int = 10,
+                    seed: int = 3, train_rows: int = 4096) -> dict:
+    """Persist the IVF index ONCE: train the coarse quantizer on a corpus
+    sample (driver-side numpy — nlist×d, tiny), assign the corpus to lists
+    with a distributed map_batches, and write the assignment as parquet
+    fragments PARTITIONED BY ivf_list — a later query reads only its
+    probed lists' files (an index scan of ≈nprobe/nlist of the corpus).
+    The quantizer + params land in a manifest for resume; building is
+    atomic (tmp dir + rename) and idempotent (a matching manifest wins).
+    Returns the manifest dict."""
+    import json
+    import os
+    import shutil
+
+    params = dict(nlist=nlist, iters=iters, seed=seed, train_rows=train_rows)
+    man_path = os.path.join(index_dir, "manifest.json")
+    if os.path.exists(man_path):
+        with open(man_path) as f:
+            man = json.load(f)
+        if {k: man[k] for k in params} == params:
+            return man
+        shutil.rmtree(index_dir, ignore_errors=True)
+    sample = _to_matrix(ds.limit(train_rows).to_pandas()["embedding"])
+    centroids = kmeans_centroids(sample, nlist, iters, seed)
+    tmp = index_dir + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    assigned = ds.map_batches(make_ivf_assigner(centroids), batch_format="pandas")
+    assigned.write_parquet(tmp, partition_cols=["ivf_list"])
+    man = dict(params, dim=int(centroids.shape[1]),
+               centroids=[[float(x) for x in row] for row in centroids])
+    with open(os.path.join(tmp, "manifest.json"), "w") as f:
+        json.dump(man, f)
+    shutil.rmtree(index_dir, ignore_errors=True)
+    os.rename(tmp, index_dir)
+    return man
+
+
+def ivf_topk_indexed(index_dir: str, queries: dict, k: int = 10,
+                     nprobe: int = 4):
+    """Approximate top-k over a PERSISTED IVF index: load the quantizer
+    from the manifest (tiny), pick each query's ``nprobe`` nearest lists,
+    and read ONLY those lists' parquet partitions — no corpus-wide
+    assignment pass. Identical results to ``ivf_topk`` with the same
+    params (same quantizer, same probed lists, same exact re-rank)."""
+    import json
+    import os
+
+    import ray
+    import ray.data as rd
+
+    with open(os.path.join(index_dir, "manifest.json")) as f:
+        man = json.load(f)
+    centroids = np.asarray(man["centroids"], np.float64)
+    qsim = _normalize(queries["mat"]) @ centroids.T
+    probe = set()
+    for row in qsim:
+        probe.update(int(j) for j in np.argsort(-row)[:nprobe])
+    import glob as _glob
+
+    paths = [f for j in sorted(probe)
+             for f in sorted(_glob.glob(os.path.join(index_dir, f"ivf_list={j}", "*.parquet")))]
+    cand = rd.read_parquet(paths, columns=["vec_id", "embedding"])
+    qref = ray.put(queries)
+    return brute_force_topk(cand, qref, k)
+
+
+# ---------------------------------------------------------------------------
 # All-pairs near-dup (exact tiled baseline + banded scale path)
 # ---------------------------------------------------------------------------
 

@@ -734,13 +734,24 @@ def ann_lsh_topk(sf_dir: str):
 
 
 def ann_ivf_topk(sf_dir: str):
-    """IVF-bucketed approximate cosine top-10 (the inverted-file scale
-    path): k-means coarse quantizer trained on a corpus sample, corpus
-    assigned to lists distributed, queries probe their nearest lists."""
+    """IVF-bucketed approximate cosine top-10 over a PERSISTED index
+    (api/main.py:81-90's GiST analogue): the first call builds the index
+    — quantizer trained on a corpus sample, corpus assigned to lists
+    distributed, assignment written as ivf_list-partitioned parquet
+    fragments — and every later call is an index SCAN of only the probed
+    lists' files (no corpus-wide assignment pass; build_ivf_index is
+    idempotent via its manifest)."""
+    import hashlib
+    import os
+
     queries = _load_queries(sf_dir)
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"],
                filter=pc.field("vec_id") >= 5)
-    out = ann.ivf_topk(ds, queries, k=10).to_pandas()
+    index_dir = os.path.join(
+        "/tmp/crawler_ray_ivf",
+        hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12])
+    ann.build_ivf_index(ds, index_dir)
+    out = ann.ivf_topk_indexed(index_dir, queries, k=10).to_pandas()
     out = out[["qid", "vid", "sim"]]
     out["sim"] = out["sim"].round(6)
     return out.sort_values(["qid", "vid"]).reset_index(drop=True)

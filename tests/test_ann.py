@@ -137,3 +137,32 @@ def test_banded_near_dup_matches_tiled_exact(ray_session):
             == set(zip(banded["vid_a"], banded["vid_b"])))
     m = exact.merge(banded, on=["vid_a", "vid_b"], suffixes=("_e", "_b"))
     assert np.allclose(m["sim_e"], m["sim_b"])
+
+
+def test_persisted_ivf_index_reuse(ray_session, tmp_path):
+    """build_ivf_index persists quantizer + ivf_list-partitioned fragments;
+    a second build is a manifest no-op (files untouched) and the indexed
+    query equals the recompute-everything ivf_topk."""
+    import os
+
+    import ray.data as rd
+
+    from crawler_ray.functions import ann
+
+    rng = np.random.default_rng(21)
+    mat = rng.standard_normal((400, 16))
+    df = pd.DataFrame({"vec_id": np.arange(400, dtype=np.int64),
+                       "embedding": [v.tolist() for v in mat]})
+    queries = {"qid": np.arange(3, dtype=np.int64), "mat": mat[:3].astype(np.float64)}
+    ds = rd.from_pandas(df).repartition(4)
+    idx = str(tmp_path / "ivf")
+    ann.build_ivf_index(ds, idx, nlist=8)
+    frags = sorted(str(p) for p in (tmp_path / "ivf").rglob("*.parquet"))
+    mtimes = {p: os.path.getmtime(p) for p in frags}
+    ann.build_ivf_index(ds, idx, nlist=8)  # second build: manifest no-op
+    assert {p: os.path.getmtime(p)
+            for p in sorted(str(q) for q in (tmp_path / "ivf").rglob("*.parquet"))} == mtimes
+    got = ann.ivf_topk_indexed(idx, queries, k=10, nprobe=4).to_pandas()
+    ref = ann.ivf_topk(ds, queries, k=10, nlist=8, nprobe=4).to_pandas()
+    key = lambda d: sorted(zip(d["qid"], d["vid"]))
+    assert key(got) == key(ref)
