@@ -149,6 +149,34 @@ def _listing_priorities(root, frags, seeds_tbl, robots_by_host, city_state, seen
     return lp, counter
 
 
+def pack_frontier_buckets(frags: list[dict], out_root: str,
+                          fetch_concurrency: int) -> list[tuple[list[str], int]]:
+    """Read-time LPT bin-packing of the host-sharded frontier buckets into
+    balanced block groups. Bucket row counts are known from the manifest,
+    so buckets (complete hosts — a host is atomic under per-host
+    politeness) pack greedily largest-first into the largest group count
+    that still balances: k ≤ total/max_bucket guarantees every group ≤
+    ~2× the mean even when a hot host dominates one bucket (the
+    irreducible atomic floor); otherwise k = 2×fetch_concurrency keeps
+    prep parallelism ≥ the pool. Returns (paths, rows) per group."""
+    by_bucket: dict[str, list[tuple[str, int]]] = {}
+    for f in frags:
+        bucket = f["fragment"].split("-")[1]
+        by_bucket.setdefault(bucket, []).append(
+            (os.path.join(out_root, "frontier", f["fragment"]), int(f["rows"])))
+    bucket_rows = {b: sum(r for _, r in fl) for b, fl in by_bucket.items()}
+    total_rows = sum(bucket_rows.values())
+    max_bucket = max(bucket_rows.values(), default=0)
+    k = max(1, min(2 * fetch_concurrency, total_rows // max(1, max_bucket)))
+    loads = [0] * k
+    group_paths: list[list[str]] = [[] for _ in range(k)]
+    for b in sorted(by_bucket, key=lambda x: (-bucket_rows[x], x)):
+        i = loads.index(min(loads))
+        loads[i] += bucket_rows[b]
+        group_paths[i].extend(p for p, _ in sorted(by_bucket[b]))
+    return [(paths, load) for paths, load in zip(group_paths, loads) if paths]
+
+
 def _run_wave_local(root: str, frags: list[dict], seeds_tbl: pa.Table | None,
                     prep, wave_tail, fp, fetch_batch_size: int) -> list[dict]:
     """Driver-local execution of a TINY wave with the identical kernels the
@@ -334,7 +362,9 @@ def _run_crawl_inner(
         gate = (_time.time(), cfg.time_scale) if cfg.politeness_mode == "wall" else None
         fp = FetchProcess(params=params, out_root=out_root,
                           wave=wave, seed=cfg.seed, max_retries=cfg.max_retries,
-                          gate=gate, max_enqueue_retries=cfg.max_enqueue_retries)
+                          gate=gate, max_enqueue_retries=cfg.max_enqueue_retries,
+                          frontier_buckets=min(semantics.NUM_SHARDS,
+                                               max(16, 2 * fetch_concurrency)))
         writer = _SeenOrderWriter(out_root, wave)
 
         def wave_tail(g: pd.DataFrame, w=wave, ap=assign_priority) -> pd.DataFrame:
@@ -367,18 +397,15 @@ def _run_crawl_inner(
                     prep, batch_format="pandas")
                 chain = ds.groupby("host").map_groups(wave_tail, batch_format="pandas")
             else:
-                # bucketed frontier (host-sharded at write time): each
-                # bucket's fragments read as ONE co-located block → exact
-                # dedup + per-host politeness WITHOUT any shuffle. The only
-                # exchange in the steady-state wave happened at write time,
-                # file-granular and embarrassingly parallel.
-                by_bucket: dict[str, list[str]] = {}
-                for f in next_frontier_frags:
-                    bucket = f["fragment"].split("-")[1]
-                    by_bucket.setdefault(bucket, []).append(
-                        os.path.join(out_root, "frontier", f["fragment"]))
+                # bucketed frontier (host-sharded at write time): buckets are
+                # LPT-bin-packed into balanced block groups (sizes known from
+                # the manifest) and each group reads as ONE co-located block
+                # → exact dedup + per-host politeness WITHOUT any shuffle.
+                # The only exchange in the steady-state wave happened at
+                # write time, file-granular and embarrassingly parallel.
                 parts = [rd.read_parquet(paths, override_num_blocks=1)
-                         for _, paths in sorted(by_bucket.items())]
+                         for paths, _ in pack_frontier_buckets(
+                             next_frontier_frags, out_root, fetch_concurrency)]
                 ds = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
                 chain = ds.map_batches(bucket_block, batch_format="pandas",
                                        batch_size=None)

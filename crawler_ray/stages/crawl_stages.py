@@ -386,13 +386,24 @@ class FetchProcess:
     never transit the driver and the whole wave is one streaming execution.
     """
 
-    FRONTIER_BUCKETS = 16  # host-shard buckets per wave (scale with cluster)
+    # host-shard buckets per wave; the default is overridden per run with
+    # min(NUM_SHARDS, max(16, 2 × fetch_concurrency)) so next-wave prep
+    # parallelism scales with the pool (prep blocks = buckets). A host is
+    # ATOMIC under per-host politeness (a sequential rate-limited queue
+    # cannot be split without violating spacing — true of Mercator too, its
+    # salting spreads HOSTS across queues, not one host across queues), so
+    # the irreducible per-bucket floor is the hottest host's row count; the
+    # hot-host balance test asserts bucketing adds no skew beyond it.
+    FRONTIER_BUCKETS = 16
 
     def __init__(self, params, out_root: str, wave: int,
                  seed: int, max_retries: int, gate: tuple | None = None,
-                 max_enqueue_retries: int = semantics.MAX_ENQUEUE_RETRIES):
+                 max_enqueue_retries: int = semantics.MAX_ENQUEUE_RETRIES,
+                 frontier_buckets: int | None = None):
         from crawler_ray.sources.lance_layout import FragmentWriter
 
+        if frontier_buckets is not None:
+            self.FRONTIER_BUCKETS = int(frontier_buckets)
         self.fetcher = Fetcher(params, max_retries, gate=gate)
         self.max_enqueue_retries = max_enqueue_retries
         self.images = ImageStage(params, seed)
@@ -408,7 +419,7 @@ class FetchProcess:
         # lands in exactly one bucket, so the next wave reads each bucket as
         # one co-located block and needs NO shuffle for dedup/politeness.
         self.frontier_writers = {
-            b: FragmentWriter(out_root, "frontier", f"w{wave + 1}-b{b:02d}")
+            b: FragmentWriter(out_root, "frontier", f"w{wave + 1}-b{b:03d}")
             for b in range(self.FRONTIER_BUCKETS)
         }
 

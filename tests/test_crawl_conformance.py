@@ -250,3 +250,56 @@ def test_distributed_listing_scan_equivalence(ray_session, tmp_path, monkeypatch
         a = sorted(tuple(r[k] for k in keys) for r in base.read(table).to_pylist())
         b = sorted(tuple(r[k] for k in keys) for r in dist.read(table).to_pylist())
         assert a == b, table
+
+
+def test_hot_host_bucket_balance(ray_session, tmp_path):
+    """Skew test (SURVEY §4): hot_factor=16 web, frontier_buckets scaled
+    with parallelism (2×fetch_concurrency). A host is ATOMIC under per-host
+    politeness (a rate-limited sequential queue cannot be split), so the
+    irreducible per-bucket floor is its hottest host's rows; assert the
+    bucketing adds no skew beyond that floor (excess ≤ 2× median bucket)
+    and that the crawl stays oracle-conformant under the skewed web."""
+    import os
+    from collections import defaultdict
+
+    import pyarrow.parquet as pq
+
+    from crawler_ray.hashing import xxh64_array
+    from crawler_ray.pipelines.crawl import run_crawl
+
+    p = WebParams(seed=7, n_hosts=48, props_per_host=4, hot_hosts=1, hot_factor=16)
+    web = build_web(p)
+    out = str(tmp_path / "hot")
+    run = run_crawl(web, p, out, fetch_concurrency=16)  # → 32 buckets
+
+    # conformance under skew
+    oracle = run_oracle(web, p)
+    t = run.read("seen")
+    assert dict(zip(t["url"].to_pylist(), t["url_hash"].to_pylist())) == oracle["seen"]
+
+    # block-group balance on the heaviest wave: buckets (complete hosts)
+    # are LPT-packed into groups using manifest row counts, so no prep
+    # block exceeds ~2× the median even under the 16× host
+    from crawler_ray.pipelines.crawl import pack_frontier_buckets
+    from crawler_ray.sources import lance_layout as ll
+
+    frags = ll.latest_manifest(run.root)["tables"]["frontier"]
+    by_wave = defaultdict(list)
+    for f in frags:
+        by_wave[f["fragment"].split("-")[0]].append(f)
+    wave_frags = max(by_wave.values(), key=lambda fs: sum(f["rows"] for f in fs))
+    n_buckets = len({f["fragment"].split("-")[1] for f in wave_frags})
+    assert n_buckets > 16, f"bucket scaling did not engage: {n_buckets}"
+    groups = pack_frontier_buckets(wave_frags, out, fetch_concurrency=16)
+    sizes = [rows for _, rows in groups]
+    med = float(np.median(sizes))
+    assert max(sizes) <= 2 * med + 1, f"unbalanced groups: {sorted(sizes)}"
+    # every bucket holds complete hosts only (politeness atomicity): a
+    # host's rows never span two buckets
+    host_bucket = {}
+    for f in wave_frags:
+        bucket = f["fragment"].split("-")[1]
+        df = pq.read_table(os.path.join(out, "frontier", f["fragment"]),
+                           columns=["url"]).to_pandas()
+        for h in df["url"].str.extract(r"//([^/]+)/", expand=False).unique():
+            assert host_bucket.setdefault(h, bucket) == bucket, h
