@@ -102,13 +102,17 @@ def main() -> None:
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
     if "--scaling" in sys.argv:
-        # same job, fresh processes, two parallelism levels (N vs 4N).
-        # wall-clock on this box varies up to 2× run-to-run (noisy
-        # neighbors), so each level is measured twice and the best run
-        # (max throughput) is reported — standard practice for noisy hosts.
+        # same job, fresh processes, two parallelism levels (N vs 4N; the
+        # north rule fixes the 4× RATIO, not the absolute size — override
+        # with GRAFT_SCALING_LEVELS="2,8"). wall-clock on this box varies
+        # up to 2× run-to-run (noisy neighbors), so each level is measured
+        # twice and the best run (max throughput) is reported — standard
+        # practice for noisy hosts.
         repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "2"))
+        lo, hi = (int(x) for x in
+                  os.environ.get("GRAFT_SCALING_LEVELS", "8,32").split(","))
         results: dict = {}
-        for n in (8, 32):
+        for n in (lo, hi):
             best = None
             for _ in range(repeats):
                 env = dict(os.environ, RAY_GRAFT_CPUS=str(n), GRAFT_BENCH_MODE="crawl-only",
@@ -119,16 +123,18 @@ def main() -> None:
                 if best is None or r["crawl"]["pages_per_sec"] > best["crawl"]["pages_per_sec"]:
                     best = r
             results[n] = best
-        thr8 = results[8]["crawl"]["pages_per_sec"]
-        thr32 = results[32]["crawl"]["pages_per_sec"]
-        eff = (thr32 / thr8) / (32 / 8)
+        thr_lo = results[lo]["crawl"]["pages_per_sec"]
+        thr_hi = results[hi]["crawl"]["pages_per_sec"]
+        eff = (thr_hi / thr_lo) / (hi / lo)
         print(json.dumps({
             "metric": "crawl_scaling", "unit": "pages_per_sec",
-            "pages": results[32]["crawl"]["pages"],
-            "pages_per_sec_8": thr8, "pages_per_sec_32": thr32,
-            "image_mb_per_sec_8": results[8]["crawl"]["image_mb_per_sec"],
-            "image_mb_per_sec_32": results[32]["crawl"]["image_mb_per_sec"],
-            "sec_8": results[8]["crawl"]["crawl_sec"], "sec_32": results[32]["crawl"]["crawl_sec"],
+            "levels": [lo, hi],
+            "pages": results[hi]["crawl"]["pages"],
+            f"pages_per_sec_{lo}": thr_lo, f"pages_per_sec_{hi}": thr_hi,
+            f"image_mb_per_sec_{lo}": results[lo]["crawl"]["image_mb_per_sec"],
+            f"image_mb_per_sec_{hi}": results[hi]["crawl"]["image_mb_per_sec"],
+            f"sec_{lo}": results[lo]["crawl"]["crawl_sec"],
+            f"sec_{hi}": results[hi]["crawl"]["crawl_sec"],
             "scaling_efficiency": round(eff, 3),
         }))
         return

@@ -511,6 +511,57 @@ def sessionize(sf_dir: str):
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def event_quantiles(sf_dir: str):
+    """Exact per-group quantiles (p50/p95 of value per event type). The
+    group-key space is bounded (a handful of event types), so each group's
+    values gather into one ``map_groups`` block for an exact interpolated
+    quantile; at unbounded group counts swap for a sort + global-rank
+    two-pass (the ``_sorted_fold`` family)."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def q(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["value"].to_numpy(np.float64))
+        return pd.DataFrame({
+            "event_type": [g["event_type"].iloc[0]],
+            "p50": [round(float(np.quantile(v, 0.5)), 4)],
+            "p95": [round(float(np.quantile(v, 0.95)), 4)],
+        })
+
+    out = ds.groupby("event_type").map_groups(q, batch_format="pandas").to_pandas()
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def top_orders_per_segment(sf_dir: str, k: int = 3):
+    """Grouped top-k (ROW_NUMBER-window analogue): the k highest-price
+    orders per market segment. Per-batch combiner keeps its local top-k
+    per segment (broadcast dim join for the segment), so the driver folds
+    only O(batches × segments × k) rows."""
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    seg_map = dict(zip(cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist()))
+    seg_ref = ray.put(seg_map)
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    class TopK:
+        def __init__(self, ref, k):
+            self.m = ray.get(ref)
+            self.k = k
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            b = b.assign(c_mktsegment=b["o_custkey"].map(self.m))
+            b = b.sort_values(["o_totalprice", "o_orderkey"],
+                              ascending=[False, True], kind="mergesort")
+            return b.groupby("c_mktsegment", as_index=False).head(self.k)[
+                ["c_mktsegment", "o_orderkey", "o_totalprice"]]
+
+    parts = ds.map_batches(TopK, fn_constructor_kwargs=dict(ref=seg_ref, k=k),
+                           batch_format="pandas", concurrency=2).to_pandas()
+    out = (parts.sort_values(["o_totalprice", "o_orderkey"],
+                             ascending=[False, True], kind="mergesort")
+           .groupby("c_mktsegment", as_index=False).head(k))
+    out["o_orderkey"] = out["o_orderkey"].astype(np.int64)
+    return out.sort_values(["c_mktsegment", "o_orderkey"]).reset_index(drop=True)
+
+
 def distinct_langs(sf_dir: str):
     """Set op: distinct values of one column."""
     ds = _read(sf_dir, "documents", ["lang"])
@@ -821,6 +872,8 @@ QUERIES = {
     "events_window": events_window,
     "events_sliding_window": events_sliding_window,
     "sessionize": sessionize,
+    "event_quantiles": event_quantiles,
+    "top_orders_per_segment": top_orders_per_segment,
     "distinct_langs": distinct_langs,
     "token_stats": token_stats,
     "text_quality": text_quality,
@@ -933,6 +986,18 @@ ORACLE_SQL = {
     "seeded_sample": """
         SELECT o_orderkey FROM orders
         WHERE hash(xor(CAST(o_orderkey AS BIGINT), CAST(42 AS BIGINT))) % 10 = 0""",
+    "event_quantiles": """
+        SELECT event_type,
+               ROUND(quantile_cont(value, 0.5), 4) AS p50,
+               ROUND(quantile_cont(value, 0.95), 4) AS p95
+        FROM events GROUP BY event_type""",
+    "top_orders_per_segment": """
+        SELECT c_mktsegment, CAST(o_orderkey AS BIGINT) AS o_orderkey, o_totalprice
+        FROM (SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+                     row_number() OVER (PARTITION BY c.c_mktsegment
+                                        ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rn
+              FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
+        WHERE rn <= 3""",
     "token_stats": """
         SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
                CAST(SUM(LEN(regexp_extract_all(text, '[A-Za-z0-9_]+'))) AS BIGINT) AS total_tokens,

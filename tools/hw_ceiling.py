@@ -78,25 +78,31 @@ def best_of(fn, repeats: int = 2) -> float:
 
 
 def main():
-    out: dict = {"metric": "hw_scaling_ceiling", "procs": [8, 32]}
+    # N and 4N process levels; override with --levels LO,HI (the north
+    # rule fixes the RATIO at 4×, not the absolute size)
+    lo, hi = 8, 32
+    if "--levels" in sys.argv:
+        lo, hi = (int(x) for x in sys.argv[sys.argv.index("--levels") + 1].split(","))
+    out: dict = {"metric": "hw_scaling_ceiling", "procs": [lo, hi]}
+    factor = hi / lo
 
     total_iters = 240_000_000
     busy = {}
-    for procs in (8, 32):
+    for procs in (lo, hi):
         dt = best_of(lambda p=procs: run_pool(busy_worker,
                                               [total_iters // p] * p, p))
         busy[procs] = total_iters / dt
     out["busy_loop_ops_per_sec"] = {k: round(v) for k, v in busy.items()}
-    out["busy_loop_ceiling"] = round((busy[32] / busy[8]) / 4, 3)
+    out["busy_loop_ceiling"] = round((busy[hi] / busy[lo]) / factor, 3)
 
     total_pages = 6400
     kern = {}
-    for procs in (8, 32):
+    for procs in (lo, hi):
         dt = best_of(lambda p=procs: run_pool(
             fetch_kernel_worker, [(i, total_pages // p) for i in range(p)], p))
         kern[procs] = total_pages / dt
     out["fetch_kernel_pages_per_sec"] = {k: round(v, 1) for k, v in kern.items()}
-    out["fetch_kernel_ceiling"] = round((kern[32] / kern[8]) / 4, 3)
+    out["fetch_kernel_ceiling"] = round((kern[hi] / kern[lo]) / factor, 3)
 
     print(json.dumps(out))
 
