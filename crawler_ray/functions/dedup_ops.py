@@ -65,22 +65,42 @@ def minhash_signature(sh: np.ndarray, seeds: np.ndarray) -> np.ndarray:
 
 def minhash_bands(batch: pd.DataFrame, num_perm: int = 32, bands: int = 8,
                   k: int = 5, seed: int = 7) -> pd.DataFrame:
-    """map_batches kernel: doc → (band, band_hash, doc_id) rows for LSH."""
+    """map_batches kernel: doc → (band, band_hash, doc_id) rows for LSH,
+    vectorized across the batch: the per-doc shingle sets concatenate into
+    one flat array, each permutation's remix+min runs as ONE numpy pass
+    (``np.minimum.reduceat`` over doc segments), and the per-band
+    signature hashes go through the vectorized ``xxh64_array`` — per-doc
+    Python remains only in the shingle windowing (variable-length text).
+    Output values are identical to the per-doc formulation (band-row
+    order differs; downstream bucket collision is order-insensitive)."""
     seeds = _perm_seeds(num_perm, seed)
-    rows_band, rows_hash, rows_doc = [], [], []
+    n = len(batch)
     r = num_perm // bands
-    for doc_id, text in zip(batch["doc_id"], batch["text"]):
-        sig = minhash_signature(shingle_hashes(str(text), k), seeds)
-        for band in range(bands):
-            h = xxh64(sig[band * r : (band + 1) * r].tobytes())
-            rows_band.append(band)
-            rows_hash.append(h)
-            rows_doc.append(doc_id)
-    return pd.DataFrame(
-        {"band": np.array(rows_band, np.int32),
-         "band_hash": np.array(rows_hash, np.uint64),
-         "doc_id": np.array(rows_doc, np.int64)}
-    )
+    doc_ids = batch["doc_id"].to_numpy(np.int64)
+    sh_list = [shingle_hashes(str(t), k) for t in batch["text"]]
+    lengths = np.array([len(s) for s in sh_list], np.int64)
+    total = int(lengths.sum())
+    sigs = np.full((n, num_perm), np.iinfo(np.uint64).max, np.uint64)
+    if total:
+        flat = np.concatenate(sh_list)
+        nz = np.nonzero(lengths)[0]
+        seg = np.concatenate([[0], np.cumsum(lengths[nz])[:-1]])
+        for j in range(num_perm):
+            x = flat ^ seeds[j]
+            x ^= x >> np.uint64(33)
+            x *= np.uint64(0xC2B2AE3D27D4EB4F)
+            x ^= x >> np.uint64(29)
+            x *= np.uint64(0x165667B19E3779F9)
+            x ^= x >> np.uint64(32)
+            sigs[nz, j] = np.minimum.reduceat(x, seg)
+    pieces = []
+    for band in range(bands):
+        chunk = np.ascontiguousarray(sigs[:, band * r : (band + 1) * r])
+        hb = xxh64_array([row.tobytes() for row in chunk])
+        pieces.append(pd.DataFrame({"band": np.full(n, band, np.int32),
+                                    "band_hash": hb.astype(np.uint64),
+                                    "doc_id": doc_ids}))
+    return pd.concat(pieces, ignore_index=True)
 
 
 def connected_components(pairs: pd.DataFrame, all_ids=None) -> pd.DataFrame:

@@ -152,22 +152,23 @@ def _listing_priorities(root, frags, seeds_tbl, robots_by_host, city_state, seen
 def pack_frontier_buckets(frags: list[dict], out_root: str,
                           fetch_concurrency: int) -> list[tuple[list[str], int]]:
     """Read-time LPT bin-packing of the host-sharded frontier buckets into
-    balanced block groups. Bucket row counts are known from the manifest,
-    so buckets (complete hosts — a host is atomic under per-host
-    politeness) pack greedily largest-first into the largest group count
-    that still balances: k ≤ total/max_bucket guarantees every group ≤
-    ~2× the mean even when a hot host dominates one bucket (the
-    irreducible atomic floor); otherwise k = 2×fetch_concurrency keeps
-    prep parallelism ≥ the pool. Returns (paths, rows) per group."""
+    block groups. Bucket row counts are known from the manifest, so
+    buckets (complete hosts — a host is atomic under per-host politeness)
+    pack greedily largest-first into k = min(2×fetch_concurrency, buckets)
+    groups: makespan ≤ max(hottest bucket, ~total/k) — the hottest bucket
+    is the irreducible atomic floor, and every other group stays near the
+    mean. Returns (paths, rows) per group."""
     by_bucket: dict[str, list[tuple[str, int]]] = {}
     for f in frags:
         bucket = f["fragment"].split("-")[1]
         by_bucket.setdefault(bucket, []).append(
             (os.path.join(out_root, "frontier", f["fragment"]), int(f["rows"])))
     bucket_rows = {b: sum(r for _, r in fl) for b, fl in by_bucket.items()}
-    total_rows = sum(bucket_rows.values())
-    max_bucket = max(bucket_rows.values(), default=0)
-    k = max(1, min(2 * fetch_concurrency, total_rows // max(1, max_bucket)))
+    # one group per bucket at most (buckets are atomic), as many groups as
+    # the pool can use — NEVER throttle k for balance aesthetics: LPT
+    # already minimizes makespan, and fewer groups only serializes the
+    # non-hot rest (measured: a total/max_bucket cap cost 2× at 32 cpus)
+    k = max(1, min(2 * fetch_concurrency, len(by_bucket)))
     loads = [0] * k
     group_paths: list[list[str]] = [[] for _ in range(k)]
     for b in sorted(by_bucket, key=lambda x: (-bucket_rows[x], x)):
@@ -363,8 +364,14 @@ def _run_crawl_inner(
         fp = FetchProcess(params=params, out_root=out_root,
                           wave=wave, seed=cfg.seed, max_retries=cfg.max_retries,
                           gate=gate, max_enqueue_retries=cfg.max_enqueue_retries,
+                          # fragment-file count per wave = fetch tasks ×
+                          # buckets, so bucket count stays at 16 until the
+                          # pool is big enough that read parallelism needs
+                          # more (measured: 2× buckets at 32 cpus doubled
+                          # tiny files and cost more than the parallelism
+                          # it bought; LPT packing balances at read time)
                           frontier_buckets=min(semantics.NUM_SHARDS,
-                                               max(16, 2 * fetch_concurrency)))
+                                               max(16, fetch_concurrency // 2)))
         writer = _SeenOrderWriter(out_root, wave)
 
         def wave_tail(g: pd.DataFrame, w=wave, ap=assign_priority) -> pd.DataFrame:
@@ -418,7 +425,7 @@ def _run_crawl_inner(
             meta_ds = chain.repartition(target_num_rows_per_block=fetch_rows).map_batches(
                 fp, batch_format="pandas", batch_size=fetch_rows
             )
-            if debug and est_rows > 50000:
+            if debug and est_rows > int(os.environ.get("GRAFT_DEBUG_STATS_ROWS", "50000")):
                 meta_ds = meta_ds.materialize()
                 print(meta_ds.stats(), flush=True)
             meta = meta_ds.take_all()

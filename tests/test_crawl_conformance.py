@@ -278,8 +278,10 @@ def test_hot_host_bucket_balance(ray_session, tmp_path):
     assert dict(zip(t["url"].to_pylist(), t["url_hash"].to_pylist())) == oracle["seen"]
 
     # block-group balance on the heaviest wave: buckets (complete hosts)
-    # are LPT-packed into groups using manifest row counts, so no prep
-    # block exceeds ~2× the median even under the 16× host
+    # are LPT-packed into groups using manifest row counts — makespan is
+    # bounded by max(hottest bucket, ~mean): the hottest bucket is the
+    # irreducible atomic floor (per-host politeness), everything else
+    # balances near the mean, and parallelism is never throttled
     from crawler_ray.pipelines.crawl import pack_frontier_buckets
     from crawler_ray.sources import lance_layout as ll
 
@@ -288,12 +290,15 @@ def test_hot_host_bucket_balance(ray_session, tmp_path):
     for f in frags:
         by_wave[f["fragment"].split("-")[0]].append(f)
     wave_frags = max(by_wave.values(), key=lambda fs: sum(f["rows"] for f in fs))
-    n_buckets = len({f["fragment"].split("-")[1] for f in wave_frags})
-    assert n_buckets > 16, f"bucket scaling did not engage: {n_buckets}"
+    bucket_rows = defaultdict(int)
+    for f in wave_frags:
+        bucket_rows[f["fragment"].split("-")[1]] += f["rows"]
     groups = pack_frontier_buckets(wave_frags, out, fetch_concurrency=16)
     sizes = [rows for _, rows in groups]
-    med = float(np.median(sizes))
-    assert max(sizes) <= 2 * med + 1, f"unbalanced groups: {sorted(sizes)}"
+    total, max_bucket = sum(sizes), max(bucket_rows.values())
+    assert len(groups) == min(32, len(bucket_rows))  # parallelism not throttled
+    assert max(sizes) <= max(max_bucket, 2 * total / len(groups)) + 1, (
+        f"unbalanced groups: {sorted(sizes)}, atomic floor {max_bucket}")
     # every bucket holds complete hosts only (politeness atomicity): a
     # host's rows never span two buckets
     host_bucket = {}
