@@ -84,6 +84,24 @@ def _phash_dups(sf_dir: str):
     return phash_near_dups(featurize_store(rd.read_parquet(paths)))
 
 
+def _image_thumbnails(sf_dir: str):
+    """Multimodal resize operator over the image store: decode → box
+    downsample to 32-px thumbnails → re-encode PNG (actor pool; pure-numpy
+    codec). Returns per-image thumbnail dims + phash (bytes checked by the
+    golden through the phash; byte payloads stay out of the compare)."""
+    import ray.data as rd
+
+    from crawler_ray.pipelines.multimodal import thumbnail_store
+    from crawler_ray.sources import lance_layout as ll
+
+    run = _crawl_run("queries")
+    m = ll.latest_manifest(run.root)
+    paths = ll.fragment_paths(run.root, "store", m["tables"]["store"])
+    t = thumbnail_store(rd.read_parquet(paths)).to_pandas()
+    out = t[["image_id", "w", "h", "phash"]].copy()
+    return out.sort_values("image_id").reset_index(drop=True)
+
+
 def _header_stats(sf_dir: str):
     """Pages-per-server rollup over the nested ``headers`` JSON column (the
     reference's JSONB transport metadata, database_service.py:45-66)."""
@@ -221,6 +239,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # multimodal (decode/feature/near-dup over the image store)
     out["image_features"] = _image_features
     out["image_phash_dups"] = _phash_dups
+    out["image_thumbnails"] = _image_thumbnails
     return out
 
 
@@ -237,7 +256,7 @@ _GOLDEN_CHECKED = (
     "image_phash_dups", "minhash_near_dups", "simhash_near_dups",
     "near_dup_clusters", "lang_id_confusion", "doc_fingerprints",
     "ann_lsh_topk", "ann_ivf_topk", "crawl_page_lookup", "crawl_city_pages",
-    "crawl_city_locations", "crawl_similar_nearby",
+    "crawl_city_locations", "crawl_similar_nearby", "image_thumbnails",
 )
 
 

@@ -118,6 +118,62 @@ def phash_near_dups(features_ds, max_hamming: int = 6) -> pd.DataFrame:
     return out.sort_values(["image_a", "image_b"]).reset_index(drop=True)
 
 
+def resize_rgb(rgb: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Area-averaged (box-filter) downsample via the integral-image block
+    mean — the pure-numpy analogue of INTER_AREA. Output is uint8."""
+    chans = [_block_mean(rgb[:, :, c].astype(np.float64), out_h, out_w)
+             for c in range(rgb.shape[2])]
+    return np.clip(np.rint(np.stack(chans, axis=2)), 0, 255).astype(np.uint8)
+
+
+class ImageResizer:
+    """Actor-pool stage: decode → box-resize to a ``max_side`` thumbnail
+    (aspect preserved, no upscaling, min side clamped to 8 so the phash
+    grid stays well-defined) → re-encode PNG. Fully real end-to-end (the
+    PNG codec and resize are pure numpy); small ``batch_size`` because
+    rows carry image bytes. Emits store-schema thumbnail rows."""
+
+    def __init__(self, max_side: int = 32):
+        self.max_side = max_side
+
+    def _target(self, h: int, w: int) -> tuple[int, int]:
+        scale = self.max_side / max(h, w)
+        if scale >= 1.0:
+            return h, w
+        return max(8, round(h * scale)), max(8, round(w * scale))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from crawler_ray.imaging import encode_png
+
+        ids, bts, ws, hs, phs = [], [], [], [], []
+        for row in batch.to_pylist():
+            rgb = decode_png(row["bytes"])
+            th, tw = self._target(rgb.shape[0], rgb.shape[1])
+            if (th, tw) != rgb.shape[:2]:
+                rgb = resize_rgb(rgb, th, tw)
+            ids.append(row["image_id"])
+            bts.append(encode_png(rgb))
+            ws.append(tw)
+            hs.append(th)
+            phs.append(phash64(rgb))
+        return pa.table({
+            "image_id": pa.array(ids, pa.string()),
+            "bytes": pa.array(bts, pa.binary()),
+            "w": pa.array(ws, pa.int32()), "h": pa.array(hs, pa.int32()),
+            "fmt": pa.array(["png"] * len(ids), pa.string()),
+            "phash": pa.array(phs, pa.int64()),
+        })
+
+
+def thumbnail_store(store_ds, max_side: int = 32, concurrency: int = 2,
+                    batch_size: int = 32):
+    """store Dataset → thumbnail store rows (resize as an actor pool)."""
+    return store_ds.map_batches(
+        ImageResizer, fn_constructor_kwargs=dict(max_side=max_side),
+        batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency,
+    )
+
+
 # --- stubs: formats with no codec in this container --------------------------
 
 AUDIO_SCHEMA = pa.schema([("audio_id", pa.string()), ("bytes", pa.binary()),

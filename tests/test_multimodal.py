@@ -62,3 +62,49 @@ def test_codec_stubs_are_gated():
         multimodal.decode_audio(pa.table({}))
     with pytest.raises(NotImplementedError):
         multimodal.sample_video_frames(pa.table({}))
+
+
+def test_resize_rgb_matches_naive_box_filter():
+    """Integral-image box resize == explicit per-block means (exact: uint8
+    block sums are exact integers in float64)."""
+    from crawler_ray.pipelines.multimodal import resize_rgb
+
+    rng = np.random.default_rng(31)
+    rgb = rng.integers(0, 256, (50, 37, 3), np.uint8)
+    got = resize_rgb(rgb, 12, 9)
+    for i in range(12):
+        y0, y1 = (i * 50) // 12, ((i + 1) * 50) // 12
+        for j in range(9):
+            x0, x1 = (j * 37) // 9, ((j + 1) * 37) // 9
+            for c in range(3):
+                want = np.uint8(np.clip(np.rint(
+                    rgb[y0:y1, x0:x1, c].astype(np.float64).mean()), 0, 255))
+                assert got[i, j, c] == want
+    # constant image stays constant under resize
+    const = np.full((40, 40, 3), 123, np.uint8)
+    assert (resize_rgb(const, 8, 8) == 123).all()
+
+
+def test_image_resizer_roundtrip(ray_session):
+    """Actor-pool thumbnail stage: aspect preserved, no upscaling, min
+    side clamped to 8, thumbnails decode back to the resize output."""
+    import pyarrow as pa
+
+    from crawler_ray.imaging import decode_png, encode_png
+    from crawler_ray.pipelines.multimodal import ImageResizer, resize_rgb
+
+    rng = np.random.default_rng(32)
+    big = rng.integers(0, 256, (96, 64, 3), np.uint8)
+    small = rng.integers(0, 256, (20, 24, 3), np.uint8)
+    batch = pa.table({
+        "image_id": pa.array(["big", "small"]),
+        "bytes": pa.array([encode_png(big), encode_png(small)], pa.binary()),
+        "w": pa.array([64, 24], pa.int32()), "h": pa.array([96, 20], pa.int32()),
+        "fmt": pa.array(["png", "png"]),
+    })
+    out = ImageResizer(max_side=32)(batch).to_pylist()
+    by_id = {r["image_id"]: r for r in out}
+    assert (by_id["big"]["h"], by_id["big"]["w"]) == (32, 21)
+    assert (by_id["small"]["h"], by_id["small"]["w"]) == (20, 24)  # no upscale
+    thumb = decode_png(by_id["big"]["bytes"])
+    assert (thumb == resize_rgb(big, 32, 21)).all()

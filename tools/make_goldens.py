@@ -198,6 +198,33 @@ def image_goldens(o, params):
     dups["hamming"] = dups["hamming"].astype(np.int32)
     write("image_phash_dups", dups)
 
+    # thumbnails: naive independent box resize (explicit per-block loops;
+    # the block sums are exact integers in float64, so this matches the
+    # engine's integral-image formulation bit-for-bit) + the shared
+    # codec/phash kernels
+    from crawler_ray.imaging import phash64
+
+    th_rows = []
+    for r in sorted(o["store"], key=lambda r: r["image_id"]):
+        rgb = decode_png(image_bytes(r["image_id"], r["w"], r["h"], r["fmt"], 42))
+        h, w = rgb.shape[:2]
+        scale = 32 / max(h, w)
+        if scale >= 1.0:
+            th, tw, thumb = h, w, rgb
+        else:
+            th, tw = max(8, round(h * scale)), max(8, round(w * scale))
+            thumb = np.zeros((th, tw, 3), np.uint8)
+            for i in range(th):
+                y0, y1 = (i * h) // th, ((i + 1) * h) // th
+                for j in range(tw):
+                    x0, x1 = (j * w) // tw, ((j + 1) * w) // tw
+                    for c in range(3):
+                        thumb[i, j, c] = np.uint8(np.clip(np.rint(
+                            rgb[y0:y1, x0:x1, c].astype(np.float64).mean()), 0, 255))
+        th_rows.append(dict(image_id=r["image_id"], w=np.int32(tw), h=np.int32(th),
+                            phash=np.int64(phash64(thumb))))
+    write("image_thumbnails", pd.DataFrame(th_rows))
+
 
 # ---------------------------------------------------------------------------
 # Text goldens over the sf0.01 documents table
