@@ -220,6 +220,33 @@ def _city_locations(sf_dir: str):
         "city").reset_index(drop=True)
 
 
+def _recrawl_delta(sf_dir: str):
+    """D2/M14 incremental recrawl in the driver contract: copy the entry
+    crawl's store, refetch everything at content_rev=1 (the fixture's
+    deterministic content mutation), and return exactly the changed pages
+    (url, host) — the latest-wins merge keeps one row per url, so changed
+    = rows whose content hash moved between manifest versions."""
+    import shutil
+    from dataclasses import replace
+
+    from crawler_ray.pipelines.recrawl import read_pages_latest, run_recrawl
+    from crawler_ray.sources.synthetic_web import WebParams, build_web
+
+    run = _crawl_run("queries")
+    out = "/tmp/crawler_ray_entry_recrawl"
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.copytree(run.root, out)
+    pages0 = read_pages_latest(out)[["url", "host", "content_hash"]]
+    params = replace(WebParams(seed=42, n_hosts=6, props_per_host=10,
+                               hot_hosts=1, hot_factor=4), content_rev=1)
+    run_recrawl(build_web(params), params, out)
+    pages1 = read_pages_latest(out)[["url", "content_hash"]]
+    merged = pages0.merge(pages1, on="url", suffixes=("_old", "_new"))
+    changed = merged.loc[merged["content_hash_old"] != merged["content_hash_new"],
+                         ["url", "host"]]
+    return changed.sort_values("url").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from crawler_ray.pipelines.queries import QUERIES
 
@@ -240,6 +267,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["image_features"] = _image_features
     out["image_phash_dups"] = _phash_dups
     out["image_thumbnails"] = _image_thumbnails
+    out["crawl_recrawl_delta"] = _recrawl_delta
     return out
 
 
@@ -257,6 +285,7 @@ _GOLDEN_CHECKED = (
     "near_dup_clusters", "lang_id_confusion", "doc_fingerprints",
     "ann_lsh_topk", "ann_ivf_topk", "crawl_page_lookup", "crawl_city_pages",
     "crawl_city_locations", "crawl_similar_nearby", "image_thumbnails",
+    "crawl_recrawl_delta",
 )
 
 

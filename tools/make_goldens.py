@@ -132,6 +132,22 @@ def crawl_goldens():
         cp[c] = cp[c].astype("int64")
     write("crawl_city_pages", cp.sort_values("url").reset_index(drop=True))
 
+    # incremental recrawl delta: the changed-page set at content_rev=1 is
+    # exactly the urls the fixture's deterministic mutation touches
+    from dataclasses import replace as _dc_replace
+
+    from crawler_ray.sources.synthetic_web import _failure_flags, content_changes
+
+    p2 = _dc_replace(params, content_rev=1)
+    budget = p2.max_retries + 1  # recrawl is single-pass: one wave's attempt
+    # budget, no cross-wave re-enqueue — a changed page whose fail_attempts
+    # exhausts the budget lands in the recrawl DLQ, not the delta
+    keep = [content_changes(u, p2)
+            and _failure_flags(p2, u)["fail_attempts"] < budget
+            for u in pg["url"]]
+    delta = pg.loc[keep, ["url", "host"]]
+    write("crawl_recrawl_delta", delta.sort_values("url").reset_index(drop=True))
+
     # combined radius + price band + type around a point (api/main.py:93-142)
     from __ray_entry__ import _SIMILAR_NEARBY as snp
 
