@@ -619,6 +619,29 @@ def lang_id_confusion(sf_dir: str):
     return out.sort_values(["lang", "lang_pred"]).reset_index(drop=True)
 
 
+def top_tokens(sf_dir: str, k: int = 20):
+    """Corpus heavy hitters: the k most frequent tokens across all
+    documents, EXACT. Per-batch combiner (explode + value_counts shrinks
+    each batch to its distinct tokens) → sort shuffle on the unbounded
+    token key → per-block fold → driver merges result-sized partials and
+    takes the global top-k with deterministic ties."""
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        toks = (b["text"].astype("string").str.lower()
+                .str.findall(r"[a-z0-9_]+").explode().dropna())
+        vc = toks.value_counts()
+        return pd.DataFrame({"token": vc.index.astype(str), "cnt": vc.to_numpy(np.int64)})
+
+    def fold(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("token", as_index=False).agg(cnt=("cnt", "sum"))
+
+    out = _sorted_fold(ds.map_batches(partial, batch_format="pandas"), ["token"], fold)
+    out["cnt"] = out["cnt"].astype(np.int64)
+    out = out.sort_values(["cnt", "token"], ascending=[False, True], kind="mergesort")
+    return out.head(k).reset_index(drop=True)
+
+
 def doc_fingerprints(sf_dir: str):
     """Rolling-hash fingerprint per doc; docs + EXACT distinct fingerprints
     per source, with NO corpus-scale driver pull: the sort shuffle
@@ -878,6 +901,7 @@ QUERIES = {
     "token_stats": token_stats,
     "text_quality": text_quality,
     "lang_id_confusion": lang_id_confusion,
+    "top_tokens": top_tokens,
     "doc_fingerprints": doc_fingerprints,
     "minhash_near_dups": minhash_near_dups,
     "simhash_near_dups": simhash_near_dups,
@@ -986,6 +1010,11 @@ ORACLE_SQL = {
     "seeded_sample": """
         SELECT o_orderkey FROM orders
         WHERE hash(xor(CAST(o_orderkey AS BIGINT), CAST(42 AS BIGINT))) % 10 = 0""",
+    "top_tokens": """
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS token
+              FROM documents)
+        GROUP BY token ORDER BY cnt DESC, token LIMIT 20""",
     "event_quantiles": """
         SELECT event_type,
                ROUND(quantile_cont(value, 0.5), 4) AS p50,
