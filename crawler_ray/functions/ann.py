@@ -209,6 +209,10 @@ def ivf_topk_indexed(index_dir: str, queries: dict, k: int = 10,
 
     paths = [f for j in sorted(probe)
              for f in sorted(_glob.glob(os.path.join(index_dir, f"ivf_list={j}", "*.parquet")))]
+    if not paths:  # every probed list is empty — no candidates
+        return rd.from_pandas(pd.DataFrame({"qid": pd.Series([], dtype=np.int64),
+                                            "vid": pd.Series([], dtype=np.int64),
+                                            "sim": pd.Series([], dtype=np.float64)}))
     cand = rd.read_parquet(paths, columns=["vec_id", "embedding"])
     qref = ray.put(queries)
     return brute_force_topk(cand, qref, k)

@@ -307,7 +307,11 @@ def _run_crawl_inner(
     # executor+exchange fixed costs would exceed their compute by 10×. The
     # same reasoning holds on a real cluster — a 50-row wave is not
     # cluster-sized work.
-    local_threshold = int(os.environ.get("GRAFT_LOCAL_WAVE_ROWS", "600"))
+    # waves below this run driver-local with the identical kernels: the
+    # profiled fixed cost of a distributed execution (executor launch +
+    # block round-trips) is ~2-5 s while a 1.5k-row wave folds locally in
+    # <1 s — the crossover sits well above 600 (round-3 wave profile)
+    local_threshold = int(os.environ.get("GRAFT_LOCAL_WAVE_ROWS", "1500"))
     wave = start_wave
     while wave < cfg.max_waves:
         _t0 = _time.time()
