@@ -245,6 +245,76 @@ def doc_shingles(batch: pd.DataFrame, k: int = 5,
     })
 
 
+_WORD_RE = None  # compiled lazily so module import stays regex-free
+
+
+def word_ngram_hashes(text: str, n: int = 3) -> np.ndarray:
+    """Sorted unique 64-bit hashes of the word n-grams of ``text``.
+    Tokens = lowercase ``[a-z0-9]+`` runs (everything else separates),
+    grams = n consecutive tokens joined by one space — EXACTLY the set the
+    DuckDB oracle builds from
+    ``string_split_regex(lower(text), '[^a-z0-9]+')``, so hash-set
+    intersections equal gram-string intersections (2^-64-scale collision
+    odds, the same stand-in convention as the shingle path)."""
+    global _WORD_RE
+    if _WORD_RE is None:
+        import re
+
+        _WORD_RE = re.compile(r"[a-z0-9]+")
+    toks = _WORD_RE.findall(text.lower())
+    if len(toks) < n:
+        return np.zeros(0, np.uint64)
+    grams = [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+    return np.unique(xxh64_array(grams))
+
+
+def word_ngram_sets(batch: pd.DataFrame, n: int = 3,
+                    keep_ids: frozenset | None = None) -> pd.DataFrame:
+    """map_batches kernel: (doc_id, text) → (doc_id, shingles) where
+    ``shingles`` is the sorted word-n-gram hash set — the n-gram analogue of
+    ``doc_shingles``, sharing its column name so the pair join+verify path
+    is reused verbatim."""
+    if keep_ids is not None:
+        batch = batch.loc[batch["doc_id"].isin(keep_ids)]
+    return pd.DataFrame({
+        "doc_id": batch["doc_id"].to_numpy(np.int64),
+        "shingles": [word_ngram_hashes(str(t), n) for t in batch["text"]],
+    })
+
+
+def prefix_gram_rows(batch: pd.DataFrame, n: int = 3,
+                     threshold: float = 0.5) -> pd.DataFrame:
+    """map_batches kernel for PREFIX FILTERING (AllPairs / PPJoin family):
+    (doc_id, text) → (band=0, band_hash=gram_hash, doc_id) rows for the
+    first ``m - ceil(t*m) + 1`` grams of each doc's hash-ordered gram set.
+
+    Losslessness: J(A,B) ≥ t ⇒ |A∩B| ≥ max(⌈t·|A|⌉, ⌈t·|B|⌉), and two sets
+    with overlap ≥ α must collide within their first ``size - α + 1``
+    elements under ANY shared total order (here: ascending hash). Our
+    prefixes are supersets of those, so every qualifying pair collides on
+    ≥1 indexed gram; non-qualifying collisions are killed by exact verify.
+    Hash order avoids a global document-frequency pass; a df-ascending
+    order would shrink candidates further at corpus scale (hot-gram
+    buckets also fall under banded_candidate_pairs' edge/skew guard)."""
+    hashes, docs = [], []
+    for doc_id, text in zip(batch["doc_id"].to_numpy(np.int64), batch["text"]):
+        g = word_ngram_hashes(str(text), n)
+        m = len(g)
+        if m == 0:
+            continue
+        p = m - int(np.ceil(threshold * m)) + 1
+        hashes.append(g[:p])
+        docs.append(np.full(p, doc_id, np.int64))
+    if not hashes:
+        return pd.DataFrame({"band": pd.Series([], dtype=np.int32),
+                             "band_hash": pd.Series([], dtype=np.uint64),
+                             "doc_id": pd.Series([], dtype=np.int64)})
+    h = np.concatenate(hashes)
+    return pd.DataFrame({"band": np.zeros(len(h), np.int32),
+                         "band_hash": h,
+                         "doc_id": np.concatenate(docs)})
+
+
 def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
     """map_groups kernel on (band, band_hash): emit candidate doc pairs."""
     ids = np.sort(group["doc_id"].unique())

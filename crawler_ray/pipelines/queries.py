@@ -732,19 +732,62 @@ def minhash_near_dups(sf_dir: str):
     sh_ds = ds.map_batches(dedup_ops.doc_shingles,
                            fn_kwargs=dict(keep_ids=cand_ids),
                            batch_format="pandas").materialize()
-    # shingle payload packed to plain binary for the join exchange (Arrow's
-    # hash join rejects tensor-extension non-key columns)
+    out = _join_verify_pairs(sh_ds, cand_pd, threshold=0.5)
+    if len(out) == 0:
+        return empty
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def _join_verify_pairs(sets_ds, cand_pd: pd.DataFrame,
+                       threshold: float) -> pd.DataFrame:
+    """Shared exact-verify tail for near-dup candidate pairs: attach each
+    side's (doc_id, shingles) set to the pair table via TWO keyed shuffle
+    joins, then verify Jaccard per block — the set payload only ever moves
+    through the join exchange, never the driver. The payload is packed to
+    plain binary because Arrow's hash join rejects tensor-extension
+    non-key columns."""
     def _pack(b: pd.DataFrame, key: str, col: str) -> pd.DataFrame:
         return pd.DataFrame({key: b["doc_id"].to_numpy(np.int64),
                              col: [np.asarray(s, np.uint64).tobytes() for s in b["shingles"]]})
 
-    a_side = sh_ds.map_batches(lambda b: _pack(b, "doc_a", "sh_a"), batch_format="pandas")
-    b_side = sh_ds.map_batches(lambda b: _pack(b, "doc_b", "sh_b"), batch_format="pandas")
+    a_side = sets_ds.map_batches(lambda b: _pack(b, "doc_a", "sh_a"), batch_format="pandas")
+    b_side = sets_ds.map_batches(lambda b: _pack(b, "doc_b", "sh_b"), batch_format="pandas")
     joined = (rd.from_pandas(cand_pd)
               .join(a_side, join_type="inner", num_partitions=4, on=("doc_a",))
               .join(b_side, join_type="inner", num_partitions=4, on=("doc_b",)))
-    out = joined.map_batches(dedup_ops.verify_joined_pairs,
-                             batch_format="pandas").to_pandas()
+    return joined.map_batches(dedup_ops.verify_joined_pairs,
+                              fn_kwargs=dict(threshold=threshold),
+                              batch_format="pandas").to_pandas()
+
+
+def ngram_jaccard_dups(sf_dir: str):
+    """EXACT n-gram Jaccard similarity join (word 3-grams, J ≥ 0.5) — the
+    no-sketch member of the dedup family (MinHash approximates this set):
+
+    prefix filtering (AllPairs/PPJoin, lossless — see
+    dedup_ops.prefix_gram_rows) explodes only the first ``m-⌈t·m⌉+1``
+    hash-ordered grams per doc → sort-shuffle gram collision
+    (banded_candidate_pairs, band=0/band_hash=gram) → candidate pair dedup
+    → gram sets recomputed distributed for CANDIDATE docs only → two keyed
+    shuffle joins + per-block exact verify. Unlike MinHash-LSH there is no
+    recall loss by construction; candidate count is bounded by prefix
+    collisions rather than band collisions. Returns (doc_a, doc_b,
+    jaccard), matching the DuckDB gram-explode self-join oracle exactly."""
+    empty = pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
+                          "doc_b": pd.Series([], dtype=np.int64),
+                          "jaccard": pd.Series([], dtype=np.float64)})
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    prefix = ds.map_batches(dedup_ops.prefix_gram_rows,
+                            fn_kwargs=dict(threshold=0.5), batch_format="pandas")
+    cand_pd = dedup_ops.banded_candidate_pairs(prefix, dedup_ops.collide_pairs)
+    cand_pd = cand_pd.drop_duplicates(["doc_a", "doc_b"])
+    if len(cand_pd) == 0:
+        return empty
+    cand_ids = frozenset(cand_pd["doc_a"]) | frozenset(cand_pd["doc_b"])
+    sets_ds = ds.map_batches(dedup_ops.word_ngram_sets,
+                             fn_kwargs=dict(keep_ids=cand_ids),
+                             batch_format="pandas").materialize()
+    out = _join_verify_pairs(sets_ds, cand_pd, threshold=0.5)
     if len(out) == 0:
         return empty
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
@@ -904,6 +947,7 @@ QUERIES = {
     "top_tokens": top_tokens,
     "doc_fingerprints": doc_fingerprints,
     "minhash_near_dups": minhash_near_dups,
+    "ngram_jaccard_dups": ngram_jaccard_dups,
     "simhash_near_dups": simhash_near_dups,
     "near_dup_clusters": near_dup_clusters,
     "ann_cosine_topk": ann_cosine_topk,
@@ -1037,6 +1081,28 @@ ORACLE_SQL = {
                ROUND(SUM(n_chars) * 1.0 / COUNT(*), 2) AS avg_chars,
                ROUND(SUM(LEN(regexp_extract_all(text, '[.,!?;:]')) * 1.0 / n_chars) / COUNT(*), 4) AS avg_punct_ratio
         FROM documents GROUP BY lang""",
+    "ngram_jaccard_dups": """
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             x -> x <> '') AS ts
+          FROM documents
+        ), grams AS (
+          SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS g
+          FROM toks, UNNEST(range(1, len(ts) - 1)) AS t(i)
+          WHERE len(ts) >= 3
+        ), sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+          FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               ROUND(c::DOUBLE / (sa.n + sb.n - c), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE c::DOUBLE / (sa.n + sb.n - c) >= 0.5""",
     "embedding_near_dups": """
         WITH s AS (
           SELECT a.vec_id AS vid_a, b.vec_id AS vid_b,

@@ -97,6 +97,64 @@ def test_banded_pairs_hot_bucket_distributed_fallback(ray_session, monkeypatch):
     assert len(pairs.drop_duplicates(["doc_a", "doc_b"])) == n * (n - 1) // 2
 
 
+def test_word_ngram_hashes_match_string_grams():
+    """Hash sets must be exactly the distinct word-3-gram sets the DuckDB
+    oracle builds (tokens = lowercase [a-z0-9]+ runs)."""
+    import re
+
+    text = "The  quick, Brown FOX!! jumps over the quick brown fox 42 times"
+    toks = re.findall(r"[a-z0-9]+", text.lower())
+    grams = {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+    h = dedup_ops.word_ngram_hashes(text)
+    assert len(h) == len(grams)
+    assert dedup_ops.word_ngram_hashes("one two") .size == 0  # < n tokens
+
+
+def test_prefix_filter_lossless():
+    """Prefix filtering must never lose a qualifying pair: every pair with
+    J >= t collides on at least one indexed prefix gram (hypothesis-style
+    sweep over overlapping token sequences and thresholds)."""
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = []
+    base = list(rng.choice(vocab, 40))
+    for i in range(20):
+        t = list(base)
+        for _ in range(i):  # progressively mutate → full Jaccard spectrum
+            t[int(rng.integers(len(t)))] = str(rng.choice(vocab))
+        texts.append(" ".join(t))
+    docs = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                         "text": texts})
+    sets_ = {i: dedup_ops.word_ngram_hashes(t) for i, t in enumerate(texts)}
+    for t in (0.3, 0.5, 0.8):
+        rows = dedup_ops.prefix_gram_rows(docs, threshold=t)
+        cand = set(zip(*(dedup_ops.collide_pairs(rows)[c]
+                         for c in ("doc_a", "doc_b"))))
+        for a in range(len(texts)):
+            for b in range(a + 1, len(texts)):
+                if dedup_ops.jaccard(sets_[a], sets_[b]) >= t:
+                    assert (a, b) in cand, (a, b, t)
+
+
+def test_ngram_jaccard_query_matches_brute_force(ray_session):
+    """The distributed prefix-filter+join query equals the all-pairs loop."""
+    from crawler_ray.pipelines.queries import ngram_jaccard_dups
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    sets_ = {int(i): dedup_ops.word_ngram_hashes(str(t))
+             for i, t in zip(docs["doc_id"], docs["text"])}
+    ids = sorted(sets_)
+    expected = sorted((a, b) for i, a in enumerate(ids) for b in ids[i + 1:]
+                      if dedup_ops.jaccard(sets_[a], sets_[b]) >= 0.5)
+    out = ngram_jaccard_dups(sf_dir)
+    assert sorted(zip(out["doc_a"], out["doc_b"])) == expected
+    for _, r in out.iterrows():
+        j = dedup_ops.jaccard(sets_[int(r["doc_a"])], sets_[int(r["doc_b"])])
+        assert r["jaccard"] == round(j, 6)
+
+
 def test_verifier_blocks_false_positives(ray_session):
     import ray
 
