@@ -84,6 +84,22 @@ def _phash_dups(sf_dir: str):
     return phash_near_dups(featurize_store(rd.read_parquet(paths)))
 
 
+def _image_feature_near_dups(sf_dir: str):
+    """Embedding-cosine near-dup over the image store's feature vectors
+    (distributed tile-grid exact pairs; see multimodal.feature_near_dups)."""
+    import ray.data as rd
+
+    from crawler_ray.pipelines.multimodal import featurize_store, feature_near_dups
+    from crawler_ray.sources import lance_layout as ll
+
+    run = _crawl_run("queries")
+    m = ll.latest_manifest(run.root)
+    paths = ll.fragment_paths(run.root, "store", m["tables"]["store"])
+    out = feature_near_dups(featurize_store(rd.read_parquet(paths)))
+    out["sim"] = out["sim"].round(6)
+    return out
+
+
 def _image_thumbnails(sf_dir: str):
     """Multimodal resize operator over the image store: decode → box
     downsample to 32-px thumbnails → re-encode PNG (actor pool; pure-numpy
@@ -266,6 +282,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # multimodal (decode/feature/near-dup over the image store)
     out["image_features"] = _image_features
     out["image_phash_dups"] = _phash_dups
+    out["image_feature_near_dups"] = _image_feature_near_dups
     out["image_thumbnails"] = _image_thumbnails
     out["crawl_recrawl_delta"] = _recrawl_delta
     return out
@@ -281,7 +298,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 _GOLDEN_CHECKED = (
     "crawl_order", "crawl_seen", "crawl_dlq", "crawl_pages",
     "crawl_store_meta", "crawl_header_stats", "image_features",
-    "image_phash_dups", "minhash_near_dups", "simhash_near_dups",
+    "image_phash_dups", "image_feature_near_dups",
+    "minhash_near_dups", "simhash_near_dups",
     "near_dup_clusters", "lang_id_confusion", "doc_fingerprints",
     "ann_lsh_topk", "ann_ivf_topk", "crawl_page_lookup", "crawl_city_pages",
     "crawl_city_locations", "crawl_similar_nearby", "image_thumbnails",

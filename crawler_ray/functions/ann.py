@@ -224,6 +224,12 @@ def ivf_topk_indexed(index_dir: str, queries: dict, k: int = 10,
 
 def _tile_pairs(ta, tb, same: bool, threshold: float) -> pd.DataFrame:
     """One (block_a × block_b) tile of the exact all-pairs cosine grid."""
+    empty = pd.DataFrame({"vid_a": pd.Series([], dtype=np.int64),
+                          "vid_b": pd.Series([], dtype=np.int64),
+                          "sim": pd.Series([], dtype=np.float64)})
+    # 0-row blocks can surface with the pre-map schema (no vec_id column)
+    if ta.num_rows == 0 or tb.num_rows == 0:
+        return empty
     da, db = ta.to_pandas(), tb.to_pandas()
     ia = da["vec_id"].to_numpy(np.int64)
     ib = db["vec_id"].to_numpy(np.int64)
@@ -233,6 +239,11 @@ def _tile_pairs(ta, tb, same: bool, threshold: float) -> pd.DataFrame:
     keep = sims >= threshold
     if same:
         keep &= ia[:, None] < ib[None, :]
+    else:
+        # the same vec_id can appear in two different blocks (e.g. an
+        # upstream per-batch dedup that misses cross-block duplicates) —
+        # never emit self-pairs
+        keep &= ia[:, None] != ib[None, :]
     ii, jj = np.nonzero(keep)
     va, vb, s = ia[ii], ib[jj], sims[ii, jj]
     lo, hi = np.minimum(va, vb), np.maximum(va, vb)

@@ -118,6 +118,84 @@ def phash_near_dups(features_ds, max_hamming: int = 6) -> pd.DataFrame:
     return out.sort_values(["image_a", "image_b"]).reset_index(drop=True)
 
 
+# cosine threshold for the feature near-dup query — set from the measured
+# sim distribution of the golden fixture store (block-mean luminance
+# features are all-positive vectors, so random-pair cosines sit high:
+# median ≈ 0.943, p99 ≈ 0.979). 0.988 sits in a wide gap of that
+# distribution (nearest pair sims 0.98782 below / 0.98883 above), so the
+# float64 engine path and the straight-line golden cannot disagree at the
+# boundary, and the golden is non-empty (6 pairs at sf fixture scale).
+FEATURE_NEAR_DUP_THRESHOLD = 0.988
+
+
+def feature_near_dups(features_ds,
+                      threshold: float = FEATURE_NEAR_DUP_THRESHOLD) -> pd.DataFrame:
+    """Near-duplicate images by EMBEDDING COSINE over the feature vectors
+    (the deterministic model-embedding stand-in from ``ImageFeaturizer``) —
+    the image-side twin of ``embedding_near_dups``: distributed via the
+    exact tile grid (``ann.tiled_near_dup_pairs`` — block-pair Ray tasks,
+    no whole-corpus broadcast; the driver receives result pairs only).
+
+    Ids travel through the GEMM tiles as xxh64(image_id) int64 (2^-64-scale
+    collision odds); the candidate-scale pair table maps back to string
+    ids with ONE keyed shuffle join — pairs exploded to long format
+    (pair_idx, side, vid), joined against the (vec_id → image_id) map,
+    pivoted back on the driver (candidate-scale strings only; no corpus
+    dict ever leaves the cluster). One join rather than two because
+    chaining a hash-shuffle join's output into a second hash-shuffle join
+    corrupts the left-side schema in ray 2.49 ("No match or multiple
+    matches for key field reference" from the aggregator's finalize) when
+    the sides derive from a materialized dataset. Returns
+    (image_a, image_b, sim) with image_a < image_b lexicographically."""
+    import ray.data as rd
+
+    from crawler_ray.functions import ann
+    from crawler_ray.hashing import xxh64_array
+
+    def with_vid(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.drop_duplicates("image_id")
+        return pd.DataFrame({
+            "vec_id": xxh64_array([str(s) for s in b["image_id"]]).view(np.int64),
+            "embedding": b["feature"],
+            "image_id": b["image_id"].astype(str),
+        })
+
+    empty = pd.DataFrame({"image_a": pd.Series([], dtype=str),
+                          "image_b": pd.Series([], dtype=str),
+                          "sim": pd.Series([], dtype=np.float64)})
+    vecs = features_ds.map_batches(with_vid, batch_format="pandas").materialize()
+    pairs = ann.tiled_near_dup_pairs(vecs, threshold)
+    if len(pairs) == 0:
+        return empty
+
+    n = len(pairs)
+    long = pd.DataFrame({
+        "pair_idx": np.concatenate([np.arange(n), np.arange(n)]).astype(np.int64),
+        "side": np.concatenate([np.zeros(n, np.int8), np.ones(n, np.int8)]),
+        "vid": np.concatenate([pairs["vid_a"].to_numpy(np.int64),
+                               pairs["vid_b"].to_numpy(np.int64)]),
+    })
+    idmap = vecs.map_batches(
+        lambda b: pd.DataFrame({"vid": b["vec_id"].to_numpy(np.int64),
+                                "image_id": b["image_id"].astype(str)}),
+        batch_format="pandas")
+    joined = (rd.from_pandas(long)
+              .join(idmap, join_type="inner", num_partitions=4, on=("vid",))
+              .to_pandas())
+    if len(joined) < 2 * n:
+        raise RuntimeError("feature_near_dups: id-map join dropped pairs "
+                           f"({len(joined)} of {2 * n} long rows)")
+    names = np.empty((n, 2), dtype=object)
+    names[joined["pair_idx"].to_numpy(np.int64),
+          joined["side"].to_numpy(np.int8)] = joined["image_id"].astype(str)
+    a = np.minimum(names[:, 0], names[:, 1])
+    b = np.maximum(names[:, 0], names[:, 1])
+    out = pd.DataFrame({"image_a": a.astype(str), "image_b": b.astype(str),
+                        "sim": pairs["sim"].to_numpy(np.float64)})
+    out = out.drop_duplicates(["image_a", "image_b"])
+    return out.sort_values(["image_a", "image_b"]).reset_index(drop=True)
+
+
 def resize_rgb(rgb: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     """Area-averaged (box-filter) downsample via the integral-image block
     mean — the pure-numpy analogue of INTER_AREA. Output is uint8."""

@@ -42,6 +42,25 @@ def test_featurize_store_dataset(ray_session):
     assert set(out.columns) == {"image_id", "w", "h", "fmt", "phash", "feature"}
 
 
+def test_feature_near_dups_tile_grid(ray_session):
+    """Planted near-identical feature pair survives; dissimilar pair does
+    not; string ids round-trip through the hashed tile grid + joins."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(5)
+    base = np.abs(rng.normal(size=64))
+    near = base + rng.normal(scale=1e-4, size=64)
+    far = np.abs(rng.normal(size=64))
+    rows = []
+    for iid, v in (("img-a", base), ("img-b", near), ("img-c", far)):
+        v = (v / np.linalg.norm(v)).astype(np.float32)
+        rows.append({"image_id": iid, "feature": v.tolist()})
+    ds = rd.from_pandas(pd.DataFrame(rows)).repartition(2)
+    out = multimodal.feature_near_dups(ds, threshold=0.999)
+    assert list(zip(out["image_a"], out["image_b"])) == [("img-a", "img-b")]
+    assert (out["sim"] >= 0.999).all()
+
+
 def test_phash_near_dups_finds_identical_images(ray_session):
     # same pixels encoded twice → phash identical → pair at hamming 0
     iid = "00000000000000aa"

@@ -214,6 +214,38 @@ def image_goldens(o, params):
     dups["hamming"] = dups["hamming"].astype(np.int32)
     write("image_phash_dups", dups)
 
+    # feature-cosine near-dups: straight-line all-pairs over the SAME
+    # loop-computed feature vectors (engine: tile-grid + keyed joins)
+    from crawler_ray.pipelines.multimodal import FEATURE_NEAR_DUP_THRESHOLD
+
+    fmat = []
+    for r in sorted(o["store"], key=lambda r: r["image_id"]):
+        rgb = decode_png(image_bytes(r["image_id"], r["w"], r["h"], r["fmt"], 42))
+        gray = rgb.astype(np.float64).mean(axis=2)
+        feat = _block_mean(gray, 8, 8).ravel()
+        norm = np.linalg.norm(feat)
+        fmat.append((feat / norm if norm else feat).astype(np.float32))
+    fids = [r["image_id"] for r in sorted(o["store"], key=lambda r: r["image_id"])]
+    seen_ids = set()
+    uidx = [i for i, x in enumerate(fids) if not (x in seen_ids or seen_ids.add(x))]
+    frows = []
+    for ii in range(len(uidx)):
+        for jj in range(ii + 1, len(uidx)):
+            va = fmat[uidx[ii]].astype(np.float64)
+            vb = fmat[uidx[jj]].astype(np.float64)
+            na, nb = np.linalg.norm(va), np.linalg.norm(vb)
+            sim = float(np.dot(va / na if na else va, vb / nb if nb else vb))
+            if sim >= FEATURE_NEAR_DUP_THRESHOLD:
+                a, b = sorted((fids[uidx[ii]], fids[uidx[jj]]))
+                frows.append(dict(image_a=a, image_b=b, sim=round(sim, 6)))
+    fdups = pd.DataFrame(sorted(frows, key=lambda d: (d["image_a"], d["image_b"])),
+                         columns=["image_a", "image_b", "sim"])
+    if len(fdups) == 0:
+        fdups = pd.DataFrame({"image_a": pd.Series([], dtype=str),
+                              "image_b": pd.Series([], dtype=str),
+                              "sim": pd.Series([], dtype=np.float64)})
+    write("image_feature_near_dups", fdups)
+
     # thumbnails: naive independent box resize (explicit per-block loops;
     # the block sums are exact integers in float64, so this matches the
     # engine's integral-image formulation bit-for-bit) + the shared
