@@ -54,8 +54,19 @@ def run_crawl_bench(num_cpus: int, out_root: str) -> dict:
 
     rd.range(num_cpus * 4, override_num_blocks=num_cpus * 4).map_batches(
         lambda b: b, batch_format="pandas").materialize()
+    # GRAFT_FETCH_LATENCY > 0 turns on the simulated-RTT fetch mode: each
+    # fetch attempt sleeps page latency_ms × this factor in its slot, making
+    # the workload network-wait-dominated like a real crawl (outputs are
+    # identical; see CrawlConfig.fetch_latency_scale)
+    lat_scale = float(os.environ.get("GRAFT_FETCH_LATENCY", "0"))
+    cfg = None
+    if lat_scale > 0:
+        from crawler_ray import semantics
+
+        cfg = semantics.CrawlConfig(max_retries=params.max_retries,
+                                    fetch_latency_scale=lat_scale)
     t0 = time.time()
-    run = run_crawl(web, params, out_root,
+    run = run_crawl(web, params, out_root, cfg=cfg,
                     fetch_concurrency=max(2, num_cpus // 2),
                     fetch_batch_size=256,
                     num_partitions=max(2, num_cpus // 2))
@@ -135,6 +146,7 @@ def main() -> None:
             f"image_mb_per_sec_{hi}": results[hi]["crawl"]["image_mb_per_sec"],
             f"sec_{lo}": results[lo]["crawl"]["crawl_sec"],
             f"sec_{hi}": results[hi]["crawl"]["crawl_sec"],
+            "fetch_latency_scale": float(os.environ.get("GRAFT_FETCH_LATENCY", "0")),
             "scaling_efficiency": round(eff, 3),
         }))
         return

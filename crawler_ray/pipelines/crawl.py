@@ -312,6 +312,13 @@ def _run_crawl_inner(
     # block round-trips) is ~2-5 s while a 1.5k-row wave folds locally in
     # <1 s — the crossover sits well above 600 (round-3 wave profile)
     local_threshold = int(os.environ.get("GRAFT_LOCAL_WAVE_ROWS", "1500"))
+    if cfg.fetch_latency_scale > 0:
+        # simulated-RTT mode: driver-local waves sleep SERIALLY (one slot),
+        # so the local crossover drops to where serial sleep time matches
+        # the distributed fixed cost (~3 s) — mean page latency is ~0.21 s
+        # before scaling (synthetic_web.page_meta)
+        local_threshold = min(local_threshold,
+                              max(32, int(3.0 / (0.21 * cfg.fetch_latency_scale))))
     wave = start_wave
     while wave < cfg.max_waves:
         _t0 = _time.time()
@@ -368,6 +375,7 @@ def _run_crawl_inner(
         fp = FetchProcess(params=params, out_root=out_root,
                           wave=wave, seed=cfg.seed, max_retries=cfg.max_retries,
                           gate=gate, max_enqueue_retries=cfg.max_enqueue_retries,
+                          latency_scale=cfg.fetch_latency_scale,
                           # fragment-file count per wave = fetch tasks ×
                           # buckets, so bucket count stays at 16 until the
                           # pool is big enough that read parallelism needs
@@ -424,10 +432,31 @@ def _run_crawl_inner(
             # w.r.t. host (functional web), so an even row split suffices.
             # block size adapts so the pool has ≥2 tasks per fetch slot even
             # on small waves (fixed 512-row blocks left 32-cpu pools idle)
-            fetch_rows = int(np.clip(-(-est_rows // (2 * fetch_concurrency)),
-                                     64, fetch_batch_size * 2))
+            lat = cfg.fetch_latency_scale > 0
+            # simulated-RTT mode: fetch tasks SLEEP most of their wall, so
+            # parallelism == in-flight task count. batch_size=fetch_rows
+            # would let the map operator BUNDLE several sub-target blocks
+            # into one task (measured: a 2.4k-row wave ran as 3 tasks ⇒
+            # serial sleeps); one task per repartitioned block + a smaller
+            # split target keeps the pool full. Compute-bound mode keeps
+            # the tuned bundling (fewer, larger tasks amortize overhead).
+            # est_rows counts PRE-dedup candidates (~2-5× the fetched rows),
+            # so the latency-mode divisor/caps are deliberately aggressive:
+            # measured at 32 cpus, a 13.7k-row wave split into only 15
+            # blocks sleeps at half concurrency.
+            div = 16 if lat else 2
+            fetch_rows = int(np.clip(-(-est_rows // (div * fetch_concurrency)),
+                                     32 if lat else 64,
+                                     64 if lat else fetch_batch_size * 2))
+            if lat:
+                # sleeping fetch tasks must own ~all slots: the default 50%
+                # operator reservation on this ~20-op chain left ~5 of 32
+                # slots idle (measured 26.7/32 concurrent). Scoped to this
+                # dataset via its DataContext snapshot (same mechanism as
+                # queries._keyed) — no global leak.
+                chain.context.op_resource_reservation_ratio = 0.0
             meta_ds = chain.repartition(target_num_rows_per_block=fetch_rows).map_batches(
-                fp, batch_format="pandas", batch_size=fetch_rows
+                fp, batch_format="pandas", batch_size=None if lat else fetch_rows
             )
             if debug and est_rows > int(os.environ.get("GRAFT_DEBUG_STATS_ROWS", "50000")):
                 meta_ds = meta_ds.materialize()

@@ -190,6 +190,12 @@ class CrawlConfig:
     # its scheduled_at in real time × time_scale (live-crawl behavior)
     politeness_mode: str = "virtual"
     time_scale: float = 1.0
+    # simulated network RTT: each fetch attempt sleeps
+    # page latency_ms/1000 × this factor IN the fetch slot (synchronous-
+    # client model — the slot is occupied while waiting, like a real
+    # blocking HTTP fetch). 0 = no sleeping (pure-compute bench mode).
+    # Outputs are identical either way; only wall-clock changes.
+    fetch_latency_scale: float = 0.0
 
 
 @dataclass

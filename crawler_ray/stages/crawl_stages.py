@@ -233,13 +233,16 @@ class Fetcher:
     (is_valid_url gate, blocked/short/status retries → DLQ)."""
 
     def __init__(self, params, max_retries: int = semantics.MAX_RETRIES,
-                 gate: tuple | None = None):
+                 gate: tuple | None = None, latency_scale: float = 0.0):
         from crawler_ray.sources.synthetic_web import _host_index
 
         self.params = params
         self.hidx = _host_index(params)
         self.max_retries = max_retries
         self.gate = gate  # (epoch_wall_time, time_scale) → live politeness
+        # simulated network RTT (CrawlConfig.fetch_latency_scale): sleep
+        # latency_ms × scale per attempt, in-slot (synchronous client)
+        self.latency_scale = latency_scale
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         if self.gate is not None and len(batch) and "scheduled_at" in batch.columns:
@@ -277,6 +280,10 @@ class Fetcher:
             meta = page_meta(url, self.params, self.hidx)
             success, fstep, attempts, body = semantics.fetch_decision(
                 meta, render_html, self.max_retries, int(prior[i]))
+            if self.latency_scale > 0:
+                import time as _t
+
+                _t.sleep(meta["latency_ms"] / 1000.0 * self.latency_scale * attempts)
             attempts_total[i] = prior[i] + attempts
             if not success:
                 step[i] = fstep
@@ -399,12 +406,14 @@ class FetchProcess:
     def __init__(self, params, out_root: str, wave: int,
                  seed: int, max_retries: int, gate: tuple | None = None,
                  max_enqueue_retries: int = semantics.MAX_ENQUEUE_RETRIES,
-                 frontier_buckets: int | None = None):
+                 frontier_buckets: int | None = None,
+                 latency_scale: float = 0.0):
         from crawler_ray.sources.lance_layout import FragmentWriter
 
         if frontier_buckets is not None:
             self.FRONTIER_BUCKETS = int(frontier_buckets)
-        self.fetcher = Fetcher(params, max_retries, gate=gate)
+        self.fetcher = Fetcher(params, max_retries, gate=gate,
+                               latency_scale=latency_scale)
         self.max_enqueue_retries = max_enqueue_retries
         self.images = ImageStage(params, seed)
         self.writers = {

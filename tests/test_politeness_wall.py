@@ -31,6 +31,27 @@ def test_fetcher_gate_sleeps_to_schedule():
     assert out["ok"].all()
 
 
+def test_latency_mode_output_identical(ray_session, tmp_path):
+    """Simulated-RTT mode (fetch_latency_scale) only sleeps — every output
+    table must be row-identical to the no-latency crawl."""
+    from crawler_ray.pipelines.crawl import run_crawl
+
+    p = WebParams(seed=9, n_hosts=3, props_per_host=4, hot_hosts=0,
+                  props_per_listing=4)
+    runs = {}
+    for name, scale in (("base", 0.0), ("lat", 0.02)):
+        cfg = semantics.CrawlConfig(max_retries=p.max_retries, max_waves=4,
+                                    fetch_latency_scale=scale)
+        runs[name] = run_crawl(build_web(p), p, str(tmp_path / name), cfg=cfg)
+    for table in ("order", "pages", "dlq"):
+        a = runs["base"].read(table).to_pandas()
+        b = runs["lat"].read(table).to_pandas()
+        cols = sorted(a.columns)
+        pd.testing.assert_frame_equal(
+            a[cols].sort_values(cols).reset_index(drop=True),
+            b[cols].sort_values(cols).reset_index(drop=True))
+
+
 def test_wall_mode_crawl_respects_schedule(ray_session, tmp_path):
     from crawler_ray.pipelines.crawl import run_crawl
     from crawler_ray.sources import lance_layout as ll
