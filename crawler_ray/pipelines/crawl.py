@@ -444,10 +444,24 @@ def _run_crawl_inner(
             # so the latency-mode divisor/caps are deliberately aggressive:
             # measured at 32 cpus, a 13.7k-row wave split into only 15
             # blocks sleeps at half concurrency.
-            div = 16 if lat else 2
-            fetch_rows = int(np.clip(-(-est_rows // (div * fetch_concurrency)),
-                                     32 if lat else 64,
-                                     64 if lat else fetch_batch_size * 2))
+            if lat:
+                # block granularity sets the wave-tail quantization waste:
+                # rows in a block sleep SERIALLY (synchronous client), so a
+                # wave's wall is rounded up to a whole block-sleep. Target
+                # ~3 s of expected sleep per block (mean page latency
+                # ~0.21 s before scaling): at scale 1.0 a 64-row block is a
+                # 13 s quantum (measured 493 s for a 10.7k-page crawl at 8
+                # cpus, ~35% above the sleep floor); ~14-row blocks cut the
+                # quantum to ~3 s while task overhead (~ms) stays hidden.
+                # min with a pool-fill cap so small waves still split into
+                # ≥~16 blocks per slot (est_rows is pre-dedup, ~2-5× the
+                # fetched rows, hence the aggressive divisor)
+                fetch_rows = int(np.clip(min(3.0 / (0.21 * cfg.fetch_latency_scale),
+                                             est_rows / (16 * fetch_concurrency)),
+                                         8, 256))
+            else:
+                fetch_rows = int(np.clip(-(-est_rows // (2 * fetch_concurrency)),
+                                         64, fetch_batch_size * 2))
             if lat:
                 # sleeping fetch tasks must own ~all slots: the default 50%
                 # operator reservation on this ~20-op chain left ~5 of 32
