@@ -319,6 +319,161 @@ def union_streams(sf_dir: str):
     return out.sort_values("o_orderstatus").reset_index(drop=True)
 
 
+# Synthetic time base shared by the as-of / range joins below: orders are
+# mapped onto the events' January-2024 window with EXACT integer-second
+# arithmetic ((o_orderkey*9973) mod 30 days), so the engine and the DuckDB
+# oracle derive bit-identical timestamps with no date-math drift.
+_T0_US = 1_704_067_200_000_000  # TIMESTAMP '2024-01-01' in epoch µs
+
+
+def _quote_times_us(okey: np.ndarray) -> np.ndarray:
+    return _T0_US + ((okey.astype(np.int64) * 9973) % 2_592_000) * 1_000_000
+
+
+def asof_join_quotes(sf_dir: str):
+    """Point-in-time (as-of) join — for every event, the latest order
+    "quote" of the same key at or before the event's timestamp. Ray Data
+    has no asof join; this is the big⋈big distributed formulation: tag both
+    sides, ONE global sort shuffle on (key, time, side) co-locates each
+    key's timeline into ordered block ranges, and each block forward-fills
+    quote values onto events with one vectorized group-aware ffill. Seams:
+    a block's leading events whose key straddles the block boundary are
+    unresolved locally (at most one key's rows per block), and each block
+    emits its last quote per key (O(distinct keys) state, result-scale);
+    the driver re-runs the identical fold once over that small remainder.
+    Right side pre-combines equal-(key,time) quotes per batch, so ties are
+    deterministic (max price). Small-side broadcast + searchsorted is the
+    cheaper shape when quotes fit in memory; this path needs neither side
+    to."""
+    E, R = np.int8(1), np.int8(0)  # events sort AFTER quotes at equal t ⇒ inclusive
+    COLS = ["k", "t", "side", "event_id", "val"]
+
+    events = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def left_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "k": b["user_id"].to_numpy(np.int64),
+            "t": b["ts"].astype("datetime64[us]").astype("int64").to_numpy(),
+            "side": E, "event_id": b["event_id"].to_numpy(np.int64),
+            "val": np.nan})
+
+    def right_partial(b: pd.DataFrame) -> pd.DataFrame:
+        okey = b["o_orderkey"].to_numpy(np.int64)
+        df = pd.DataFrame({
+            "k": b["o_custkey"].to_numpy(np.int64) % 150,
+            "t": _quote_times_us(okey),
+            "side": R, "event_id": np.int64(-1),
+            "val": b["o_totalprice"].round(2).to_numpy()})
+        return df.groupby(["k", "t", "side", "event_id"], as_index=False)["val"].max()[COLS]
+
+    def fold(df: pd.DataFrame, final: bool = False) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"k": pd.Series([], dtype=np.int64),
+                                 "t": pd.Series([], dtype=np.int64),
+                                 "side": pd.Series([], dtype=np.int8),
+                                 "event_id": pd.Series([], dtype=np.int64),
+                                 "val": pd.Series([], dtype=np.float64),
+                                 "u": pd.Series([], dtype=np.int8)})
+        df = df.sort_values(["k", "t", "side"], kind="mergesort").reset_index(drop=True)
+        isr = df["side"].to_numpy() == R
+        # equal-(k,t) quotes straddling batches combine here (max = the tie rule)
+        r = df.loc[isr].groupby(["k", "t"], as_index=False)["val"].max()
+        r["side"], r["event_id"] = R, np.int64(-1)
+        c = (pd.concat([r[COLS], df.loc[~isr, COLS]], ignore_index=True)
+             .sort_values(["k", "t", "side"], kind="mergesort").reset_index(drop=True))
+        v = np.where(c["side"].to_numpy() == R, c["val"].to_numpy(), np.nan)
+        filled = pd.Series(v).groupby(c["k"].to_numpy()).ffill().to_numpy()
+        isl = c["side"].to_numpy() == E
+        lefts = c.loc[isl].copy()
+        lefts["val"] = filled[isl]
+        if final:
+            lefts["u"] = np.int8(0)
+        else:
+            # a leading event with no in-block quote may have one in an
+            # earlier block ONLY if its key straddles the boundary — i.e.
+            # it is the block's first key; everything else is decided here
+            lefts["u"] = np.where(np.isnan(lefts["val"].to_numpy())
+                                  & (lefts["k"].to_numpy() == c["k"].iloc[0]),
+                                  1, 0).astype(np.int8)
+        states = c.loc[~isl].groupby("k", as_index=False)[["t", "val"]].last()
+        states["side"], states["event_id"], states["u"] = R, np.int64(-1), np.int8(0)
+        return pd.concat([states[COLS + ["u"]], lefts[COLS + ["u"]]], ignore_index=True)
+
+    tagged = (events.map_batches(left_partial, batch_format="pandas")
+              .union(orders.map_batches(right_partial, batch_format="pandas")))
+    folded = (tagged.sort(["k", "t", "side"])
+              .map_batches(fold, batch_format="pandas", batch_size=None)
+              .to_pandas())
+    is_event = folded["side"].to_numpy() == E
+    unresolved = folded["u"].to_numpy() == 1
+    done = folded.loc[is_event & ~unresolved]
+    seam = fold(folded.loc[~is_event | unresolved, ["k", "t", "side", "event_id", "val"]],
+                final=True)
+    done = pd.concat([done, seam.loc[seam["side"].to_numpy() == E]], ignore_index=True)
+    out = pd.DataFrame({"event_id": done["event_id"].astype(np.int64),
+                        "user_id": done["k"].astype(np.int64),
+                        "asof_price": done["val"].fillna(-1.0).round(2)})
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def events_in_windows(sf_dir: str):
+    """Interval (range) join — events falling inside sparse time windows
+    derived from high-value orders. Ray Data has no BETWEEN join; the
+    distributed formulation is bin replication: each window replicates into
+    every fixed-width time bin it overlaps (≤2 here), each event maps to
+    exactly ONE bin, and a hash join on the bin key turns the range
+    predicate into an equality join + a vectorized residual filter — each
+    (event, window) pair meets exactly once, so no dedup pass is needed.
+    Window counts then fold via the unbounded-key sort+fold path. When the
+    window side is small, broadcasting it per batch is the cheaper shape;
+    bin replication needs neither side bounded."""
+    BIN_US = 86_400_000_000  # 1-day bins: windows are ≤4 h ⇒ ≤2 bins each
+
+    events = _read(sf_dir, "events", ["event_id", "ts", "value"])
+    orders = _read(sf_dir, "orders", ["o_orderkey"])
+
+    def windows(b: pd.DataFrame) -> pd.DataFrame:
+        okey = b["o_orderkey"].to_numpy(np.int64)
+        okey = okey[okey % 97 == 0]  # sparse high-interest windows
+        ws = _quote_times_us(okey)
+        we = ws + ((okey * 31) % 240 + 1) * 60_000_000  # 1..240 minutes
+        lo, hi = ws // BIN_US, we // BIN_US
+        reps = (hi - lo + 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(okey)), reps)
+        off = np.arange(int(reps.sum())) - np.repeat(np.cumsum(reps) - reps, reps)
+        return pd.DataFrame({"o_orderkey": okey[idx], "ws": ws[idx], "we": we[idx],
+                             "wbin": lo[idx] + off})
+
+    def tag_events(b: pd.DataFrame) -> pd.DataFrame:
+        t = b["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        return pd.DataFrame({"event_id": b["event_id"].to_numpy(np.int64),
+                             "t": t, "value": b["value"].to_numpy(),
+                             "bin": t // BIN_US})
+
+    joined = (events.map_batches(tag_events, batch_format="pandas")
+              .join(orders.map_batches(windows, batch_format="pandas"),
+                    join_type="inner", num_partitions=8,
+                    on=("bin",), right_on=("wbin",)))
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        t = b["t"].to_numpy()
+        m = (b["ws"].to_numpy() <= t) & (t <= b["we"].to_numpy())
+        return (b.loc[m].groupby("o_orderkey", as_index=False)
+                .agg(n_events=("value", "size"), sum_value=("value", "sum")))
+
+    def fold(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("o_orderkey", as_index=False).agg(
+            n_events=("n_events", "sum"), sum_value=("sum_value", "sum"))
+
+    out = _sorted_fold(joined.map_batches(partial, batch_format="pandas"),
+                       ["o_orderkey"], fold)
+    out["o_orderkey"] = out["o_orderkey"].astype(np.int64)
+    out["n_events"] = out["n_events"].astype(np.int64)
+    out["sum_value"] = out["sum_value"].round(2)
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
 def _murmur64(x: np.ndarray) -> np.ndarray:
     """DuckDB-compatible 64-bit hash (the murmur64 finalizer DuckDB's
     ``hash()`` applies to integers — public algorithm, verified against
@@ -929,6 +1084,8 @@ QUERIES = {
     "orders_join": orders_join,
     "orders_lineitem_join": orders_lineitem_join,
     "union_streams": union_streams,
+    "asof_join_quotes": asof_join_quotes,
+    "events_in_windows": events_in_windows,
     "seeded_sample": seeded_sample,
     "topk_orders": topk_orders,
     "pagination": pagination,
@@ -1018,6 +1175,29 @@ ORACLE_SQL = {
                ROUND(SUM(o_totalprice), 2) AS total
         FROM orders WHERE o_orderstatus IN ('O', 'F')
         GROUP BY o_orderstatus""",
+    "asof_join_quotes": """
+        WITH r AS (
+          SELECT o_custkey % 150 AS k,
+                 TIMESTAMP '2024-01-01'
+                   + ((o_orderkey * 9973) % 2592000) * INTERVAL 1 SECOND AS rts,
+                 MAX(ROUND(o_totalprice, 2)) AS price
+          FROM orders GROUP BY 1, 2)
+        SELECT e.event_id, e.user_id,
+               COALESCE(ROUND(r.price, 2), -1.0) AS asof_price
+        FROM events e ASOF LEFT JOIN r ON e.user_id = r.k AND e.ts >= r.rts""",
+    "events_in_windows": """
+        WITH w AS (
+          SELECT o_orderkey,
+                 TIMESTAMP '2024-01-01'
+                   + ((o_orderkey * 9973) % 2592000) * INTERVAL 1 SECOND AS ws,
+                 TIMESTAMP '2024-01-01'
+                   + ((o_orderkey * 9973) % 2592000) * INTERVAL 1 SECOND
+                   + ((o_orderkey * 31) % 240 + 1) * INTERVAL 1 MINUTE AS we
+          FROM orders WHERE o_orderkey % 97 = 0)
+        SELECT w.o_orderkey, CAST(COUNT(*) AS BIGINT) AS n_events,
+               ROUND(SUM(e.value), 2) AS sum_value
+        FROM w JOIN events e ON e.ts BETWEEN w.ws AND w.we
+        GROUP BY w.o_orderkey""",
     "topk_orders": """
         SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
