@@ -316,9 +316,12 @@ def _run_crawl_inner(
         # simulated-RTT mode: driver-local waves sleep SERIALLY (one slot),
         # so the local crossover drops to where serial sleep time matches
         # the distributed fixed cost (~3 s) — mean page latency is ~0.21 s
-        # before scaling (synthetic_web.page_meta)
+        # before scaling (synthetic_web.page_meta). No higher floor: a
+        # 30-row seed wave slept 9.3 s serially under the old max(32, ·)
+        # while the distributed path runs it in ~4 s, a constant paid at
+        # EVERY parallelism level (measured 8→32 scaling cost ~2 points)
         local_threshold = min(local_threshold,
-                              max(32, int(3.0 / (0.21 * cfg.fetch_latency_scale))))
+                              max(8, int(3.0 / (0.21 * cfg.fetch_latency_scale))))
     wave = start_wave
     while wave < cfg.max_waves:
         _t0 = _time.time()
