@@ -301,6 +301,7 @@ _GOLDEN_CHECKED = (
     "image_phash_dups", "image_feature_near_dups",
     "minhash_near_dups", "simhash_near_dups",
     "near_dup_clusters", "lang_id_confusion", "doc_fingerprints",
+    "approx_distinct_tokens",
     "ann_lsh_topk", "ann_ivf_topk", "crawl_page_lookup", "crawl_city_pages",
     "crawl_city_locations", "crawl_similar_nearby", "image_thumbnails",
     "crawl_recrawl_delta",

@@ -797,6 +797,45 @@ def top_tokens(sf_dir: str, k: int = 20):
     return out.head(k).reset_index(drop=True)
 
 
+def approx_distinct_tokens(sf_dir: str):
+    """Approximate distinct vocabulary per language via a HyperLogLog
+    sketch (functions/sketches.py): each batch folds its token stream into
+    a 4 KiB register array per group in one vectorized pass, registers
+    merge by elementwise max, and ONLY (groups × 4 KiB) blobs reach the
+    driver — the one-pass no-shuffle alternative to the exact
+    sort+fold distinct path (doc_fingerprints). Deterministic (xxh64), so
+    the golden's independent per-token loop reproduces it exactly; the
+    unit test additionally bounds the error vs the true distinct count."""
+    from crawler_ray.functions.sketches import M, hll_estimate, hll_merge, hll_registers
+    from crawler_ray.hashing import xxh64_array
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        toks = (b["text"].astype("string").str.lower()
+                .str.findall(r"[a-z0-9_]+"))
+        rows = []
+        for lang, g in pd.DataFrame({"lang": b["lang"].to_numpy(), "toks": toks}).groupby("lang"):
+            flat = [t for ws in g["toks"] if isinstance(ws, list) for t in ws]
+            rows.append({"lang": str(lang),
+                         "regs": hll_registers(xxh64_array(flat)).tobytes()})
+        return pd.DataFrame(rows, columns=["lang", "regs"])
+
+    # group key space (languages) is bounded-small ⇒ the driver merge is
+    # O(langs × 4 KiB); an unbounded group key would swap this for the
+    # _sorted_fold path with the same mergeable blobs
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    rows = []
+    for lang, g in parts.groupby("lang"):
+        regs = np.zeros(M, np.uint8)
+        for blob in g["regs"]:
+            regs = hll_merge(regs, np.frombuffer(blob, np.uint8))
+        rows.append({"lang": lang, "approx_distinct": np.int64(round(hll_estimate(regs)))})
+    out = pd.DataFrame(rows, columns=["lang", "approx_distinct"])
+    out["approx_distinct"] = out["approx_distinct"].astype(np.int64)
+    return out.sort_values("lang").reset_index(drop=True)
+
+
 def doc_fingerprints(sf_dir: str):
     """Rolling-hash fingerprint per doc; docs + EXACT distinct fingerprints
     per source, with NO corpus-scale driver pull: the sort shuffle
@@ -1102,6 +1141,7 @@ QUERIES = {
     "text_quality": text_quality,
     "lang_id_confusion": lang_id_confusion,
     "top_tokens": top_tokens,
+    "approx_distinct_tokens": approx_distinct_tokens,
     "doc_fingerprints": doc_fingerprints,
     "minhash_near_dups": minhash_near_dups,
     "ngram_jaccard_dups": ngram_jaccard_dups,

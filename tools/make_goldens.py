@@ -363,6 +363,35 @@ def text_goldens():
     agg["n_distinct"] = agg["n_distinct"].astype(np.int64)
     write("doc_fingerprints", agg.sort_values("source").reset_index(drop=True))
 
+    # --- HLL approx distinct: pure-python per-token register loop -------
+    # (independent of the vectorized sketches.py kernel: int bit ops per
+    # token, inline Flajolet-et-al estimator)
+    import math
+
+    P, Mreg = 12, 1 << 12
+    regs_by_lang: dict = {}
+    for t, lang in zip(df["text"], df["lang"]):
+        regs = regs_by_lang.setdefault(str(lang), [0] * Mreg)
+        for w in re.findall(r"[a-z0-9_]+", str(t).lower()):
+            h = xxh64(w)
+            idx = h >> (64 - P)
+            rest = (h << P) & ((1 << 64) - 1)
+            rho = (64 - rest.bit_length() + 1) if rest else (64 - P + 1)
+            if rho > regs[idx]:
+                regs[idx] = rho
+    rows = []
+    for lang in sorted(regs_by_lang):
+        regs = regs_by_lang[lang]
+        alpha = 0.7213 / (1 + 1.079 / Mreg)
+        est = alpha * Mreg * Mreg / sum(2.0 ** -r for r in regs)
+        zeros = regs.count(0)
+        if est <= 2.5 * Mreg and zeros > 0:
+            est = Mreg * math.log(Mreg / zeros)
+        rows.append({"lang": lang, "approx_distinct": np.int64(round(est))})
+    adt = pd.DataFrame(rows, columns=["lang", "approx_distinct"])
+    adt["approx_distinct"] = adt["approx_distinct"].astype(np.int64)
+    write("approx_distinct_tokens", adt)
+
 
 # ---------------------------------------------------------------------------
 # ANN-LSH golden: straight numpy replication of the bucketing + probe search
