@@ -41,3 +41,57 @@ def test_events_in_windows_matches_duckdb(ray_session):
     eng, ora = _norm(QUERIES["events_in_windows"](SF)), _norm(_oracle("events_in_windows"))
     assert len(eng) == len(ora) > 0
     assert eng.equals(ora)
+
+
+def test_asof_join_adversarial_seams(ray_session, tmp_path):
+    """Stress the sort+ffill seam machinery with data built to straddle
+    blocks: few hot keys (a single key spans many sorted blocks), exact
+    timestamp ties between events and quotes (inclusive match), events
+    before any quote (NULL), keys with no quotes at all, and duplicate
+    (key, time) quotes (max-price tie rule). Oracle = the same ASOF SQL
+    over the synthetic tables."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(1234)
+    n_ev, n_q = 60_000, 20_000
+    t0 = pd.Timestamp("2024-01-01").value // 1000  # µs
+
+    # hot-key mixture: half the events on 3 keys, rest across 0..299
+    # (user_id ≥ 150 can never match a quote ⇒ permanent-NULL path)
+    user = np.where(rng.random(n_ev) < 0.5,
+                    rng.choice([7, 42, 149], n_ev),
+                    rng.integers(0, 300, n_ev))
+    ev_ts = t0 + rng.integers(0, 2_592_000, n_ev) * 1_000_000
+    events = pd.DataFrame({
+        "event_id": np.arange(n_ev, dtype=np.int64),
+        "ts": pd.to_datetime(ev_ts, unit="us"),
+        "user_id": user.astype(np.int64),
+        "event_type": "x", "value": 1.0, "props": "{}"})
+
+    okey = rng.integers(0, 1 << 20, n_q).astype(np.int64)
+    okey[:2000] = okey[0]  # mass of duplicate (key,time) quotes → tie rule
+    orders = pd.DataFrame({
+        "o_orderkey": okey,
+        "o_custkey": rng.integers(0, 1500, n_q).astype(np.int64),
+        "o_orderstatus": "O",
+        "o_totalprice": (rng.random(n_q) * 9000 + 900).round(2),
+        "o_orderdate": pd.Timestamp("1995-06-01"),
+        "o_orderpriority": "1-URGENT"})
+    # exact-tie events: event ts equal to a quote instant must match it
+    qts = (t0 + ((okey[:500] * 9973) % 2_592_000) * 1_000_000)
+    events.loc[:499, "ts"] = pd.to_datetime(qts, unit="us")
+    events.loc[:499, "user_id"] = (orders["o_custkey"].to_numpy()[:500] % 150)
+
+    sf = str(tmp_path)
+    events.to_parquet(f"{sf}/events.parquet", index=False)
+    orders.to_parquet(f"{sf}/orders.parquet", index=False)
+
+    con = duckdb.connect()
+    for t in ("events", "orders"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    ora = _norm(con.sql(ORACLE_SQL["asof_join_quotes"]).df())
+    eng = _norm(QUERIES["asof_join_quotes"](sf))
+    assert len(eng) == len(ora) == n_ev
+    assert (eng["asof_price"] == -1.0).any()  # NULL path exercised
+    assert eng.equals(ora)
