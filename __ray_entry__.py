@@ -263,6 +263,26 @@ def _recrawl_delta(sf_dir: str):
     return changed.sort_values("url").reset_index(drop=True)
 
 
+def _training_shards(sf_dir: str):
+    """Resumable training-shard export over the image+caption store
+    (pipelines/export.py): write-time shard bucketing by mixed phash (exact
+    dups co-locate, no shuffle), per-shard dedup+finalize, manifest-gated
+    skip of completed shards. Returns the per-shard manifest; the digest
+    column pins the full shard CONTENT (row-content hash over all hashable
+    columns), so the golden checks the exported bytes, not just counts."""
+    import shutil
+
+    run = _crawl_run("queries")
+    out = "/tmp/crawler_ray_entry_export"
+    shutil.rmtree(out, ignore_errors=True)
+    from crawler_ray.pipelines.export import export_training_shards
+
+    first = export_training_shards(run.root, out, n_shards=8)
+    again = export_training_shards(run.root, out, n_shards=8)  # resume = no-op
+    assert first.equals(again), "re-export must be a manifest no-op"
+    return first
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from crawler_ray.pipelines.queries import QUERIES
 
@@ -285,6 +305,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["image_feature_near_dups"] = _image_feature_near_dups
     out["image_thumbnails"] = _image_thumbnails
     out["crawl_recrawl_delta"] = _recrawl_delta
+    out["training_shards"] = _training_shards
     return out
 
 
@@ -304,7 +325,7 @@ _GOLDEN_CHECKED = (
     "approx_distinct_tokens",
     "ann_lsh_topk", "ann_ivf_topk", "crawl_page_lookup", "crawl_city_pages",
     "crawl_city_locations", "crawl_similar_nearby", "image_thumbnails",
-    "crawl_recrawl_delta",
+    "crawl_recrawl_delta", "training_shards",
 )
 
 

@@ -1,0 +1,198 @@
+"""Resumable training-shard export over the image+caption store.
+
+The consumer of a 10^10-URL crawl is a training job: it wants the store's
+(image, caption) pairs deduplicated and re-packed into a fixed set of
+balanced shards it can stream, with a manifest that says exactly what each
+shard holds — and a failed export must resume by producing ONLY the
+missing shards, never rewriting finished ones.
+
+Two stages, both shuffle-free in the Ray Data sense:
+
+1. **Stage** (``_StageWriter``): one streaming pass over the store
+   fragments; each task splits its batch by shard key and appends
+   per-(shard, batch-digest) staging fragments under
+   ``out/staging/shard=K/``. The shard key is a murmur64-mixed phash, so
+   every EXACT-duplicate image (same perceptual content ⇒ same phash)
+   lands in the same shard BY CONSTRUCTION — the later dedup needs no
+   cross-shard exchange, the same write-time-bucketing trick the crawl
+   frontier uses (crawl_stages.py FetchProcess). Content-digest fragment
+   names make task retries idempotent (same bytes ⇒ same name ⇒
+   os.replace no-op), mirroring lance_layout's rule.
+2. **Finalize**: each pending shard reads its staging directory as ONE
+   co-located block, first-wins-dedups by phash (min image_id — stable
+   under any block layout), sorts by image_id and writes the final
+   ``shard-K.parquet`` via write-to-temp + atomic rename.
+
+Resume: the manifest (atomic rename, lance_layout.write_manifest style)
+records per-shard row counts and content digests; re-running the export
+skips completed shards in BOTH stages (stage filters their rows out, so
+a resume moves only the missing shards' bytes).
+
+Reference parity note: the reference has no export surface (its consumers
+read Postgres/FS directly, api/main.py); this is the training-pipeline
+extension the task brief's "resumable output" requirement describes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from crawler_ray.sources import lance_layout as ll
+
+SHARD_COLS = ["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """murmur64 finalizer (public avalanche function) — turns the
+    structured phash space into a uniform shard key."""
+    x = np.asarray(x, np.uint64).copy()
+    x ^= x >> np.uint64(33)
+    x *= np.uint64(0xFF51AFD7ED558CCD)
+    x ^= x >> np.uint64(33)
+    x *= np.uint64(0xC4CEB9FE1A85EC53)
+    x ^= x >> np.uint64(33)
+    return x
+
+
+def shard_of(phash: np.ndarray, n_shards: int) -> np.ndarray:
+    return (_mix64(np.asarray(phash, np.int64).view(np.uint64)) % np.uint64(n_shards)).astype(np.int64)
+
+
+class _StageWriter:
+    """map_batches callable: split a store batch by shard key and write one
+    staging fragment per (shard, batch) — append-only, retry-idempotent."""
+
+    def __init__(self, out: str, n_shards: int, pending: list[int]):
+        self.out = out
+        self.n_shards = n_shards
+        self.pending = np.array(sorted(pending), np.int64)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        meta = []
+        if len(batch) == 0:
+            return pd.DataFrame({"shard": pd.Series([], dtype=np.int64),
+                                 "rows": pd.Series([], dtype=np.int64)})
+        batch = batch.assign(shard=shard_of(batch["phash"].to_numpy(), self.n_shards))
+        batch = batch.loc[np.isin(batch["shard"].to_numpy(), self.pending)]
+        for shard, g in batch.groupby("shard"):
+            t = pa.Table.from_pandas(g[SHARD_COLS], preserve_index=False)
+            d = os.path.join(self.out, "staging", f"shard={int(shard)}")
+            tmp = os.path.join(d, "_tmp")
+            os.makedirs(tmp, exist_ok=True)
+            name = f"frag-{ll._batch_digest(t)}.parquet"
+            tmp_path = os.path.join(tmp, name)
+            # image bytes are already compressed; zstd would only burn CPU
+            pq.write_table(t, tmp_path, compression="none")
+            os.replace(tmp_path, os.path.join(d, name))
+            meta.append({"shard": int(shard), "rows": len(g)})
+        return pd.DataFrame(meta, columns=["shard", "rows"]).astype(np.int64)
+
+
+def _finalize_block(b: pd.DataFrame, out: str) -> pd.DataFrame:
+    """One co-located shard block → dedup → sort → final shard file."""
+    if len(b) == 0:
+        return pd.DataFrame({"shard": pd.Series([], dtype=np.int64),
+                             "n_pairs": pd.Series([], dtype=np.int64),
+                             "n_dups_dropped": pd.Series([], dtype=np.int64),
+                             "digest": pd.Series([], dtype=str)})
+    shard = int(b["shard"].iloc[0])
+    assert (b["shard"] == shard).all(), "finalize block must hold one shard"
+    n_raw = len(b)
+    # first-wins by perceptual content: min image_id per phash, stable
+    # under any staging-fragment layout
+    b = (b.sort_values(["phash", "image_id"], kind="mergesort")
+         .drop_duplicates("phash", keep="first")
+         .sort_values("image_id", kind="mergesort"))
+    t = pa.Table.from_pandas(b[SHARD_COLS], preserve_index=False)
+    tmp = os.path.join(out, "_tmp")
+    os.makedirs(tmp, exist_ok=True)
+    final = os.path.join(out, f"shard-{shard}.parquet")
+    tmp_path = os.path.join(tmp, f"shard-{shard}.parquet")
+    pq.write_table(t, tmp_path, compression="none")
+    os.replace(tmp_path, final)
+    return pd.DataFrame({"shard": [np.int64(shard)],
+                         "n_pairs": [np.int64(t.num_rows)],
+                         "n_dups_dropped": [np.int64(n_raw - t.num_rows)],
+                         "digest": [ll._batch_digest(t)]})
+
+
+def export_training_shards(store_root: str, out: str, n_shards: int = 8) -> pd.DataFrame:
+    """Export the crawl store at ``store_root`` into ``n_shards`` final
+    parquet shards under ``out``; returns the per-shard manifest frame.
+    Re-running with the same arguments skips every completed shard."""
+    manifest_path = os.path.join(out, "_manifest.json")
+    done: dict[str, dict] = {}
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            prev = json.load(f)
+        done = {s: m for s, m in prev.get("shards", {}).items()
+                if os.path.exists(os.path.join(out, f"shard-{s}.parquet"))}
+    pending = [s for s in range(n_shards) if str(s) not in done]
+
+    if pending:
+        m = ll.latest_manifest(store_root)
+        paths = ll.fragment_paths(store_root, "store", m["tables"]["store"])
+        (rd.read_parquet(paths, columns=SHARD_COLS)
+         .map_batches(_StageWriter(out, n_shards, pending), batch_format="pandas")
+         .materialize())
+        parts = []
+        for s in pending:
+            d = os.path.join(out, "staging", f"shard={s}")
+            frags = [os.path.join(d, f) for f in sorted(os.listdir(d))
+                     if f.endswith(".parquet")] if os.path.isdir(d) else []
+            if frags:
+                parts.append(
+                    rd.read_parquet(frags, override_num_blocks=1)
+                    .map_batches(lambda b, s=s: b.assign(shard=np.int64(s)),
+                                 batch_format="pandas", batch_size=None))
+        if parts:
+            ds = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
+            stats = (ds.map_batches(lambda b: _finalize_block(b, out),
+                                    batch_format="pandas", batch_size=None)
+                     .to_pandas())
+        else:
+            stats = pd.DataFrame(columns=["shard", "n_pairs", "n_dups_dropped", "digest"])
+        for r in stats.itertuples(index=False):
+            done[str(int(r.shard))] = {"n_pairs": int(r.n_pairs),
+                                       "n_dups_dropped": int(r.n_dups_dropped),
+                                       "digest": r.digest}
+        # a shard key no row hashed to still needs its (empty) final file +
+        # manifest entry, or it would stay pending on every resume
+        for s in pending:
+            if str(s) not in done:
+                empty = pa.table({c: pa.array([], t) for c, t in zip(
+                    SHARD_COLS, [pa.string(), pa.binary(), pa.int32(), pa.int32(),
+                                 pa.string(), pa.string(), pa.int64()])})
+                tmpd = os.path.join(out, "_tmp")
+                os.makedirs(tmpd, exist_ok=True)
+                tp = os.path.join(tmpd, f"shard-{s}.parquet")
+                pq.write_table(empty, tp, compression="none")
+                os.replace(tp, os.path.join(out, f"shard-{s}.parquet"))
+                done[str(s)] = {"n_pairs": 0, "n_dups_dropped": 0,
+                                "digest": f"{0:016x}"}
+        tmp = manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"n_shards": n_shards, "shards": done}, f, sort_keys=True)
+        os.replace(tmp, manifest_path)
+        # staging fragments of completed shards are dead weight; drop them
+        # AFTER the manifest rename so a crash here only leaves extra files
+        import shutil
+        for s in pending:
+            if str(s) in done:
+                shutil.rmtree(os.path.join(out, "staging", f"shard={s}"),
+                              ignore_errors=True)
+
+    rows = [{"shard": np.int64(int(s)), **{k: (np.int64(v) if k != "digest" else v)
+                                           for k, v in m.items()}}
+            for s, m in done.items()]
+    out_df = pd.DataFrame(rows, columns=["shard", "n_pairs", "n_dups_dropped", "digest"])
+    for c in ("shard", "n_pairs", "n_dups_dropped"):
+        out_df[c] = out_df[c].astype(np.int64)
+    return out_df.sort_values("shard").reset_index(drop=True)

@@ -1,0 +1,87 @@
+"""Training-shard export: dedup rule, shard co-location, resume skip."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from crawler_ray.pipelines.export import export_training_shards, shard_of
+from crawler_ray.sources import lance_layout as ll
+
+N_SHARDS = 4
+
+
+@pytest.fixture()
+def store_root(tmp_path):
+    """A fake store with planted phash duplicates: ids d0/d1/d2 share
+    phash 77 (d0 must win), e0/e1 share phash -5 (e0 must win)."""
+    rows = []
+    for i in range(40):
+        rows.append(dict(image_id=f"img{i:03d}", bytes=b"\x89PNG" + bytes([i]),
+                         w=np.int32(8), h=np.int32(8), fmt="png",
+                         caption=f"cap {i}", phash=np.int64(1000 + i)))
+    for j, (iid, ph) in enumerate([("d0", 77), ("d1", 77), ("d2", 77),
+                                   ("e0", -5), ("e1", -5)]):
+        rows.append(dict(image_id=iid, bytes=b"dup" + bytes([j]),
+                         w=np.int32(8), h=np.int32(8), fmt="png",
+                         caption="dup", phash=np.int64(ph)))
+    t = pa.Table.from_pylist(rows)
+    root = str(tmp_path / "store_root")
+    frags = (ll.write_table_fragment(t[:20], root, "store", "w0")
+             + ll.write_table_fragment(t[20:], root, "store", "w0"))
+    ll.write_manifest(root, 0, {"wave": 0, "tables": {"store": frags}})
+    return root, pd.DataFrame(rows)
+
+
+def test_export_dedups_and_colocates(ray_session, store_root, tmp_path):
+    root, df = store_root
+    out = str(tmp_path / "export")
+    stats = export_training_shards(root, out, n_shards=N_SHARDS)
+    assert int(stats["n_dups_dropped"].sum()) == 3  # d1,d2,e1 dropped
+    assert int(stats["n_pairs"].sum()) == 42
+
+    seen = {}
+    for s in range(N_SHARDS):
+        p = os.path.join(out, f"shard-{s}.parquet")
+        t = pd.read_parquet(p)
+        # every row landed in its hash shard; file sorted by image_id
+        assert (shard_of(t["phash"].to_numpy(), N_SHARDS) == s).all()
+        assert list(t["image_id"]) == sorted(t["image_id"])
+        assert not t["phash"].duplicated().any()
+        for r in t.itertuples(index=False):
+            seen[r.phash] = r.image_id
+    # first-wins by min image_id, and dup bytes follow the winner
+    assert seen[77] == "d0" and seen[-5] == "e0"
+    assert len(seen) == 42
+    # staging cleaned up after finalize
+    assert not any(os.scandir(os.path.join(out, "staging"))) or \
+        not os.path.isdir(os.path.join(out, "staging"))
+
+
+def test_export_resume_skips_done_shards(ray_session, store_root, tmp_path):
+    root, _ = store_root
+    out = str(tmp_path / "export")
+    first = export_training_shards(root, out, n_shards=N_SHARDS)
+    inodes = {s: os.stat(os.path.join(out, f"shard-{s}.parquet")).st_ino
+              for s in range(N_SHARDS)}
+
+    # full re-run: manifest says all done → byte-identical stats, files untouched
+    again = export_training_shards(root, out, n_shards=N_SHARDS)
+    assert again.equals(first)
+    for s in range(N_SHARDS):
+        assert os.stat(os.path.join(out, f"shard-{s}.parquet")).st_ino == inodes[s]
+
+    # kill one shard: only that one is rebuilt, stats converge
+    os.remove(os.path.join(out, "shard-2.parquet"))
+    resumed = export_training_shards(root, out, n_shards=N_SHARDS)
+    assert resumed.equals(first)
+    for s in range(N_SHARDS):
+        same = os.stat(os.path.join(out, f"shard-{s}.parquet")).st_ino == inodes[s]
+        assert same == (s != 2)
+    m = json.load(open(os.path.join(out, "_manifest.json")))
+    assert sorted(m["shards"]) == [str(s) for s in range(N_SHARDS)]

@@ -474,9 +474,58 @@ def ann_golden():
     write("ann_lsh_topk", out)
 
 
+def export_golden(o):
+    """training_shards golden: pure-python loop over the oracle store —
+    shard assignment (murmur64 finalizer on phash), per-shard first-wins
+    phash dedup (min image_id), and a row-by-row replication of
+    lance_layout's content digest (column-ordered xor-mul fold, xor-reduced
+    over rows; `bytes` is binary ⇒ excluded on both sides)."""
+    MASK = (1 << 64) - 1
+    MIX = 0x9E3779B185EBCA87
+
+    def mix64(x: int) -> int:
+        x &= MASK
+        x ^= x >> 33
+        x = (x * 0xFF51AFD7ED558CCD) & MASK
+        x ^= x >> 33
+        x = (x * 0xC4CEB9FE1A85EC53) & MASK
+        x ^= x >> 33
+        return x
+
+    n_shards = 8
+    by_shard: dict[int, dict[int, dict]] = {}
+    raw_counts: dict[int, int] = {}
+    for r in o["store"]:
+        ph = int(r["phash"]) & MASK
+        s = mix64(ph) % n_shards
+        raw_counts[s] = raw_counts.get(s, 0) + 1
+        best = by_shard.setdefault(s, {})
+        if ph not in best or r["image_id"] < best[ph]["image_id"]:
+            best[ph] = r
+    rows = []
+    for s in range(n_shards):  # empty shards still appear (zero rows)
+        kept = sorted(by_shard.get(s, {}).values(), key=lambda r: r["image_id"])
+        digest = 0
+        for r in kept:
+            h = 0
+            for v in (xxh64(r["image_id"]), int(r["w"]), int(r["h"]),
+                      xxh64(r["fmt"]), xxh64(r["caption"]), int(r["phash"]) & MASK):
+                h = ((h ^ (v & MASK)) * MIX) & MASK
+            digest ^= h
+        digest ^= len(kept)
+        rows.append({"shard": np.int64(s), "n_pairs": np.int64(len(kept)),
+                     "n_dups_dropped": np.int64(raw_counts.get(s, 0) - len(kept)),
+                     "digest": f"{digest:016x}"})
+    out = pd.DataFrame(rows, columns=["shard", "n_pairs", "n_dups_dropped", "digest"])
+    for c in ("shard", "n_pairs", "n_dups_dropped"):
+        out[c] = out[c].astype(np.int64)
+    write("training_shards", out.sort_values("shard").reset_index(drop=True))
+
+
 if __name__ == "__main__":
     os.makedirs(OUT, exist_ok=True)
     o, params = crawl_goldens()
+    export_golden(o)
     image_goldens(o, params)
     text_goldens()
     ann_golden()
