@@ -1,0 +1,126 @@
+"""Reusable distributed join operators Ray Data lacks natively.
+
+``asof_join`` — big⋈big point-in-time join: for every left row, the value
+of the latest right row with the same key at or before the left row's
+time (inclusive). No native Ray Data support; the distributed formulation
+is ONE global sort shuffle on (key, time, side) followed by a per-block
+vectorized group-aware forward fill:
+
+- both sides are tagged and unioned; rights sort before lefts at equal
+  (key, time), which is what makes the match inclusive;
+- equal-(key, time) right rows combine deterministically (max value), so
+  ties never depend on block layout;
+- a block resolves every left row whose key has an in-block predecessor.
+  A leading left row can have its predecessor in an EARLIER block only if
+  its key straddles the block boundary — i.e. it is the block's first key
+  — so at most one key's rows per block go to the driver unresolved;
+- each block also emits its last right row per key (O(distinct keys)
+  state, result-scale), and the driver re-runs the identical fold once
+  over that small remainder.
+
+Cost: one sort shuffle of |L|+|R| rows; driver memory O(result) — the
+same bound as the `_sorted_fold` aggregate family. When the right side is
+small, a broadcast + per-batch ``np.searchsorted`` is cheaper; this path
+requires neither side to fit anywhere.
+
+``interval_join_bins`` — range-predicate join via bin replication: each
+right-side interval replicates into every fixed-width bin it overlaps,
+each left row maps to exactly ONE bin, and a hash equality join + a
+vectorized residual filter meets every qualifying pair exactly once (no
+dedup pass). Exposed as a helper that returns the joined pair dataset;
+see queries.events_in_windows for the full rollup composition.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+_R, _E = np.int8(0), np.int8(1)  # right/left tags; rights first at ties
+_COLS = ["k", "t", "side", "left_id", "val"]
+
+
+def _empty_fold_frame() -> pd.DataFrame:
+    return pd.DataFrame({"k": pd.Series([], dtype=np.int64),
+                         "t": pd.Series([], dtype=np.int64),
+                         "side": pd.Series([], dtype=np.int8),
+                         "left_id": pd.Series([], dtype=np.int64),
+                         "val": pd.Series([], dtype=np.float64),
+                         "u": pd.Series([], dtype=np.int8)})
+
+
+def _asof_fold(df: pd.DataFrame, final: bool = False) -> pd.DataFrame:
+    """Per-block forward fill + seam bookkeeping (see module docstring)."""
+    if len(df) == 0:
+        return _empty_fold_frame()
+    df = df.sort_values(["k", "t", "side"], kind="mergesort").reset_index(drop=True)
+    isr = df["side"].to_numpy() == _R
+    r = df.loc[isr].groupby(["k", "t"], as_index=False)["val"].max()
+    r["side"], r["left_id"] = _R, np.int64(-1)
+    c = (pd.concat([r[_COLS], df.loc[~isr, _COLS]], ignore_index=True)
+         .sort_values(["k", "t", "side"], kind="mergesort").reset_index(drop=True))
+    v = np.where(c["side"].to_numpy() == _R, c["val"].to_numpy(), np.nan)
+    filled = pd.Series(v).groupby(c["k"].to_numpy()).ffill().to_numpy()
+    isl = c["side"].to_numpy() == _E
+    lefts = c.loc[isl].copy()
+    lefts["val"] = filled[isl]
+    if final:
+        lefts["u"] = np.int8(0)
+    else:
+        lefts["u"] = np.where(np.isnan(lefts["val"].to_numpy())
+                              & (lefts["k"].to_numpy() == c["k"].iloc[0]),
+                              1, 0).astype(np.int8)
+    states = c.loc[~isl].groupby("k", as_index=False)[["t", "val"]].last()
+    states["side"], states["left_id"], states["u"] = _R, np.int64(-1), np.int8(0)
+    return pd.concat([states[_COLS + ["u"]], lefts[_COLS + ["u"]]], ignore_index=True)
+
+
+def asof_join(left_ds, right_ds, *, left_id: str, key: str, time: str,
+              right_key: str, right_time: str, right_value: str) -> pd.DataFrame:
+    """As-of join two Datasets; returns a DataFrame of
+    (left_id, key, value) with NaN value where a left row precedes every
+    right row of its key. Int64 keys/ids, int64 time, float64 value.
+    Right-side (key, time) ties resolve to the MAX value."""
+
+    def tag_left(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"k": b[key].to_numpy(np.int64),
+                             "t": b[time].to_numpy(np.int64),
+                             "side": _E,
+                             "left_id": b[left_id].to_numpy(np.int64),
+                             "val": np.nan})
+
+    def tag_right(b: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame({"k": b[right_key].to_numpy(np.int64),
+                           "t": b[right_time].to_numpy(np.int64),
+                           "side": _R, "left_id": np.int64(-1),
+                           "val": b[right_value].to_numpy(np.float64)})
+        # per-batch combine of equal (k,t) rights — shrinks the shuffle
+        return df.groupby(["k", "t", "side", "left_id"], as_index=False)["val"].max()[_COLS]
+
+    tagged = (left_ds.map_batches(tag_left, batch_format="pandas")
+              .union(right_ds.map_batches(tag_right, batch_format="pandas")))
+    folded = (tagged.sort(["k", "t", "side"])
+              .map_batches(_asof_fold, batch_format="pandas", batch_size=None)
+              .to_pandas())
+    is_left = folded["side"].to_numpy() == _E
+    unresolved = folded["u"].to_numpy() == 1
+    done = folded.loc[is_left & ~unresolved]
+    seam = _asof_fold(folded.loc[~is_left | unresolved, _COLS], final=True)
+    done = pd.concat([done, seam.loc[seam["side"].to_numpy() == _E]], ignore_index=True)
+    return pd.DataFrame({left_id: done["left_id"].astype(np.int64),
+                         key: done["k"].astype(np.int64),
+                         right_value: done["val"].to_numpy(np.float64)})
+
+
+def replicate_intervals(b: pd.DataFrame, *, start: str, end: str,
+                        bin_width: int, bin_col: str = "wbin") -> pd.DataFrame:
+    """Interval-join helper: one output row per (interval, overlapped bin),
+    fully vectorized (repeat + cumsum offsets)."""
+    lo = b[start].to_numpy(np.int64) // bin_width
+    hi = b[end].to_numpy(np.int64) // bin_width
+    reps = (hi - lo + 1).astype(np.int64)
+    idx = np.repeat(np.arange(len(b)), reps)
+    off = np.arange(int(reps.sum())) - np.repeat(np.cumsum(reps) - reps, reps)
+    out = b.iloc[idx].reset_index(drop=True)
+    out[bin_col] = lo[idx] + off
+    return out

@@ -332,88 +332,34 @@ def _quote_times_us(okey: np.ndarray) -> np.ndarray:
 
 def asof_join_quotes(sf_dir: str):
     """Point-in-time (as-of) join — for every event, the latest order
-    "quote" of the same key at or before the event's timestamp. Ray Data
-    has no asof join; this is the big⋈big distributed formulation: tag both
-    sides, ONE global sort shuffle on (key, time, side) co-locates each
-    key's timeline into ordered block ranges, and each block forward-fills
-    quote values onto events with one vectorized group-aware ffill. Seams:
-    a block's leading events whose key straddles the block boundary are
-    unresolved locally (at most one key's rows per block), and each block
-    emits its last quote per key (O(distinct keys) state, result-scale);
-    the driver re-runs the identical fold once over that small remainder.
-    Right side pre-combines equal-(key,time) quotes per batch, so ties are
-    deterministic (max price). Small-side broadcast + searchsorted is the
-    cheaper shape when quotes fit in memory; this path needs neither side
-    to."""
-    E, R = np.int8(1), np.int8(0)  # events sort AFTER quotes at equal t ⇒ inclusive
-    COLS = ["k", "t", "side", "event_id", "val"]
+    "quote" of the same key at or before the event's timestamp, via the
+    generic big⋈big operator `functions.joins.asof_join` (one global sort
+    shuffle + per-block vectorized forward fill + driver seam fold; see
+    its module docstring for the seam/state bounds)."""
+    from crawler_ray.functions.joins import asof_join
 
     events = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
 
-    def left_partial(b: pd.DataFrame) -> pd.DataFrame:
+    def ev_prep(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
-            "k": b["user_id"].to_numpy(np.int64),
-            "t": b["ts"].astype("datetime64[us]").astype("int64").to_numpy(),
-            "side": E, "event_id": b["event_id"].to_numpy(np.int64),
-            "val": np.nan})
+            "event_id": b["event_id"].to_numpy(np.int64),
+            "user_id": b["user_id"].to_numpy(np.int64),
+            "t": b["ts"].astype("datetime64[us]").astype("int64").to_numpy()})
 
-    def right_partial(b: pd.DataFrame) -> pd.DataFrame:
-        okey = b["o_orderkey"].to_numpy(np.int64)
-        df = pd.DataFrame({
+    def quote_prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
             "k": b["o_custkey"].to_numpy(np.int64) % 150,
-            "t": _quote_times_us(okey),
-            "side": R, "event_id": np.int64(-1),
-            "val": b["o_totalprice"].round(2).to_numpy()})
-        return df.groupby(["k", "t", "side", "event_id"], as_index=False)["val"].max()[COLS]
+            "rt": _quote_times_us(b["o_orderkey"].to_numpy(np.int64)),
+            "price": b["o_totalprice"].round(2).to_numpy()})
 
-    def fold(df: pd.DataFrame, final: bool = False) -> pd.DataFrame:
-        if len(df) == 0:
-            return pd.DataFrame({"k": pd.Series([], dtype=np.int64),
-                                 "t": pd.Series([], dtype=np.int64),
-                                 "side": pd.Series([], dtype=np.int8),
-                                 "event_id": pd.Series([], dtype=np.int64),
-                                 "val": pd.Series([], dtype=np.float64),
-                                 "u": pd.Series([], dtype=np.int8)})
-        df = df.sort_values(["k", "t", "side"], kind="mergesort").reset_index(drop=True)
-        isr = df["side"].to_numpy() == R
-        # equal-(k,t) quotes straddling batches combine here (max = the tie rule)
-        r = df.loc[isr].groupby(["k", "t"], as_index=False)["val"].max()
-        r["side"], r["event_id"] = R, np.int64(-1)
-        c = (pd.concat([r[COLS], df.loc[~isr, COLS]], ignore_index=True)
-             .sort_values(["k", "t", "side"], kind="mergesort").reset_index(drop=True))
-        v = np.where(c["side"].to_numpy() == R, c["val"].to_numpy(), np.nan)
-        filled = pd.Series(v).groupby(c["k"].to_numpy()).ffill().to_numpy()
-        isl = c["side"].to_numpy() == E
-        lefts = c.loc[isl].copy()
-        lefts["val"] = filled[isl]
-        if final:
-            lefts["u"] = np.int8(0)
-        else:
-            # a leading event with no in-block quote may have one in an
-            # earlier block ONLY if its key straddles the boundary — i.e.
-            # it is the block's first key; everything else is decided here
-            lefts["u"] = np.where(np.isnan(lefts["val"].to_numpy())
-                                  & (lefts["k"].to_numpy() == c["k"].iloc[0]),
-                                  1, 0).astype(np.int8)
-        states = c.loc[~isl].groupby("k", as_index=False)[["t", "val"]].last()
-        states["side"], states["event_id"], states["u"] = R, np.int64(-1), np.int8(0)
-        return pd.concat([states[COLS + ["u"]], lefts[COLS + ["u"]]], ignore_index=True)
-
-    tagged = (events.map_batches(left_partial, batch_format="pandas")
-              .union(orders.map_batches(right_partial, batch_format="pandas")))
-    folded = (tagged.sort(["k", "t", "side"])
-              .map_batches(fold, batch_format="pandas", batch_size=None)
-              .to_pandas())
-    is_event = folded["side"].to_numpy() == E
-    unresolved = folded["u"].to_numpy() == 1
-    done = folded.loc[is_event & ~unresolved]
-    seam = fold(folded.loc[~is_event | unresolved, ["k", "t", "side", "event_id", "val"]],
-                final=True)
-    done = pd.concat([done, seam.loc[seam["side"].to_numpy() == E]], ignore_index=True)
-    out = pd.DataFrame({"event_id": done["event_id"].astype(np.int64),
-                        "user_id": done["k"].astype(np.int64),
-                        "asof_price": done["val"].fillna(-1.0).round(2)})
+    joined = asof_join(events.map_batches(ev_prep, batch_format="pandas"),
+                       orders.map_batches(quote_prep, batch_format="pandas"),
+                       left_id="event_id", key="user_id", time="t",
+                       right_key="k", right_time="rt", right_value="price")
+    out = pd.DataFrame({"event_id": joined["event_id"],
+                        "user_id": joined["user_id"],
+                        "asof_price": pd.Series(joined["price"]).fillna(-1.0).round(2)})
     return out.sort_values("event_id").reset_index(drop=True)
 
 
@@ -434,16 +380,15 @@ def events_in_windows(sf_dir: str):
     orders = _read(sf_dir, "orders", ["o_orderkey"])
 
     def windows(b: pd.DataFrame) -> pd.DataFrame:
+        from crawler_ray.functions.joins import replicate_intervals
+
         okey = b["o_orderkey"].to_numpy(np.int64)
         okey = okey[okey % 97 == 0]  # sparse high-interest windows
         ws = _quote_times_us(okey)
         we = ws + ((okey * 31) % 240 + 1) * 60_000_000  # 1..240 minutes
-        lo, hi = ws // BIN_US, we // BIN_US
-        reps = (hi - lo + 1).astype(np.int64)
-        idx = np.repeat(np.arange(len(okey)), reps)
-        off = np.arange(int(reps.sum())) - np.repeat(np.cumsum(reps) - reps, reps)
-        return pd.DataFrame({"o_orderkey": okey[idx], "ws": ws[idx], "we": we[idx],
-                             "wbin": lo[idx] + off})
+        return replicate_intervals(
+            pd.DataFrame({"o_orderkey": okey, "ws": ws, "we": we}),
+            start="ws", end="we", bin_width=BIN_US)
 
     def tag_events(b: pd.DataFrame) -> pd.DataFrame:
         t = b["ts"].astype("datetime64[us]").astype("int64").to_numpy()
