@@ -60,17 +60,37 @@ def _asof_fold(df: pd.DataFrame, final: bool = False) -> pd.DataFrame:
     c = (pd.concat([r[_COLS], df.loc[~isr, _COLS]], ignore_index=True)
          .sort_values(["k", "t", "side"], kind="mergesort").reset_index(drop=True))
     v = np.where(c["side"].to_numpy() == _R, c["val"].to_numpy(), np.nan)
-    filled = pd.Series(v).groupby(c["k"].to_numpy()).ffill().to_numpy()
+    kvals = c["k"].to_numpy()
+    filled = pd.Series(v).groupby(kvals).ffill().to_numpy()
+    # fill-source time: which right instant each left actually filled from
+    # (nullable Int64 keeps the comparison exact for full-range timestamps)
+    _ts = pd.Series(c["t"].to_numpy(), dtype="Int64")
+    _ts[c["side"].to_numpy() != _R] = pd.NA
+    tsrc = _ts.groupby(kvals).ffill()
     isl = c["side"].to_numpy() == _E
     lefts = c.loc[isl].copy()
     lefts["val"] = filled[isl]
     if final:
         lefts["u"] = np.int8(0)
     else:
-        lefts["u"] = np.where(np.isnan(lefts["val"].to_numpy())
-                              & (lefts["k"].to_numpy() == c["k"].iloc[0]),
-                              1, 0).astype(np.int8)
-    states = c.loc[~isl].groupby("k", as_index=False)[["t", "val"]].last()
+        unresolved = np.isnan(lefts["val"].to_numpy()) & (lefts["k"].to_numpy() == c["k"].iloc[0])
+        # tie-run straddle: if this block STARTS with a right row, rows of
+        # that same (k, t) may continue from the previous block, so its
+        # in-block (k,t)-max is only partial — every left that filled from
+        # exactly that instant must be re-resolved at the driver, where the
+        # head-state rows from all run pieces meet (groupby max).
+        if bool(c["side"].iloc[0] == _R):
+            k0, t0 = c["k"].iloc[0], c["t"].iloc[0]
+            unresolved |= ((lefts["k"].to_numpy() == k0)
+                           & (tsrc[isl] == int(t0)).fillna(False).to_numpy())
+        lefts["u"] = np.where(unresolved, 1, 0).astype(np.int8)
+    rights = c.loc[~isl]
+    states = rights.groupby("k", as_index=False)[["t", "val"]].last()
+    if not final and len(rights) and bool(c["side"].iloc[0] == _R):
+        # head-state: the (possibly partial) reduced leading run, so the
+        # driver can merge it with the previous block's tail piece
+        states = pd.concat([states, rights.iloc[[0]][["k", "t", "val"]]],
+                           ignore_index=True)
     states["side"], states["left_id"], states["u"] = _R, np.int64(-1), np.int8(0)
     return pd.concat([states[_COLS + ["u"]], lefts[_COLS + ["u"]]], ignore_index=True)
 

@@ -321,7 +321,7 @@ def _run_crawl_inner(
         # while the distributed path runs it in ~4 s, a constant paid at
         # EVERY parallelism level (measured 8→32 scaling cost ~2 points)
         local_threshold = min(local_threshold,
-                              max(8, int(3.0 / (0.21 * cfg.fetch_latency_scale))))
+                              max(2, int(3.0 / (0.21 * cfg.fetch_latency_scale))))
     wave = start_wave
     while wave < cfg.max_waves:
         _t0 = _time.time()

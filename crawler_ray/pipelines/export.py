@@ -95,15 +95,29 @@ class _StageWriter:
         return pd.DataFrame(meta, columns=["shard", "rows"]).astype(np.int64)
 
 
-def _finalize_block(b: pd.DataFrame, out: str) -> pd.DataFrame:
-    """One co-located shard block → dedup → sort → final shard file."""
-    if len(b) == 0:
+def _finalize_shard(row: pd.DataFrame, out: str) -> pd.DataFrame:
+    """One task per shard: read THIS shard's staging fragments inside the
+    task (the bytes never enter the Dataset block plane, so Ray's dynamic
+    block splitting cannot fragment the shard into multiple finalize calls
+    — with a block-mapped formulation, any shard larger than
+    target_max_block_size would silently finalize as last-sub-block-wins),
+    dedup, sort, write the final file. Memory bound: one whole shard per
+    task — shard count must be sized so a shard fits a worker heap, which
+    a training-shard layout wants anyway (shards are the streaming unit)."""
+    return pd.concat([_finalize_one(int(s), out) for s in row["shard"]],
+                     ignore_index=True) if len(row) else _finalize_one(-1, out)
+
+
+def _finalize_one(shard: int, out: str) -> pd.DataFrame:
+    d = os.path.join(out, "staging", f"shard={shard}")
+    frags = [os.path.join(d, f) for f in sorted(os.listdir(d))
+             if f.endswith(".parquet")] if os.path.isdir(d) else []
+    if not frags:
         return pd.DataFrame({"shard": pd.Series([], dtype=np.int64),
                              "n_pairs": pd.Series([], dtype=np.int64),
                              "n_dups_dropped": pd.Series([], dtype=np.int64),
                              "digest": pd.Series([], dtype=str)})
-    shard = int(b["shard"].iloc[0])
-    assert (b["shard"] == shard).all(), "finalize block must hold one shard"
+    b = pq.read_table(frags).to_pandas()
     n_raw = len(b)
     # first-wins by perceptual content: min image_id per phash, stable
     # under any staging-fragment layout
@@ -132,6 +146,12 @@ def export_training_shards(store_root: str, out: str, n_shards: int = 8) -> pd.D
     if os.path.exists(manifest_path):
         with open(manifest_path) as f:
             prev = json.load(f)
+        if prev.get("n_shards") != n_shards:
+            # shard placement is hash MOD n_shards: resuming a layout built
+            # for a different modulus would break dup co-location silently
+            raise ValueError(
+                f"export at {out} was built with n_shards={prev.get('n_shards')}; "
+                f"got n_shards={n_shards} — use a fresh output directory")
         done = {s: m for s, m in prev.get("shards", {}).items()
                 if os.path.exists(os.path.join(out, f"shard-{s}.parquet"))}
     pending = [s for s in range(n_shards) if str(s) not in done]
@@ -142,23 +162,13 @@ def export_training_shards(store_root: str, out: str, n_shards: int = 8) -> pd.D
         (rd.read_parquet(paths, columns=SHARD_COLS)
          .map_batches(_StageWriter(out, n_shards, pending), batch_format="pandas")
          .materialize())
-        parts = []
-        for s in pending:
-            d = os.path.join(out, "staging", f"shard={s}")
-            frags = [os.path.join(d, f) for f in sorted(os.listdir(d))
-                     if f.endswith(".parquet")] if os.path.isdir(d) else []
-            if frags:
-                parts.append(
-                    rd.read_parquet(frags, override_num_blocks=1)
-                    .map_batches(lambda b, s=s: b.assign(shard=np.int64(s)),
-                                 batch_format="pandas", batch_size=None))
-        if parts:
-            ds = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
-            stats = (ds.map_batches(lambda b: _finalize_block(b, out),
-                                    batch_format="pandas", batch_size=None)
-                     .to_pandas())
-        else:
-            stats = pd.DataFrame(columns=["shard", "n_pairs", "n_dups_dropped", "digest"])
+        # one finalize TASK per pending shard: the driver ships only shard
+        # ids; each task reads/writes its own shard's files
+        stats = (rd.from_pandas(pd.DataFrame({"shard": np.array(pending, np.int64)}))
+                 .repartition(len(pending))
+                 .map_batches(lambda r: _finalize_shard(r, out),
+                              batch_format="pandas", batch_size=None)
+                 .to_pandas())
         for r in stats.itertuples(index=False):
             done[str(int(r.shard))] = {"n_pairs": int(r.n_pairs),
                                        "n_dups_dropped": int(r.n_dups_dropped),

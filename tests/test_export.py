@@ -58,9 +58,9 @@ def test_export_dedups_and_colocates(ray_session, store_root, tmp_path):
     # first-wins by min image_id, and dup bytes follow the winner
     assert seen[77] == "d0" and seen[-5] == "e0"
     assert len(seen) == 42
-    # staging cleaned up after finalize
-    assert not any(os.scandir(os.path.join(out, "staging"))) or \
-        not os.path.isdir(os.path.join(out, "staging"))
+    # staging cleaned up after finalize (absent or empty)
+    staging = os.path.join(out, "staging")
+    assert not os.path.isdir(staging) or not any(os.scandir(staging))
 
 
 def test_export_resume_skips_done_shards(ray_session, store_root, tmp_path):
@@ -85,3 +85,7 @@ def test_export_resume_skips_done_shards(ray_session, store_root, tmp_path):
         assert same == (s != 2)
     m = json.load(open(os.path.join(out, "_manifest.json")))
     assert sorted(m["shards"]) == [str(s) for s in range(N_SHARDS)]
+
+    # resuming with a different modulus would break dup co-location: refuse
+    with pytest.raises(ValueError, match="n_shards"):
+        export_training_shards(root, out, n_shards=N_SHARDS * 2)

@@ -43,6 +43,49 @@ def test_events_in_windows_matches_duckdb(ray_session):
     assert eng.equals(ora)
 
 
+def test_asof_fold_tie_run_straddling_blocks():
+    """The MAX tie rule must hold even when equal-(key,time) right rows are
+    split across sorted blocks: a left in the later block that fills from
+    the PARTIAL in-block max must be re-resolved at the driver, where the
+    head-state piece meets the previous block's tail piece. Drives the fold
+    protocol exactly as asof_join does, with a hand-placed block split."""
+    import numpy as np
+    import pandas as pd
+
+    from crawler_ray.functions.joins import _asof_fold, _COLS
+
+    def right(k, t, val):
+        return dict(k=k, t=t, side=np.int8(0), left_id=-1, val=float(val))
+
+    def left(k, t, lid):
+        return dict(k=k, t=t, side=np.int8(1), left_id=lid, val=np.nan)
+
+    # global sort order: R(5,100,10) R(5,100,3) | R(5,100,4) L(5,150)
+    # block boundary splits the (5,100) run; true answer = max = 10
+    block1 = pd.DataFrame([right(5, 100, 10), right(5, 100, 3)])[_COLS]
+    block2 = pd.DataFrame([right(5, 100, 4), left(5, 150, 77)])[_COLS]
+    folded = pd.concat([_asof_fold(block1), _asof_fold(block2)], ignore_index=True)
+
+    is_left = folded["side"].to_numpy() == 1
+    unresolved = folded["u"].to_numpy() == 1
+    # the left filled from the straddled instant ⇒ must NOT resolve in-block
+    assert not len(folded.loc[is_left & ~unresolved])
+    seam = _asof_fold(folded.loc[~is_left | unresolved, _COLS], final=True)
+    out = seam.loc[seam["side"].to_numpy() == 1]
+    assert len(out) == 1 and out["left_id"].iloc[0] == 77
+    assert out["val"].iloc[0] == 10.0  # not the later block's partial 4
+
+    # control: no straddle (run fully in one block) resolves in-block to 10
+    one = _asof_fold(pd.concat([block1, block2], ignore_index=True))
+    lefts = one.loc[(one["side"] == 1) & (one["u"] == 0)]
+    # (block starts with a right ⇒ still conservatively deferred; final fold
+    # over everything must agree)
+    allr = _asof_fold(pd.concat([block1, block2], ignore_index=True)[_COLS], final=True)
+    got = allr.loc[allr["side"] == 1, "val"]
+    assert list(got) == [10.0]
+    assert len(lefts) == 0 or list(lefts["val"]) == [10.0]
+
+
 def test_asof_join_adversarial_seams(ray_session, tmp_path):
     """Stress the sort+ffill seam machinery with data built to straddle
     blocks: few hot keys (a single key spans many sorted blocks), exact

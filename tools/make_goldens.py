@@ -371,8 +371,10 @@ def text_goldens():
     P, Mreg = 12, 1 << 12
     regs_by_lang: dict = {}
     for t, lang in zip(df["text"], df["lang"]):
+        if not isinstance(t, str):  # engine's .str path skips null text
+            continue
         regs = regs_by_lang.setdefault(str(lang), [0] * Mreg)
-        for w in re.findall(r"[a-z0-9_]+", str(t).lower()):
+        for w in re.findall(r"[a-z0-9_]+", t.lower()):
             h = xxh64(w)
             idx = h >> (64 - P)
             rest = (h << P) & ((1 << 64) - 1)
