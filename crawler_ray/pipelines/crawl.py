@@ -459,9 +459,10 @@ def _run_crawl_inner(
                 # min with a pool-fill cap so small waves still split into
                 # ≥~16 blocks per slot (est_rows is pre-dedup, ~2-5× the
                 # fetched rows, hence the aggressive divisor)
-                fetch_rows = int(np.clip(min(3.0 / (0.21 * cfg.fetch_latency_scale),
+                q = float(os.environ.get("GRAFT_SLEEP_QUANTUM", "3.0"))
+                fetch_rows = int(np.clip(min(q / (0.21 * cfg.fetch_latency_scale),
                                              est_rows / (16 * fetch_concurrency)),
-                                         8, 256))
+                                         2, 256))
             else:
                 fetch_rows = int(np.clip(-(-est_rows // (2 * fetch_concurrency)),
                                          64, fetch_batch_size * 2))
