@@ -132,6 +132,53 @@ def asof_join(left_ds, right_ds, *, left_id: str, key: str, time: str,
                          right_value: done["val"].to_numpy(np.float64)})
 
 
+class AsofBroadcastLookup:
+    """Actor-pool `map_batches` callable for the SMALL-right-side as-of
+    join: the (key, time)-max-reduced right table ships once per actor via
+    ``ray.put`` (never per batch), and each batch resolves with one
+    C-implemented ``pd.merge_asof`` (backward, inclusive) — the cheaper
+    shape whenever the right side fits in a worker heap. Semantics are
+    identical to ``asof_join`` (same max tie rule), tested equivalent."""
+
+    def __init__(self, right_ref, *, right_key: str, right_time: str, right_value: str):
+        import ray
+
+        r = ray.get(right_ref) if not isinstance(right_ref, pd.DataFrame) else right_ref
+        r = (r.groupby([right_key, right_time], as_index=False)[right_value].max()
+             .sort_values(right_time, kind="mergesort").reset_index(drop=True))
+        self.right = r
+        self.rk, self.rt, self.rv = right_key, right_time, right_value
+
+    def __call__(self, batch: pd.DataFrame, *, key: str, time: str) -> pd.DataFrame:
+        if len(batch) == 0:
+            out = batch.copy()
+            out[self.rv] = pd.Series([], dtype=np.float64)
+            return out
+        order = np.argsort(batch[time].to_numpy(), kind="stable")
+        b = batch.iloc[order]
+        joined = pd.merge_asof(b, self.right, left_on=time, right_on=self.rt,
+                               left_by=key, right_by=self.rk,
+                               direction="backward", allow_exact_matches=True)
+        joined = joined.iloc[np.argsort(order, kind="stable")].reset_index(drop=True)
+        return joined.drop(columns=[c for c in (self.rt,) if c in joined.columns])
+
+
+def asof_join_broadcast(left_ds, right_df: pd.DataFrame, *, key: str, time: str,
+                        right_key: str, right_time: str, right_value: str):
+    """Streaming small-side as-of join: returns a lazy Dataset (left rows +
+    the as-of value column), unlike the big⋈big `asof_join` which must
+    gather its result. Right side is broadcast once (`ray.put`)."""
+    import ray
+
+    ref = ray.put(right_df)
+    return left_ds.map_batches(
+        AsofBroadcastLookup,
+        fn_constructor_kwargs=dict(right_ref=ref, right_key=right_key,
+                                   right_time=right_time, right_value=right_value),
+        fn_kwargs=dict(key=key, time=time),
+        batch_format="pandas", concurrency=(1, 8))
+
+
 def replicate_intervals(b: pd.DataFrame, *, start: str, end: str,
                         bin_width: int, bin_col: str = "wbin") -> pd.DataFrame:
     """Interval-join helper: one output row per (interval, overlapped bin),

@@ -86,6 +86,44 @@ def test_asof_fold_tie_run_straddling_blocks():
     assert len(lefts) == 0 or list(lefts["val"]) == [10.0]
 
 
+def test_asof_broadcast_equals_distributed(ray_session):
+    """The small-side broadcast variant (ray.put + per-batch merge_asof)
+    must agree row-for-row with the big⋈big sort+ffill operator on the
+    same inputs, including the max tie rule and no-predecessor NULLs."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from crawler_ray.functions.joins import asof_join, asof_join_broadcast
+
+    rng = np.random.default_rng(99)
+    n_l, n_r, n_k = 20_000, 5_000, 300
+    left = pd.DataFrame({"event_id": np.arange(n_l, dtype=np.int64),
+                         "user_id": rng.integers(0, n_k, n_l).astype(np.int64),
+                         "t": rng.integers(0, 100_000, n_l).astype(np.int64)})
+    right = pd.DataFrame({"k": rng.integers(0, n_k, n_r).astype(np.int64),
+                          "rt": rng.integers(0, 100_000, n_r).astype(np.int64),
+                          "price": (rng.random(n_r) * 100).round(2)})
+    # plant (k, rt) ties to exercise the max rule in both paths
+    right.loc[:500, ["k", "rt"]] = right.loc[501:1001, ["k", "rt"]].to_numpy()
+
+    big = asof_join(rd.from_pandas(left).repartition(8),
+                    rd.from_pandas(right).repartition(4),
+                    left_id="event_id", key="user_id", time="t",
+                    right_key="k", right_time="rt", right_value="price")
+    small = (asof_join_broadcast(rd.from_pandas(left).repartition(8), right,
+                                 key="user_id", time="t", right_key="k",
+                                 right_time="rt", right_value="price")
+             .to_pandas())
+    a = big.sort_values("event_id").reset_index(drop=True)
+    b = small.sort_values("event_id").reset_index(drop=True)
+    assert len(a) == len(b) == n_l
+    assert np.array_equal(a["user_id"].to_numpy(), b["user_id"].to_numpy())
+    assert np.allclose(a["price"].fillna(-1).to_numpy(),
+                       b["price"].fillna(-1).to_numpy(), rtol=0, atol=0)
+    assert a["price"].isna().any()  # NULL path exercised
+
+
 def test_asof_join_adversarial_seams(ray_session, tmp_path):
     """Stress the sort+ffill seam machinery with data built to straddle
     blocks: few hot keys (a single key spans many sorted blocks), exact
