@@ -137,6 +137,22 @@ def _finalize_one(shard: int, out: str) -> pd.DataFrame:
                          "digest": [ll._batch_digest(t)]})
 
 
+def read_training_shards(out: str, shards: list[int] | None = None):
+    """Training-reader side: the finished shards as a lazy Dataset, one
+    co-located block per shard (a shard is the streaming unit a trainer
+    checkpoints on). Validates requested shards against the manifest so a
+    partial export cannot be silently read as complete."""
+    with open(os.path.join(out, "_manifest.json")) as f:
+        m = json.load(f)
+    want = sorted(m["shards"]) if shards is None else [str(s) for s in shards]
+    missing = [s for s in want if s not in m["shards"]]
+    if missing:
+        raise ValueError(f"shards not in manifest (incomplete export?): {missing}")
+    paths = [os.path.join(out, f"shard-{s}.parquet") for s in want]
+    parts = [rd.read_parquet(p, override_num_blocks=1) for p in paths]
+    return parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
+
+
 def export_training_shards(store_root: str, out: str, n_shards: int = 8) -> pd.DataFrame:
     """Export the crawl store at ``store_root`` into ``n_shards`` final
     parquet shards under ``out``; returns the per-shard manifest frame.

@@ -89,3 +89,18 @@ def test_export_resume_skips_done_shards(ray_session, store_root, tmp_path):
     # resuming with a different modulus would break dup co-location: refuse
     with pytest.raises(ValueError, match="n_shards"):
         export_training_shards(root, out, n_shards=N_SHARDS * 2)
+
+
+def test_read_training_shards_roundtrip(ray_session, store_root, tmp_path):
+    from crawler_ray.pipelines.export import read_training_shards
+
+    root, df = store_root
+    out = str(tmp_path / "export")
+    stats = export_training_shards(root, out, n_shards=N_SHARDS)
+    back = read_training_shards(out).to_pandas()
+    assert len(back) == int(stats["n_pairs"].sum()) == 42
+    assert set(back.columns) == {"image_id", "bytes", "w", "h", "fmt", "caption", "phash"}
+    # the winning duplicate's bytes round-trip intact
+    assert back.loc[back["image_id"] == "d0", "bytes"].iloc[0] == b"dup\x00"
+    with pytest.raises(ValueError, match="not in manifest"):
+        read_training_shards(out, shards=[N_SHARDS + 3])
