@@ -86,6 +86,54 @@ def test_asof_fold_tie_run_straddling_blocks():
     assert len(lefts) == 0 or list(lefts["val"]) == [10.0]
 
 
+def test_asof_fold_protocol_randomized():
+    """Property test of the seam protocol itself, no Ray: random tagged
+    streams cut at RANDOM block boundaries (the part Ray's block layout
+    makes non-deterministic in production) must reproduce pandas
+    merge_asof on the (key,time)-max-reduced rights — every seed, every
+    cut, including tie runs sliced mid-run."""
+    import numpy as np
+    import pandas as pd
+
+    from crawler_ray.functions.joins import _COLS, _asof_fold
+
+    for seed in range(25):
+        rng = np.random.default_rng(seed)
+        n_l, n_r = 200, 120
+        # tiny domains force heavy key/time collisions and tie runs
+        lefts = pd.DataFrame({"k": rng.integers(0, 6, n_l), "t": rng.integers(0, 25, n_l),
+                              "side": np.int8(1), "left_id": np.arange(n_l),
+                              "val": np.nan})
+        rights = pd.DataFrame({"k": rng.integers(0, 6, n_r), "t": rng.integers(0, 25, n_r),
+                               "side": np.int8(0), "left_id": np.int64(-1),
+                               "val": rng.integers(0, 100, n_r).astype(np.float64)})
+        allrows = (pd.concat([lefts, rights], ignore_index=True)[_COLS]
+                   .sort_values(["k", "t", "side"], kind="mergesort").reset_index(drop=True))
+        # random block cuts (1..8 blocks)
+        n_cuts = int(rng.integers(0, 8))
+        cuts = np.sort(rng.integers(1, len(allrows), n_cuts)) if n_cuts else np.array([], int)
+        blocks = np.split(allrows, cuts)
+        folded = pd.concat([_asof_fold(b.reset_index(drop=True)) for b in blocks if len(b)],
+                           ignore_index=True)
+        is_left = folded["side"].to_numpy() == 1
+        u = folded["u"].to_numpy() == 1
+        done = folded.loc[is_left & ~u]
+        seam = _asof_fold(folded.loc[~is_left | u, _COLS], final=True)
+        got = (pd.concat([done, seam.loc[seam["side"] == 1]], ignore_index=True)
+               [["left_id", "val"]].sort_values("left_id").reset_index(drop=True))
+
+        red = rights.groupby(["k", "t"], as_index=False)["val"].max()
+        want = pd.merge_asof(lefts.sort_values("t", kind="mergesort"),
+                             red.sort_values("t", kind="mergesort"),
+                             on="t", by="k", direction="backward",
+                             suffixes=("_x", ""))
+        want = want[["left_id", "val"]].sort_values("left_id").reset_index(drop=True)
+        assert len(got) == n_l, f"seed {seed}: lost/duplicated lefts"
+        a = got["val"].fillna(-1).to_numpy()
+        b = want["val"].fillna(-1).to_numpy()
+        assert np.array_equal(a, b), f"seed {seed}: {np.flatnonzero(a != b)[:5]}"
+
+
 def test_asof_broadcast_equals_distributed(ray_session):
     """The small-side broadcast variant (ray.put + per-batch merge_asof)
     must agree row-for-row with the big⋈big sort+ffill operator on the
