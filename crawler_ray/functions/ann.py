@@ -230,6 +230,11 @@ def _tile_pairs(ta, tb, same: bool, threshold: float) -> pd.DataFrame:
     # 0-row blocks can surface with the pre-map schema (no vec_id column)
     if ta.num_rows == 0 or tb.num_rows == 0:
         return empty
+    # tiles run as RAW ray tasks, possibly in fresh workers that never
+    # executed a Ray Data task: blocks whose embedding column is the Ray
+    # tensor extension (pandas-sourced upstream) then fail to_pandas unless
+    # ray.data's pandas TensorDtype registration has been imported here
+    import ray.data  # noqa: F401
     da, db = ta.to_pandas(), tb.to_pandas()
     ia = da["vec_id"].to_numpy(np.int64)
     ib = db["vec_id"].to_numpy(np.int64)

@@ -168,13 +168,15 @@ def _edge_mask(b: pd.DataFrame) -> pd.Series:
 EDGE_ROWS_DRIVER_LIMIT = 2_000_000
 
 
-def banded_candidate_pairs(bands_ds, collide_block_fn):
+def banded_candidate_pairs_ds(bands_ds, collide_block_fn):
     """Distributed LSH bucket collision WITHOUT a keyed repartition: sort
     the band rows (keys land in ordered block ranges), run the vectorized
     collide kernel per block over its COMPLETE buckets, and resolve the ≤2
-    possibly-straddling edge buckets per block on the driver (bucket-scale
-    rows, not corpus-scale). Returns a pandas frame of candidate pairs
-    (may contain duplicates; caller dedups).
+    possibly-straddling edge buckets per block centrally (bucket-scale
+    rows, not corpus-scale). Returns a DATASET of candidate pairs — the
+    corpus-fraction candidate set never touches the driver (may contain
+    cross-band/cross-block duplicates; callers dedup distributed, e.g. via
+    ``dedup_pairs_sorted``).
 
     Why not repartition(keys=...): HASH_SHUFFLE spawns aggregator actors
     per execution (~seconds); why not groupby().map_groups: per-group
@@ -185,6 +187,8 @@ def banded_candidate_pairs(bands_ds, collide_block_fn):
     edge-buckets passes share it (re-sorting would double the shuffle);
     Ray's object store spills it to disk past memory — acceptable for an
     intermediate that is ~bands× the id column, never the documents."""
+    import ray.data as rd
+
     s = bands_ds.sort(["band", "band_hash"]).materialize()
 
     def inner(b: pd.DataFrame) -> pd.DataFrame:
@@ -197,7 +201,7 @@ def banded_candidate_pairs(bands_ds, collide_block_fn):
             return b
         return b.loc[_edge_mask(b)]
 
-    inner_pairs = s.map_batches(inner, batch_format="pandas", batch_size=None).to_pandas()
+    inner_ds = s.map_batches(inner, batch_format="pandas", batch_size=None)
     edge_ds = s.map_batches(edges, batch_format="pandas", batch_size=None).materialize()
     if edge_ds.count() > EDGE_ROWS_DRIVER_LIMIT:
         # Pathological hot bucket(s) straddling blocks: resolve edge buckets
@@ -213,15 +217,46 @@ def banded_candidate_pairs(bands_ds, collide_block_fn):
             "(%d); resolving edge buckets via keyed repartition",
             edge_ds.count(), EDGE_ROWS_DRIVER_LIMIT)
         edge_ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-        edge_pairs = (edge_ds.repartition(8, keys=["band", "band_hash"])
-                      .map_batches(collide_block_fn, batch_format="pandas",
-                                   batch_size=None)
-                      .to_pandas())
+        # materialize INSIDE this branch: the keyed repartition must plan
+        # under edge_ds's HASH_SHUFFLE context snapshot — unioned lazily it
+        # would re-plan under the downstream dataset's (sort-shuffle) context
+        edge_pairs_ds = (edge_ds.repartition(8, keys=["band", "band_hash"])
+                         .map_batches(collide_block_fn, batch_format="pandas",
+                                      batch_size=None).materialize())
     else:
         edge_rows = edge_ds.to_pandas()
+        if len(edge_rows) == 0:
+            # fully-empty input yields a SCHEMA-LESS empty frame here (no
+            # band columns), so the sort below would KeyError
+            return inner_ds
         edge_pairs = collide_block_fn(
             edge_rows.sort_values(["band", "band_hash"], kind="mergesort"))
-    return pd.concat([inner_pairs, edge_pairs], ignore_index=True)
+        if len(edge_pairs) == 0:
+            return inner_ds
+        edge_pairs_ds = rd.from_pandas(edge_pairs)
+    return inner_ds.union(edge_pairs_ds)
+
+
+def banded_candidate_pairs(bands_ds, collide_block_fn) -> pd.DataFrame:
+    """Driver-frame variant of ``banded_candidate_pairs_ds`` for RESULT-scale
+    pair sets — i.e. collide kernels that verify in-bucket (Hamming paths),
+    whose output is the final near-dup set, not a corpus-fraction candidate
+    set. Candidate-scale callers (MinHash/ngram prefix collision) must use
+    the Dataset variant."""
+    return banded_candidate_pairs_ds(bands_ds, collide_block_fn).to_pandas()
+
+
+def dedup_pairs_sorted(pairs_ds, cols: tuple = ("doc_a", "doc_b")):
+    """Distributed candidate-pair dedup: ONE sort co-locates equal pairs
+    into adjacent positions and each block drops its in-block copies.
+    The only survivors are copies of a pair straddling a block seam — at
+    most one extra copy per seam — which cost one redundant verification
+    each and are removed by the caller's result-scale final dedup. Chosen
+    over a (doc_a, doc_b)-keyed HASH_SHUFFLE repartition (exactly-once but
+    spawns aggregator actors per execution, ~seconds of fixed cost)."""
+    return (pairs_ds.sort(list(cols))
+            .map_batches(dedup_pairs_block, batch_format="pandas",
+                         batch_size=None))
 
 
 def dedup_pairs_block(batch: pd.DataFrame) -> pd.DataFrame:

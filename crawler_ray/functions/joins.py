@@ -150,6 +150,9 @@ class AsofBroadcastLookup:
         self.rk, self.rt, self.rv = right_key, right_time, right_value
 
     def __call__(self, batch: pd.DataFrame, *, key: str, time: str) -> pd.DataFrame:
+        if self.rv in batch.columns:
+            raise ValueError(
+                f"asof right_value column {self.rv!r} already exists on the left side")
         if len(batch) == 0:
             out = batch.copy()
             out[self.rv] = pd.Series([], dtype=np.float64)
@@ -160,7 +163,11 @@ class AsofBroadcastLookup:
                                left_by=key, right_by=self.rk,
                                direction="backward", allow_exact_matches=True)
         joined = joined.iloc[np.argsort(order, kind="stable")].reset_index(drop=True)
-        return joined.drop(columns=[c for c in (self.rt,) if c in joined.columns])
+        # drop BOTH right-side helper columns: the right time always, and the
+        # right key when it isn't the shared join key (it would otherwise
+        # leak into the output schema)
+        drop = {self.rt} | ({self.rk} - {key})
+        return joined.drop(columns=[c for c in drop if c in joined.columns])
 
 
 def asof_join_broadcast(left_ds, right_df: pd.DataFrame, *, key: str, time: str,

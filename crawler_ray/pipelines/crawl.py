@@ -312,6 +312,10 @@ def _run_crawl_inner(
     # block round-trips) is ~2-5 s while a 1.5k-row wave folds locally in
     # <1 s — the crossover sits well above 600 (round-3 wave profile)
     local_threshold = int(os.environ.get("GRAFT_LOCAL_WAVE_ROWS", "1500"))
+    # one quantum knob for BOTH the local-vs-distributed crossover and the
+    # latency-mode fetch-block sizing below — setting GRAFT_SLEEP_QUANTUM
+    # must keep the two policies consistent
+    sleep_quantum = float(os.environ.get("GRAFT_SLEEP_QUANTUM", "3.0"))
     if cfg.fetch_latency_scale > 0:
         # simulated-RTT mode: driver-local waves sleep SERIALLY (one slot),
         # so the local crossover drops to where serial sleep time matches
@@ -321,7 +325,7 @@ def _run_crawl_inner(
         # while the distributed path runs it in ~4 s, a constant paid at
         # EVERY parallelism level (measured 8→32 scaling cost ~2 points)
         local_threshold = min(local_threshold,
-                              max(2, int(3.0 / (0.21 * cfg.fetch_latency_scale))))
+                              max(2, int(sleep_quantum / (0.21 * cfg.fetch_latency_scale))))
     wave = start_wave
     while wave < cfg.max_waves:
         _t0 = _time.time()
@@ -459,7 +463,7 @@ def _run_crawl_inner(
                 # min with a pool-fill cap so small waves still split into
                 # ≥~16 blocks per slot (est_rows is pre-dedup, ~2-5× the
                 # fetched rows, hence the aggressive divisor)
-                q = float(os.environ.get("GRAFT_SLEEP_QUANTUM", "3.0"))
+                q = sleep_quantum
                 fetch_rows = int(np.clip(min(q / (0.21 * cfg.fetch_latency_scale),
                                              est_rows / (16 * fetch_concurrency)),
                                          2, 256))

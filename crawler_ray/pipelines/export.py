@@ -144,7 +144,7 @@ def read_training_shards(out: str, shards: list[int] | None = None):
     partial export cannot be silently read as complete."""
     with open(os.path.join(out, "_manifest.json")) as f:
         m = json.load(f)
-    want = sorted(m["shards"]) if shards is None else [str(s) for s in shards]
+    want = sorted(m["shards"], key=int) if shards is None else [str(s) for s in shards]
     missing = [s for s in want if s not in m["shards"]]
     if missing:
         raise ValueError(f"shards not in manifest (incomplete export?): {missing}")
@@ -173,6 +173,16 @@ def export_training_shards(store_root: str, out: str, n_shards: int = 8) -> pd.D
     pending = [s for s in range(n_shards) if str(s) not in done]
 
     if pending:
+        # A crash between staging and finalize can leave staging fragments
+        # whose batch boundaries differ from this run's (fragment names are
+        # content digests of the BATCH) — re-staging on top would duplicate
+        # rows. Dedup keeps the final bytes correct either way, but the
+        # manifest's n_dups_dropped would diverge from a clean run; clearing
+        # a pending shard's staging dir first makes resume stats identical.
+        import shutil
+        for s in pending:
+            shutil.rmtree(os.path.join(out, "staging", f"shard={s}"),
+                          ignore_errors=True)
         m = ll.latest_manifest(store_root)
         paths = ll.fragment_paths(store_root, "store", m["tables"]["store"])
         (rd.read_parquet(paths, columns=SHARD_COLS)

@@ -152,12 +152,17 @@ def feature_near_dups(features_ds,
     from crawler_ray.functions import ann
     from crawler_ray.hashing import xxh64_array
 
-    def with_vid(b: pd.DataFrame) -> pd.DataFrame:
+    def with_vid(b: pd.DataFrame) -> pa.Table:
         b = b.drop_duplicates("image_id")
-        return pd.DataFrame({
-            "vec_id": xxh64_array([str(s) for s in b["image_id"]]).view(np.int64),
-            "embedding": b["feature"],
-            "image_id": b["image_id"].astype(str),
+        # emit a PLAIN Arrow list<float32> embedding column: returning a
+        # pandas object column here would make Ray store the block with its
+        # tensor-extension type + pandas metadata, which ann's RAW tile
+        # tasks cannot to_pandas in workers that never imported ray.data
+        return pa.table({
+            "vec_id": pa.array(xxh64_array([str(s) for s in b["image_id"]]).view(np.int64)),
+            "embedding": pa.array([np.asarray(f, np.float32) for f in b["feature"]],
+                                  pa.list_(pa.float32())),
+            "image_id": pa.array([str(s) for s in b["image_id"]], pa.string()),
         })
 
     empty = pd.DataFrame({"image_a": pd.Series([], dtype=str),

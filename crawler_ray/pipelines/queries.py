@@ -844,54 +844,88 @@ def doc_fingerprints(sf_dir: str):
 # Near-dup + ANN
 # ---------------------------------------------------------------------------
 
-def minhash_near_dups(sf_dir: str):
-    """MinHash-LSH near-dup pairs (Jaccard ≥ 0.5, verified), distributed
-    end-to-end — no corpus-scale driver materialization:
+_NEAR_DUP_CACHE: dict = {}
 
-    shingle→minhash→band explode (map_batches) → sort-shuffle bucket
-    collision with per-block vectorized kernels (boundary buckets resolved
-    at bucket scale — see dedup_ops.banded_candidate_pairs) → candidate
-    pair dedup → distributed shingle computation for CANDIDATE docs only
-    (semi-join by broadcast id set — ids are bytes/candidate, not payload)
-    → TWO keyed shuffle joins attach sh_a/sh_b to each pair → vectorized
-    exact-Jaccard verify per block. The shingle payload moves only through
-    the join exchange, never the driver, so verification survives candidate
-    sets that are a corpus fraction. Returns (doc_a, doc_b, jaccard)."""
+
+def _near_dup_pairs_streamed(ds, rows_fn, rows_kwargs: dict, sets_fn,
+                             threshold: float) -> pd.DataFrame:
+    """Shared near-dup driver for the candidate-scale families (MinHash-LSH
+    and n-gram prefix filtering), streamed END-TO-END — at no point does a
+    corpus-fraction frame touch the driver:
+
+    band/prefix explode (map_batches) → sort-shuffle bucket collision, kept
+    as a DATASET (dedup_ops.banded_candidate_pairs_ds; only the ≤2 edge
+    buckets per block are bucket-scale-central) → distributed pair dedup
+    (one sort, dedup_ops.dedup_pairs_sorted) → candidate doc-id semi-join:
+    pair ids explode to a (doc_id) Dataset, sort-deduped, and an inner
+    shuffle join against the corpus restricts the set computation to
+    candidate docs — replacing the former driver-side frozenset, which at
+    10^10 docs would not fit in a pickled broadcast → TWO keyed shuffle
+    joins attach sh_a/sh_b to each pair → vectorized exact verify per
+    block. Only VERIFIED pairs (the result) reach the driver; the final
+    drop_duplicates there removes the ≤1-per-block-seam candidate copies
+    the sort-based pair dedup admits (each cost one redundant verify)."""
     empty = pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
                           "doc_b": pd.Series([], dtype=np.int64),
                           "jaccard": pd.Series([], dtype=np.float64)})
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    bands = ds.map_batches(dedup_ops.minhash_bands, batch_format="pandas")
-    cand_pd = dedup_ops.banded_candidate_pairs(bands, dedup_ops.collide_pairs)
-    cand_pd = cand_pd.drop_duplicates(["doc_a", "doc_b"])
-    if len(cand_pd) == 0:
+    rows = ds.map_batches(rows_fn, fn_kwargs=rows_kwargs, batch_format="pandas")
+    pairs_ds = dedup_ops.banded_candidate_pairs_ds(rows, dedup_ops.collide_pairs)
+    pairs_ds = dedup_ops.dedup_pairs_sorted(pairs_ds).materialize()
+    if pairs_ds.count() == 0:
         return empty
-    cand_ids = frozenset(cand_pd["doc_a"]) | frozenset(cand_pd["doc_b"])
-    # shingles for candidate docs, computed distributed over the corpus scan
-    sh_ds = ds.map_batches(dedup_ops.doc_shingles,
-                           fn_kwargs=dict(keep_ids=cand_ids),
-                           batch_format="pandas").materialize()
-    out = _join_verify_pairs(sh_ds, cand_pd, threshold=0.5)
+
+    def explode_ids(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": np.unique(np.concatenate(
+            [b["doc_a"].to_numpy(np.int64), b["doc_b"].to_numpy(np.int64)]))})
+
+    ids_ds = (pairs_ds.map_batches(explode_ids, batch_format="pandas")
+              .sort("doc_id")
+              .map_batches(lambda b: b.drop_duplicates("doc_id"),
+                           batch_format="pandas", batch_size=None))
+    # sets for candidate docs only: inner shuffle join moves the text of
+    # candidate docs through the exchange once (never through the driver);
+    # seam-duplicate ids (≤1 per block boundary) just recompute one set
+    sets_ds = (ds.join(ids_ds, join_type="inner", num_partitions=4, on=("doc_id",))
+               .map_batches(sets_fn, batch_format="pandas").materialize())
+    out = _join_verify_pairs(sets_ds, pairs_ds, threshold=threshold)
     if len(out) == 0:
         return empty
+    # duplicate candidate copies (pair-seam or id-seam) verify to duplicate
+    # RESULT rows — result-scale, deduped here
+    out = out.drop_duplicates(["doc_a", "doc_b"])
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
-def _join_verify_pairs(sets_ds, cand_pd: pd.DataFrame,
-                       threshold: float) -> pd.DataFrame:
+def minhash_near_dups(sf_dir: str):
+    """MinHash-LSH near-dup pairs (Jaccard ≥ 0.5, verified), distributed
+    end-to-end: shingle→minhash→band explode, then the streamed candidate
+    pipeline of ``_near_dup_pairs_streamed`` (candidate pairs, ids and set
+    payloads all stay in Datasets / the join exchange — nothing
+    corpus-fraction on the driver). Returns (doc_a, doc_b, jaccard)."""
+    key = ("minhash", sf_dir)
+    if key not in _NEAR_DUP_CACHE:
+        ds = _read(sf_dir, "documents", ["doc_id", "text"])
+        _NEAR_DUP_CACHE[key] = _near_dup_pairs_streamed(
+            ds, dedup_ops.minhash_bands, {}, dedup_ops.doc_shingles, threshold=0.5)
+    return _NEAR_DUP_CACHE[key].copy()
+
+
+def _join_verify_pairs(sets_ds, cand, threshold: float) -> pd.DataFrame:
     """Shared exact-verify tail for near-dup candidate pairs: attach each
     side's (doc_id, shingles) set to the pair table via TWO keyed shuffle
     joins, then verify Jaccard per block — the set payload only ever moves
     through the join exchange, never the driver. The payload is packed to
     plain binary because Arrow's hash join rejects tensor-extension
-    non-key columns."""
+    non-key columns. ``cand`` is a Dataset (streamed candidate path) or a
+    result-scale DataFrame (tests)."""
     def _pack(b: pd.DataFrame, key: str, col: str) -> pd.DataFrame:
         return pd.DataFrame({key: b["doc_id"].to_numpy(np.int64),
                              col: [np.asarray(s, np.uint64).tobytes() for s in b["shingles"]]})
 
     a_side = sets_ds.map_batches(lambda b: _pack(b, "doc_a", "sh_a"), batch_format="pandas")
     b_side = sets_ds.map_batches(lambda b: _pack(b, "doc_b", "sh_b"), batch_format="pandas")
-    joined = (rd.from_pandas(cand_pd)
+    pairs = rd.from_pandas(cand) if isinstance(cand, pd.DataFrame) else cand
+    joined = (pairs
               .join(a_side, join_type="inner", num_partitions=4, on=("doc_a",))
               .join(b_side, join_type="inner", num_partitions=4, on=("doc_b",)))
     return joined.map_batches(dedup_ops.verify_joined_pairs,
@@ -902,34 +936,20 @@ def _join_verify_pairs(sets_ds, cand_pd: pd.DataFrame,
 def ngram_jaccard_dups(sf_dir: str):
     """EXACT n-gram Jaccard similarity join (word 3-grams, J ≥ 0.5) — the
     no-sketch member of the dedup family (MinHash approximates this set):
-
     prefix filtering (AllPairs/PPJoin, lossless — see
     dedup_ops.prefix_gram_rows) explodes only the first ``m-⌈t·m⌉+1``
-    hash-ordered grams per doc → sort-shuffle gram collision
-    (banded_candidate_pairs, band=0/band_hash=gram) → candidate pair dedup
-    → gram sets recomputed distributed for CANDIDATE docs only → two keyed
-    shuffle joins + per-block exact verify. Unlike MinHash-LSH there is no
-    recall loss by construction; candidate count is bounded by prefix
-    collisions rather than band collisions. Returns (doc_a, doc_b,
-    jaccard), matching the DuckDB gram-explode self-join oracle exactly."""
-    empty = pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
-                          "doc_b": pd.Series([], dtype=np.int64),
-                          "jaccard": pd.Series([], dtype=np.float64)})
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    prefix = ds.map_batches(dedup_ops.prefix_gram_rows,
-                            fn_kwargs=dict(threshold=0.5), batch_format="pandas")
-    cand_pd = dedup_ops.banded_candidate_pairs(prefix, dedup_ops.collide_pairs)
-    cand_pd = cand_pd.drop_duplicates(["doc_a", "doc_b"])
-    if len(cand_pd) == 0:
-        return empty
-    cand_ids = frozenset(cand_pd["doc_a"]) | frozenset(cand_pd["doc_b"])
-    sets_ds = ds.map_batches(dedup_ops.word_ngram_sets,
-                             fn_kwargs=dict(keep_ids=cand_ids),
-                             batch_format="pandas").materialize()
-    out = _join_verify_pairs(sets_ds, cand_pd, threshold=0.5)
-    if len(out) == 0:
-        return empty
-    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    hash-ordered grams per doc, then the streamed candidate pipeline of
+    ``_near_dup_pairs_streamed``. Unlike MinHash-LSH there is no recall
+    loss by construction; candidate count is bounded by prefix collisions
+    rather than band collisions. Returns (doc_a, doc_b, jaccard), matching
+    the DuckDB gram-explode self-join oracle exactly."""
+    key = ("ngram", sf_dir)
+    if key not in _NEAR_DUP_CACHE:
+        ds = _read(sf_dir, "documents", ["doc_id", "text"])
+        _NEAR_DUP_CACHE[key] = _near_dup_pairs_streamed(
+            ds, dedup_ops.prefix_gram_rows, dict(threshold=0.5),
+            dedup_ops.word_ngram_sets, threshold=0.5)
+    return _NEAR_DUP_CACHE[key].copy()
 
 
 def simhash_near_dups(sf_dir: str):
