@@ -103,36 +103,114 @@ def minhash_bands(batch: pd.DataFrame, num_perm: int = 32, bands: int = 8,
     return pd.concat(pieces, ignore_index=True)
 
 
+# Above this many pairs, connected_components routes to the distributed
+# rounds instead of the in-memory numpy fixpoint.
+CC_INMEM_PAIR_LIMIT = 5_000_000
+
+
 def connected_components(pairs: pd.DataFrame, all_ids=None) -> pd.DataFrame:
     """Near-dup clusters from verified pairs: iterative min-label
     propagation (each round every node takes the min label among itself and
-    its neighbors; converges in O(diameter) rounds — the groupby-friendly
-    formulation). The pair set is verified-near-dups, i.e. orders of
-    magnitude smaller than the corpus, so rounds run in memory here; at
-    cluster scale each round is a groupby(node).min(label) shuffle with the
-    identical dataflow."""
-    edges = pd.concat([
-        pairs.rename(columns={"doc_a": "node", "doc_b": "peer"})[["node", "peer"]],
-        pairs.rename(columns={"doc_b": "node", "doc_a": "peer"})[["node", "peer"]],
-    ], ignore_index=True)
-    label = {}
-    for n in pd.unique(edges[["node", "peer"]].to_numpy().ravel()):
-        label[int(n)] = int(n)
-    changed = True
-    while changed:
-        changed = False
-        merged = edges.assign(peer_label=edges["peer"].map(label))
-        mins = merged.groupby("node")["peer_label"].min()
-        for n, m in mins.items():
-            m = min(int(m), label[int(n)])
-            if m < label[int(n)]:
-                label[int(n)] = m
-                changed = True
-    out_ids = sorted(label) if all_ids is None else sorted(set(all_ids) | set(label))
+    its neighbors; converges in O(diameter) rounds). Verified-pair sets are
+    usually orders of magnitude smaller than the corpus, so the rounds run
+    as a vectorized numpy fixpoint here (factorize once, ``np.minimum.at``
+    per round — no per-node Python loop); past ``CC_INMEM_PAIR_LIMIT`` the
+    identical dataflow runs distributed (``connected_components_ds``:
+    per-round hash join + groupby(node).min shuffle)."""
+    if len(pairs) > CC_INMEM_PAIR_LIMIT:
+        import ray.data as rd
+        lab = connected_components_ds(rd.from_pandas(pairs)).to_pandas()
+        if all_ids is not None:
+            extra = np.setdiff1d(np.asarray(sorted(all_ids), np.int64),
+                                 lab["doc_id"].to_numpy(np.int64))
+            lab = pd.concat([lab, pd.DataFrame({"doc_id": extra, "cluster_id": extra})],
+                            ignore_index=True)
+        return lab.sort_values("doc_id").reset_index(drop=True)
+    a = pairs["doc_a"].to_numpy(np.int64)
+    b = pairs["doc_b"].to_numpy(np.int64)
+    ids, codes = np.unique(np.concatenate([a, b]), return_inverse=True)
+    node = np.concatenate([codes[: len(a)], codes[len(a):]])
+    peer = np.concatenate([codes[len(a):], codes[: len(a)]])
+    lab = ids.copy()
+    while True:
+        new = lab.copy()
+        np.minimum.at(new, node, lab[peer])
+        if np.array_equal(new, lab):
+            break
+        lab = new
+    label = dict(zip(ids.tolist(), lab.tolist()))
+    out_ids = ids.tolist() if all_ids is None else sorted(set(all_ids) | set(ids.tolist()))
     return pd.DataFrame({
         "doc_id": np.array(out_ids, np.int64),
         "cluster_id": np.array([label.get(i, i) for i in out_ids], np.int64),
     })
+
+
+def connected_components_ds(pairs_ds, max_rounds: int = 64,
+                            num_partitions: int = 8):
+    """Distributed connected components over a PAIRS DATASET — the
+    web-scale path (billions of nodes; neither edges nor labels ever fit
+    on the driver). Each round is one hash join (labels onto edge peers)
+    + one node-keyed repartition + a per-block VECTORIZED pandas
+    groupby-min (Ray's native groupby aggregate costs ~1.5 ms of Python
+    per group — see queries._sorted_fold — so at node cardinality it is
+    never used here). Self-loops make a node's own label participate in
+    the min, so the fixpoint is exactly min-label propagation; the keyed
+    repartition co-locates each node's rows, making every per-block min
+    globally exact. Convergence is a scalar sum(label) — labels only ever
+    decrease, so an unchanged sum IS the fixpoint. Returns a Dataset of
+    (doc_id, cluster_id); only per-round scalar sums touch the driver."""
+    from ray.data.context import ShuffleStrategy
+
+    def both_dirs_self(b: pd.DataFrame) -> pd.DataFrame:
+        a = b["doc_a"].to_numpy(np.int64)
+        c = b["doc_b"].to_numpy(np.int64)
+        return pd.DataFrame({"node": np.concatenate([a, c, a, c]),
+                             "peer": np.concatenate([c, a, a, c])})
+
+    def block_min(b: pd.DataFrame) -> pd.DataFrame:
+        m = b.groupby("node", as_index=False)["label"].min()
+        # labels are keyed by `peer` so the next round's join needs no rename
+        return pd.DataFrame({"peer": m["node"].to_numpy(np.int64),
+                             "label": m["label"].to_numpy(np.int64)})
+
+    # one node-keyed exchange builds deduped edges AND (for free, same
+    # blocks) the identity-propagated initial labels: with each node's rows
+    # co-located, per-block dedup and per-block min are globally exact
+    e0 = pairs_ds.map_batches(both_dirs_self, batch_format="pandas")
+    e0.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    edges = (e0.repartition(num_partitions, keys=["node"])
+             .map_batches(lambda b: b.drop_duplicates(["node", "peer"]),
+                          batch_format="pandas", batch_size=None)
+             .materialize())
+    labels = (edges.map_batches(
+        lambda b: block_min(b.rename(columns={"peer": "label"})),
+        batch_format="pandas", batch_size=None).materialize())
+    prev_sum = labels.sum("label")
+    for _ in range(max_rounds):
+        nxt = (edges.join(labels, join_type="inner",
+                          num_partitions=num_partitions, on=("peer",))
+               .map_batches(lambda b: b[["node", "label"]], batch_format="pandas"))
+        nxt.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+        labels = (nxt.repartition(num_partitions, keys=["node"])
+                  .map_batches(block_min, batch_format="pandas", batch_size=None)
+                  .materialize())
+        s = labels.sum("label")
+        if s == prev_sum:
+            break
+        prev_sum = s
+    else:
+        raise RuntimeError(f"connected_components_ds: no fixpoint in {max_rounds} rounds")
+    out = labels.map_batches(
+        lambda b: pd.DataFrame({"doc_id": b["peer"].to_numpy(np.int64),
+                                "cluster_id": b["label"].to_numpy(np.int64)}),
+        batch_format="pandas")
+    # all shuffles above are materialized; un-flip the chain's context
+    # snapshot so downstream composition doesn't inherit HASH_SHUFFLE
+    # (a leaked HASH_SHUFFLE hangs groupby().map_groups — see CLAUDE.md)
+    from ray.data import DataContext
+    out.context.shuffle_strategy = DataContext.get_current().shuffle_strategy
+    return out
 
 
 def collide_pairs(bands: pd.DataFrame) -> pd.DataFrame:

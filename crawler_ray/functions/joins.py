@@ -18,10 +18,12 @@ vectorized group-aware forward fill:
   state, result-scale), and the driver re-runs the identical fold once
   over that small remainder.
 
-Cost: one sort shuffle of |L|+|R| rows; driver memory O(result) — the
-same bound as the `_sorted_fold` aggregate family. When the right side is
-small, a broadcast + per-batch ``np.searchsorted`` is cheaper; this path
-requires neither side to fit anywhere.
+Cost: one sort shuffle of |L|+|R| rows; resolved lefts stream out of the
+fold as a lazy Dataset (``asof_join_ds``) and the driver holds only the
+seam remainder — O(straddling key + distinct-key states), never O(|L|)
+or O(result). When the right side is small, a broadcast + per-batch
+``merge_asof`` is cheaper; this path requires neither side to fit
+anywhere.
 
 ``interval_join_bins`` — range-predicate join via bin replication: each
 right-side interval replicates into every fixed-width bin it overlaps,
@@ -95,12 +97,20 @@ def _asof_fold(df: pd.DataFrame, final: bool = False) -> pd.DataFrame:
     return pd.concat([states[_COLS + ["u"]], lefts[_COLS + ["u"]]], ignore_index=True)
 
 
-def asof_join(left_ds, right_ds, *, left_id: str, key: str, time: str,
-              right_key: str, right_time: str, right_value: str) -> pd.DataFrame:
-    """As-of join two Datasets; returns a DataFrame of
+def asof_join_ds(left_ds, right_ds, *, left_id: str, key: str, time: str,
+                 right_key: str, right_time: str, right_value: str):
+    """As-of join two Datasets; returns a LAZY Dataset of
     (left_id, key, value) with NaN value where a left row precedes every
     right row of its key. Int64 keys/ids, int64 time, float64 value.
-    Right-side (key, time) ties resolve to the MAX value."""
+    Right-side (key, time) ties resolve to the MAX value.
+
+    Resolved left rows stream out of the per-block fold without ever
+    visiting the driver; the driver gathers ONLY the seam remainder —
+    per-key right states (O(distinct keys) per block, combined at (k,t))
+    plus the lefts of each block's boundary-straddling first key — folds
+    it once, and unions the (seam-sized) resolved stragglers back into
+    the output stream. Driver memory is O(seam), not O(result)."""
+    import ray.data as rd
 
     def tag_left(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"k": b[key].to_numpy(np.int64),
@@ -117,19 +127,46 @@ def asof_join(left_ds, right_ds, *, left_id: str, key: str, time: str,
         # per-batch combine of equal (k,t) rights — shrinks the shuffle
         return df.groupby(["k", "t", "side", "left_id"], as_index=False)["val"].max()[_COLS]
 
+    def out_frame(done: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({left_id: done["left_id"].to_numpy(np.int64),
+                             key: done["k"].to_numpy(np.int64),
+                             right_value: done["val"].to_numpy(np.float64)})
+
+    def emit_resolved(b: pd.DataFrame) -> pd.DataFrame:
+        keep = b.loc[(b["side"].to_numpy() == _E) & (b["u"].to_numpy() == 0)]
+        return out_frame(keep)
+
+    def seam_only(b: pd.DataFrame) -> pd.DataFrame:
+        return b.loc[(b["side"].to_numpy() != _E) | (b["u"].to_numpy() == 1)]
+
     tagged = (left_ds.map_batches(tag_left, batch_format="pandas")
               .union(right_ds.map_batches(tag_right, batch_format="pandas")))
-    folded = (tagged.sort(["k", "t", "side"])
-              .map_batches(_asof_fold, batch_format="pandas", batch_size=None)
-              .to_pandas())
-    is_left = folded["side"].to_numpy() == _E
-    unresolved = folded["u"].to_numpy() == 1
-    done = folded.loc[is_left & ~unresolved]
-    seam = _asof_fold(folded.loc[~is_left | unresolved, _COLS], final=True)
-    done = pd.concat([done, seam.loc[seam["side"].to_numpy() == _E]], ignore_index=True)
-    return pd.DataFrame({left_id: done["left_id"].astype(np.int64),
-                         key: done["k"].astype(np.int64),
-                         right_value: done["val"].to_numpy(np.float64)})
+    # materialized ONCE: both the streamed-output pass and the seam gather
+    # read the same folded blocks (re-planning would re-run the sort)
+    folded_ds = (tagged.sort(["k", "t", "side"])
+                 .map_batches(_asof_fold, batch_format="pandas", batch_size=None)
+                 .materialize())
+    seam_pd = (folded_ds.map_batches(seam_only, batch_format="pandas",
+                                     batch_size=None).to_pandas())
+    out_ds = folded_ds.map_batches(emit_resolved, batch_format="pandas",
+                                   batch_size=None)
+    if len(seam_pd) == 0:
+        return out_ds
+    seam = _asof_fold(seam_pd[_COLS], final=True)
+    seam_lefts = out_frame(seam.loc[seam["side"].to_numpy() == _E])
+    if len(seam_lefts) == 0:
+        return out_ds
+    return out_ds.union(rd.from_pandas(seam_lefts))
+
+
+def asof_join(left_ds, right_ds, *, left_id: str, key: str, time: str,
+              right_key: str, right_time: str, right_value: str) -> pd.DataFrame:
+    """Result-scale convenience wrapper over ``asof_join_ds`` — gathers the
+    lazy output to one DataFrame. Callers whose left side does not fit on
+    the driver must consume ``asof_join_ds`` directly (write/iterate)."""
+    return asof_join_ds(left_ds, right_ds, left_id=left_id, key=key, time=time,
+                        right_key=right_key, right_time=right_time,
+                        right_value=right_value).to_pandas()
 
 
 class AsofBroadcastLookup:

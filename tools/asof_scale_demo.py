@@ -57,15 +57,35 @@ def main() -> None:
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
-    from crawler_ray.functions.joins import asof_join
+    from crawler_ray.functions import joins
+    from crawler_ray.functions.joins import asof_join_ds
 
     left = rd.range(N_LEFT, override_num_blocks=64).map_batches(gen_left, batch_format="pandas")
     right = rd.range(N_RIGHT, override_num_blocks=32).map_batches(gen_right, batch_format="pandas")
 
-    t0 = time.time()
-    joined = asof_join(left, right, left_id="event_id", key="user_id", time="t",
-                       right_key="k", right_time="rt", right_value="price")
-    wall = time.time() - t0
+    # instrument the seam gather: the ONLY rows the operator pulls to the
+    # driver go through _asof_fold(final=True) — count them to evidence
+    # O(seam) driver memory (vs N_LEFT for a full gather)
+    seam_rows = {"n": 0}
+    _orig_fold = joins._asof_fold
+
+    def counting_fold(df, final=False):
+        if final:
+            seam_rows["n"] += len(df)
+        return _orig_fold(df, final=final)
+
+    joins._asof_fold = counting_fold
+    try:
+        t0 = time.time()
+        out_ds = asof_join_ds(left, right, left_id="event_id", key="user_id", time="t",
+                              right_key="k", right_time="rt", right_value="price")
+        n_rows = out_ds.count()  # streams; result never concentrates anywhere
+        wall = time.time() - t0
+    finally:
+        joins._asof_fold = _orig_fold
+    # gather is for VERIFICATION against DuckDB only, not part of the operator
+    joined = out_ds.to_pandas()
+    assert n_rows == len(joined)
 
     # oracle: DuckDB native ASOF LEFT JOIN over the identical data
     lf = gen_left(pd.DataFrame({"id": np.arange(N_LEFT, dtype=np.int64)}))
@@ -92,6 +112,8 @@ def main() -> None:
         "n_keys": N_KEYS, "wall_sec": round(wall, 2),
         "rows_per_sec": round(N_LEFT / wall, 0),
         "nulls": int(a["price"].isna().sum()),
+        "seam_rows_on_driver": seam_rows["n"],
+        "seam_fraction_of_left": round(seam_rows["n"] / N_LEFT, 4),
         "duckdb_single_node_sec": round(duck_wall, 2),
         "exact_match_vs_duckdb_asof": match,
     }))
