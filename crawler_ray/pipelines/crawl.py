@@ -40,6 +40,7 @@ import ray.data as rd
 from crawler_ray import geo, semantics
 from crawler_ray.sources import lance_layout as ll
 from crawler_ray.stages.crawl_stages import (
+    Fetcher,
     FetchProcess,
     PrepStage,
     SeenAdd,
@@ -316,16 +317,18 @@ def _run_crawl_inner(
     # latency-mode fetch-block sizing below — setting GRAFT_SLEEP_QUANTUM
     # must keep the two policies consistent
     sleep_quantum = float(os.environ.get("GRAFT_SLEEP_QUANTUM", "3.0"))
+    fetch_threads = max(1, Fetcher.THREADS)
     if cfg.fetch_latency_scale > 0:
-        # simulated-RTT mode: driver-local waves sleep SERIALLY (one slot),
-        # so the local crossover drops to where serial sleep time matches
-        # the distributed fixed cost (~3 s) — mean page latency is ~0.21 s
-        # before scaling (synthetic_web.page_meta). No higher floor: a
-        # 30-row seed wave slept 9.3 s serially under the old max(32, ·)
-        # while the distributed path runs it in ~4 s, a constant paid at
-        # EVERY parallelism level (measured 8→32 scaling cost ~2 points)
+        # simulated-RTT mode: a driver-local wave runs in ONE Fetcher whose
+        # thread pool overlaps row sleeps ×THREADS, so the local crossover
+        # sits where the overlapped sleep time matches the distributed
+        # fixed cost (~3 s) — mean page latency is ~0.21 s before scaling
+        # (synthetic_web.page_meta). The distributed path's executor launch
+        # + exchange is a constant paid at EVERY parallelism level
+        # (measured 8→32 scaling cost ~2 points), so small waves stay local
         local_threshold = min(local_threshold,
-                              max(2, int(sleep_quantum / (0.21 * cfg.fetch_latency_scale))))
+                              max(2, int(fetch_threads * sleep_quantum
+                                         / (0.21 * cfg.fetch_latency_scale))))
     wave = start_wave
     while wave < cfg.max_waves:
         _t0 = _time.time()
@@ -453,20 +456,20 @@ def _run_crawl_inner(
             # blocks sleeps at half concurrency.
             if lat:
                 # block granularity sets the wave-tail quantization waste:
-                # rows in a block sleep SERIALLY (synchronous client), so a
-                # wave's wall is rounded up to a whole block-sleep. Target
-                # ~3 s of expected sleep per block (mean page latency
-                # ~0.21 s before scaling): at scale 1.0 a 64-row block is a
-                # 13 s quantum (measured 493 s for a 10.7k-page crawl at 8
-                # cpus, ~35% above the sleep floor); ~14-row blocks cut the
-                # quantum to ~3 s while task overhead (~ms) stays hidden.
-                # min with a pool-fill cap so small waves still split into
-                # ≥~16 blocks per slot (est_rows is pre-dedup, ~2-5× the
-                # fetched rows, hence the aggressive divisor)
+                # a block's rows sleep in the Fetcher's thread pool, so its
+                # wall is ~sum(row sleeps)/THREADS and the wave's wall is
+                # rounded up to a whole block-sleep. Target ~3 s of
+                # OVERLAPPED sleep per block (mean page latency ~0.21 s
+                # before scaling): THREADS× more rows per block than the
+                # serial client needed, so far fewer tasks for the same
+                # quantum. min with a pool-fill cap so small waves still
+                # split into ≥~16 blocks per slot (est_rows is pre-dedup,
+                # ~2-5× the fetched rows, hence the aggressive divisor)
                 q = sleep_quantum
-                fetch_rows = int(np.clip(min(q / (0.21 * cfg.fetch_latency_scale),
-                                             est_rows / (16 * fetch_concurrency)),
-                                         2, 256))
+                fetch_rows = int(np.clip(min(
+                    fetch_threads * q / (0.21 * cfg.fetch_latency_scale),
+                    est_rows / (16 * fetch_concurrency)),
+                    2, 1024))
             else:
                 fetch_rows = int(np.clip(-(-est_rows // (2 * fetch_concurrency)),
                                          64, fetch_batch_size * 2))

@@ -9,6 +9,7 @@ once per actor, per-batch work in ``__call__``).
 from __future__ import annotations
 
 import hashlib
+import os
 
 import numpy as np
 import pandas as pd
@@ -232,6 +233,13 @@ class Fetcher:
     the network itself. Applies the html_downloader retry policy
     (is_valid_url gate, blocked/short/status retries → DLQ)."""
 
+    #: threads per fetch actor when a row can SLEEP (simulated RTT or a
+    #: wall-clock politeness gate): sleeps release the GIL, so in-flight
+    #: rows overlap like a real async client's connections, and a block's
+    #: sleep wall drops from sum(row sleeps) to ~sum/threads. Compute-only
+    #: mode stays serial (threads cannot overlap GIL-bound rendering).
+    THREADS = int(os.environ.get("GRAFT_FETCH_THREADS", "16"))
+
     def __init__(self, params, max_retries: int = semantics.MAX_RETRIES,
                  gate: tuple | None = None, latency_scale: float = 0.0):
         from crawler_ray.sources.synthetic_web import _host_index
@@ -243,6 +251,7 @@ class Fetcher:
         # simulated network RTT (CrawlConfig.fetch_latency_scale): sleep
         # latency_ms × scale per attempt, in-slot (synchronous client)
         self.latency_scale = latency_scale
+        self._pool = None  # per-actor, built on first sleeping batch
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         if self.gate is not None and len(batch) and "scheduled_at" in batch.columns:
@@ -267,7 +276,14 @@ class Fetcher:
         fetchable = valid_fetch_mask(batch["url"]) if n else np.zeros(0, bool)
         prior = (batch["prior_attempts"].to_numpy(np.int32)
                  if "prior_attempts" in batch.columns else np.zeros(n, np.int32))
-        for i, url in enumerate(batch["url"].tolist()):
+        urls = batch["url"].tolist()
+
+        def fetch_one(i: int) -> None:
+            # rows write to DISJOINT indices of the preallocated arrays, so
+            # the threaded path needs no locks; each row's politeness target
+            # is an absolute wall instant, preserved regardless of which
+            # thread runs it or when
+            url = urls[i]
             if targets is not None:
                 import time as _t
 
@@ -276,7 +292,7 @@ class Fetcher:
                     _t.sleep(wait)
             if not fetchable[i]:
                 step[i] = "invalid_url"
-                continue
+                return
             meta = page_meta(url, self.params, self.hidx)
             success, fstep, attempts, body = semantics.fetch_decision(
                 meta, render_html, self.max_retries, int(prior[i]))
@@ -287,11 +303,24 @@ class Fetcher:
             attempts_total[i] = prior[i] + attempts
             if not success:
                 step[i] = fstep
-                continue
+                return
             ok[i] = True
             html[i] = body
             headers[i] = json.dumps(response_headers(url, len(body)), sort_keys=True)
             duration[i] = meta["latency_ms"] / 1000.0
+
+        sleeping = self.latency_scale > 0 or targets is not None
+        if sleeping and n > 1 and self.THREADS > 1:
+            if self._pool is None:
+                from concurrent.futures import ThreadPoolExecutor
+
+                self._pool = ThreadPoolExecutor(max_workers=self.THREADS)
+            # submission order follows the politeness sort, so same-host
+            # rows enter the pool schedule-first
+            list(self._pool.map(fetch_one, range(n)))
+        else:
+            for i in range(n):
+                fetch_one(i)
         out = batch.copy()
         out["ok"] = ok
         out["failed_step"] = step.astype(str)
