@@ -428,6 +428,94 @@ def prefix_gram_rows(batch: pd.DataFrame, n: int = 3,
                          "doc_id": np.concatenate(docs)})
 
 
+def gram_rows_with_size(batch: pd.DataFrame, n: int = 3) -> pd.DataFrame:
+    """(doc_id, text) → one row per UNIQUE word-n-gram: (doc_id, gram, m)
+    where m is the doc's gram-set size (carried so the prefix length can be
+    computed after a shuffle without rejoining the doc)."""
+    ids, grams, sizes = [], [], []
+    for doc_id, text in zip(batch["doc_id"].to_numpy(np.int64), batch["text"]):
+        g = word_ngram_hashes(str(text), n)
+        m = len(g)
+        if m == 0:
+            continue
+        grams.append(g)
+        ids.append(np.full(m, doc_id, np.int64))
+        sizes.append(np.full(m, m, np.int64))
+    if not grams:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                             "gram": pd.Series([], dtype=np.uint64),
+                             "m": pd.Series([], dtype=np.int64)})
+    return pd.DataFrame({"doc_id": np.concatenate(ids),
+                         "gram": np.concatenate(grams),
+                         "m": np.concatenate(sizes)})
+
+
+def _pick_df_prefix(b: pd.DataFrame, threshold: float) -> pd.DataFrame:
+    """Per-block prefix pick (requires each doc's rows CO-LOCATED): order a
+    doc's grams by (df asc, gram asc) — one consistent global total order —
+    and keep the first m - ⌈t·m⌉ + 1."""
+    empty = pd.DataFrame({"band": pd.Series([], dtype=np.int32),
+                          "band_hash": pd.Series([], dtype=np.uint64),
+                          "doc_id": pd.Series([], dtype=np.int64)})
+    if len(b) == 0:
+        return empty
+    b = b.sort_values(["doc_id", "df", "gram"], kind="mergesort")
+    rank = b.groupby("doc_id").cumcount().to_numpy(np.int64)
+    m = b["m"].to_numpy(np.int64)
+    p = m - np.ceil(threshold * m).astype(np.int64) + 1
+    kept = b.loc[rank < p]
+    return pd.DataFrame({"band": np.zeros(len(kept), np.int32),
+                         "band_hash": kept["gram"].to_numpy(np.uint64),
+                         "doc_id": kept["doc_id"].to_numpy(np.int64)})
+
+
+def df_prefix_rows(ds, threshold: float = 0.5, n: int = 3,
+                   num_partitions: int = 8):
+    """DOCUMENT-FREQUENCY-ordered prefix filtering (the PPJoin refinement
+    the hash-ordered ``prefix_gram_rows`` docstring anticipates): index each
+    doc's RAREST grams first, so prefix collisions — and hence candidates —
+    drop sharply versus an arbitrary hash order, at the cost of one global
+    df pass. Fully distributed: unique gram rows → gram-keyed repartition +
+    per-block value_counts (exact global df; gram cardinality is unbounded,
+    so no broadcast) → hash join of df back onto the gram rows → doc-keyed
+    repartition + per-block prefix pick. Losslessness is inherited from the
+    prefix-filter theorem: (df asc, gram asc) is one shared total order, so
+    every pair with J ≥ t still collides within its prefixes. Returns the
+    same (band, band_hash, doc_id) layout as ``prefix_gram_rows``."""
+    from ray.data.context import ShuffleStrategy
+
+    def attach_df(b: pd.DataFrame) -> pd.DataFrame:
+        # gram-keyed co-location makes the block-local row count per gram
+        # the GLOBAL document frequency (rows are unique per (doc, gram)) —
+        # one transform, no separate count pass, no join. Empty partitions
+        # arrive schema-less; emit the typed shape explicitly.
+        if len(b) == 0:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                                 "gram": pd.Series([], dtype=np.uint64),
+                                 "m": pd.Series([], dtype=np.int64),
+                                 "df": pd.Series([], dtype=np.int64)})
+        b = b.copy()
+        b["df"] = b.groupby("gram")["doc_id"].transform("size").astype(np.int64)
+        return b
+
+    rows = ds.map_batches(gram_rows_with_size, fn_kwargs=dict(n=n),
+                          batch_format="pandas")
+    rows.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    with_df = (rows.repartition(num_partitions, keys=["gram"])
+               .map_batches(attach_df, batch_format="pandas", batch_size=None)
+               .materialize())
+    out = (with_df.repartition(num_partitions, keys=["doc_id"])
+           .map_batches(_pick_df_prefix, fn_kwargs=dict(threshold=threshold),
+                        batch_format="pandas", batch_size=None)
+           .materialize())
+    # every shuffle above is materialized; un-flip the shared context
+    # snapshot so the caller's downstream sort doesn't plan under
+    # HASH_SHUFFLE (a leaked flip hangs groupby().map_groups — CLAUDE.md)
+    from ray.data import DataContext
+    out.context.shuffle_strategy = DataContext.get_current().shuffle_strategy
+    return out
+
+
 def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
     """map_groups kernel on (band, band_hash): emit candidate doc pairs."""
     ids = np.sort(group["doc_id"].unique())

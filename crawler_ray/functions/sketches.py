@@ -24,17 +24,11 @@ P = 12  # 4096 registers ⇒ ~1.6 % standard error, 4 KiB per group
 M = 1 << P
 
 
-def hll_registers(hashes: np.ndarray) -> np.ndarray:
-    """Fold a batch of 64-bit hashes into a fresh 2^P uint8 register array.
-
-    Register index = top P hash bits; rho = 1-based position of the first
-    set bit in the remaining 64-P bits (64-P+1 when they are all zero).
-    The leading-zero count is an exact 6-step vectorized binary search —
-    no float tricks (a float64 mantissa would misplace low-bit leaders).
-    """
-    regs = np.zeros(M, np.uint8)
-    if len(hashes) == 0:
-        return regs
+def _hll_idx_rho(hashes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Register index = top P hash bits; rho = 1-based position of the
+    first set bit in the remaining 64-P bits (64-P+1 when all zero). The
+    leading-zero count is an exact 6-step vectorized binary search — no
+    float tricks (a float64 mantissa would misplace low-bit leaders)."""
     h = np.asarray(hashes, np.uint64)
     idx = (h >> np.uint64(64 - P)).astype(np.int64)
     rest = h << np.uint64(P)
@@ -45,7 +39,31 @@ def hll_registers(hashes: np.ndarray) -> np.ndarray:
         lz[m] += np.uint64(shift)
         x[m] <<= np.uint64(shift)
     rho = np.where(rest == np.uint64(0), 64 - P + 1, lz + 1).astype(np.uint8)
+    return idx, rho
+
+
+def hll_registers(hashes: np.ndarray) -> np.ndarray:
+    """Fold a batch of 64-bit hashes into a fresh 2^P uint8 register array."""
+    regs = np.zeros(M, np.uint8)
+    if len(hashes) == 0:
+        return regs
+    idx, rho = _hll_idx_rho(hashes)
     np.maximum.at(regs, idx, rho)
+    return regs
+
+
+def hll_registers_grouped(hashes: np.ndarray, group_codes: np.ndarray,
+                          n_groups: int) -> np.ndarray:
+    """Fold a batch of (hash, group) pairs into an (n_groups, 2^P) register
+    matrix in ONE ``np.maximum.at`` over flattened indices — the fully
+    vectorized multi-group partial (identical registers to calling
+    ``hll_registers`` per group; tested bit-equal)."""
+    regs = np.zeros((n_groups, M), np.uint8)
+    if len(hashes) == 0:
+        return regs
+    idx, rho = _hll_idx_rho(hashes)
+    flat = np.asarray(group_codes, np.int64) * M + idx
+    np.maximum.at(regs.reshape(-1), flat, rho)
     return regs
 
 

@@ -16,6 +16,8 @@ Design rules applied throughout (see repo README):
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -76,6 +78,42 @@ def _fold(ds, keys: list[str], aggs: dict):
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None, **kw):
     return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns, **kw)
+
+
+# Dimension tables at or below this row count broadcast as a ray.put dict
+# (zero shuffle of the fact side); above it the attach becomes a distributed
+# hash join — at 100× data a broadcast dim is GBs pickled into every actor.
+DIM_BROADCAST_ROW_LIMIT = int(os.environ.get("GRAFT_DIM_BROADCAST_ROWS", "5000000"))
+
+
+def _attach_dim(ds, sf_dir: str, dim_table: str, dim_key: str, dim_col: str,
+                fact_key: str):
+    """Fact⋈dim attach with a SIZE SWITCH. The dim's row count comes from
+    parquet metadata alone (no data read for the decision). Small dims ship
+    once per actor via ``ray.put`` and attach with a vectorized ``map`` —
+    the right shape for a true dimension table; past
+    ``DIM_BROADCAST_ROW_LIMIT`` the dim is scanned distributed and attached
+    with a left-outer hash join (NaN where unmatched, matching the map
+    path's semantics)."""
+    path = f"{sf_dir}/{dim_table}.parquet"
+    n_dim = pq.ParquetFile(path).metadata.num_rows
+    if n_dim <= DIM_BROADCAST_ROW_LIMIT:
+        dim = pq.read_table(path, columns=[dim_key, dim_col])
+        ref = ray.put(dict(zip(dim[dim_key].to_pylist(), dim[dim_col].to_pylist())))
+
+        class Attach:
+            def __init__(self):
+                self.m = ray.get(ref)
+
+            def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+                return b.assign(**{dim_col: b[fact_key].map(self.m)})
+
+        return ds.map_batches(Attach, batch_format="pandas", concurrency=(1, 8))
+    dim_ds = rd.read_parquet(path, columns=[dim_key, dim_col])
+    return (ds.join(dim_ds, join_type="left_outer", num_partitions=8,
+                    on=(fact_key,), right_on=(dim_key,))
+            .map_batches(lambda b: b.drop(columns=[dim_key], errors="ignore"),
+                         batch_format="pandas"))
 
 
 # ---------------------------------------------------------------------------
@@ -226,24 +264,18 @@ def region_rollup(sf_dir: str):
 
 
 def orders_join(sf_dir: str):
-    """Fact⋈dim join: broadcast the customer→segment map (small side) into
-    the orders scan, then combiner + tiny groupby."""
-    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
-    seg_map = dict(zip(cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist()))
-    seg_ref = ray.put(seg_map)
+    """Fact⋈dim join: the customer→segment dim attaches into the orders
+    scan via `_attach_dim`'s size switch (broadcast dict below the row
+    limit, distributed hash join above), then combiner + tiny groupby."""
     ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    joined = _attach_dim(ds, sf_dir, "customer", "c_custkey", "c_mktsegment",
+                         "o_custkey")
 
-    class JoinAgg:
-        def __init__(self, ref):
-            self.m = ray.get(ref)
+    def agg(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("c_mktsegment", as_index=False).agg(
+            n_orders=("o_totalprice", "size"), total_price=("o_totalprice", "sum"))
 
-        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-            b = b.assign(c_mktsegment=b["o_custkey"].map(self.m))
-            return b.groupby("c_mktsegment", as_index=False).agg(
-                n_orders=("o_totalprice", "size"), total_price=("o_totalprice", "sum"))
-
-    out = _fold(ds.map_batches(JoinAgg, fn_constructor_kwargs=dict(ref=seg_ref),
-                               batch_format="pandas", concurrency=2),
+    out = _fold(joined.map_batches(agg, batch_format="pandas"),
                 ["c_mktsegment"], dict(n_orders=("n_orders", "sum"), total_price=("total_price", "sum")))
     out["n_orders"] = out["n_orders"].astype(np.int64)
     out["total_price"] = out["total_price"].round(2)
@@ -636,25 +668,17 @@ def top_orders_per_segment(sf_dir: str, k: int = 3):
     orders per market segment. Per-batch combiner keeps its local top-k
     per segment (broadcast dim join for the segment), so the driver folds
     only O(batches × segments × k) rows."""
-    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
-    seg_map = dict(zip(cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist()))
-    seg_ref = ray.put(seg_map)
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    joined = _attach_dim(ds, sf_dir, "customer", "c_custkey", "c_mktsegment",
+                         "o_custkey")
 
-    class TopK:
-        def __init__(self, ref, k):
-            self.m = ray.get(ref)
-            self.k = k
+    def topk_combiner(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(["o_totalprice", "o_orderkey"],
+                          ascending=[False, True], kind="mergesort")
+        return b.groupby("c_mktsegment", as_index=False).head(k)[
+            ["c_mktsegment", "o_orderkey", "o_totalprice"]]
 
-        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-            b = b.assign(c_mktsegment=b["o_custkey"].map(self.m))
-            b = b.sort_values(["o_totalprice", "o_orderkey"],
-                              ascending=[False, True], kind="mergesort")
-            return b.groupby("c_mktsegment", as_index=False).head(self.k)[
-                ["c_mktsegment", "o_orderkey", "o_totalprice"]]
-
-    parts = ds.map_batches(TopK, fn_constructor_kwargs=dict(ref=seg_ref, k=k),
-                           batch_format="pandas", concurrency=2).to_pandas()
+    parts = joined.map_batches(topk_combiner, batch_format="pandas").to_pandas()
     out = (parts.sort_values(["o_totalprice", "o_orderkey"],
                              ascending=[False, True], kind="mergesort")
            .groupby("c_mktsegment", as_index=False).head(k))
@@ -751,7 +775,7 @@ def approx_distinct_tokens(sf_dir: str):
     sort+fold distinct path (doc_fingerprints). Deterministic (xxh64), so
     the golden's independent per-token loop reproduces it exactly; the
     unit test additionally bounds the error vs the true distinct count."""
-    from crawler_ray.functions.sketches import M, hll_estimate, hll_merge, hll_registers
+    from crawler_ray.functions.sketches import M, hll_estimate, hll_merge, hll_registers_grouped
     from crawler_ray.hashing import xxh64_array
 
     ds = _read(sf_dir, "documents", ["lang", "text"])
@@ -759,12 +783,20 @@ def approx_distinct_tokens(sf_dir: str):
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         toks = (b["text"].astype("string").str.lower()
                 .str.findall(r"[a-z0-9_]+"))
-        rows = []
-        for lang, g in pd.DataFrame({"lang": b["lang"].to_numpy(), "toks": toks}).groupby("lang"):
-            flat = [t for ws in g["toks"] if isinstance(ws, list) for t in ws]
-            rows.append({"lang": str(lang),
-                         "regs": hll_registers(xxh64_array(flat)).tobytes()})
-        return pd.DataFrame(rows, columns=["lang", "regs"])
+        # fully vectorized multi-group fold: explode tokens once (an empty
+        # token list explodes to one NaN row, keeping the per-row repeat
+        # aligned), factorize the per-token lang, ONE xxh64 pass, ONE
+        # grouped maximum.at into the (langs × M) register matrix
+        ex = toks.explode()
+        n_rows = toks.str.len().fillna(0).astype(np.int64).to_numpy()
+        lang_per = np.repeat(b["lang"].to_numpy(), np.maximum(n_rows, 1))
+        keep = ex.notna().to_numpy()
+        codes, uniq = pd.factorize(lang_per[keep])
+        regs = hll_registers_grouped(xxh64_array(ex.to_numpy()[keep].tolist()),
+                                     codes, len(uniq))
+        return pd.DataFrame({"lang": [str(u) for u in uniq],
+                             "regs": [regs[g].tobytes() for g in range(len(uniq))]},
+                            columns=["lang", "regs"])
 
     # group key space (languages) is bounded-small ⇒ the driver merge is
     # O(langs × 4 KiB); an unbounded group key would swap this for the
@@ -847,7 +879,7 @@ def doc_fingerprints(sf_dir: str):
 _NEAR_DUP_CACHE: dict = {}
 
 
-def _near_dup_pairs_streamed(ds, rows_fn, rows_kwargs: dict, sets_fn,
+def _near_dup_pairs_streamed(ds, bands_ds, sets_fn,
                              threshold: float) -> pd.DataFrame:
     """Shared near-dup driver for the candidate-scale families (MinHash-LSH
     and n-gram prefix filtering), streamed END-TO-END — at no point does a
@@ -868,8 +900,7 @@ def _near_dup_pairs_streamed(ds, rows_fn, rows_kwargs: dict, sets_fn,
     empty = pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
                           "doc_b": pd.Series([], dtype=np.int64),
                           "jaccard": pd.Series([], dtype=np.float64)})
-    rows = ds.map_batches(rows_fn, fn_kwargs=rows_kwargs, batch_format="pandas")
-    pairs_ds = dedup_ops.banded_candidate_pairs_ds(rows, dedup_ops.collide_pairs)
+    pairs_ds = dedup_ops.banded_candidate_pairs_ds(bands_ds, dedup_ops.collide_pairs)
     pairs_ds = dedup_ops.dedup_pairs_sorted(pairs_ds).materialize()
     if pairs_ds.count() == 0:
         return empty
@@ -905,8 +936,9 @@ def minhash_near_dups(sf_dir: str):
     key = ("minhash", sf_dir)
     if key not in _NEAR_DUP_CACHE:
         ds = _read(sf_dir, "documents", ["doc_id", "text"])
+        bands = ds.map_batches(dedup_ops.minhash_bands, batch_format="pandas")
         _NEAR_DUP_CACHE[key] = _near_dup_pairs_streamed(
-            ds, dedup_ops.minhash_bands, {}, dedup_ops.doc_shingles, threshold=0.5)
+            ds, bands, dedup_ops.doc_shingles, threshold=0.5)
     return _NEAR_DUP_CACHE[key].copy()
 
 
@@ -946,9 +978,18 @@ def ngram_jaccard_dups(sf_dir: str):
     key = ("ngram", sf_dir)
     if key not in _NEAR_DUP_CACHE:
         ds = _read(sf_dir, "documents", ["doc_id", "text"])
+        # prefix order: "df" indexes each doc's globally-rarest grams first
+        # (one distributed document-frequency pass, far fewer candidates —
+        # the corpus-scale default); "hash" skips the df pass (cheaper at
+        # small scale). Both are lossless, so the OUTPUT is identical.
+        if os.environ.get("GRAFT_NGRAM_PREFIX_ORDER", "df") == "df":
+            bands = dedup_ops.df_prefix_rows(ds, threshold=0.5)
+        else:
+            bands = ds.map_batches(dedup_ops.prefix_gram_rows,
+                                   fn_kwargs=dict(threshold=0.5),
+                                   batch_format="pandas")
         _NEAR_DUP_CACHE[key] = _near_dup_pairs_streamed(
-            ds, dedup_ops.prefix_gram_rows, dict(threshold=0.5),
-            dedup_ops.word_ngram_sets, threshold=0.5)
+            ds, bands, dedup_ops.word_ngram_sets, threshold=0.5)
     return _NEAR_DUP_CACHE[key].copy()
 
 

@@ -166,3 +166,35 @@ def test_persisted_ivf_index_reuse(ray_session, tmp_path):
     ref = ann.ivf_topk(ds, queries, k=10, nlist=8, nprobe=4).to_pandas()
     key = lambda d: sorted(zip(d["qid"], d["vid"]))
     assert key(got) == key(ref)
+
+
+def test_ivf_recall_at_default_nprobe_100k(ray_session):
+    """Recall@10 ≥ 0.95 at 100k clustered vectors with the DEFAULT nprobe
+    (VERDICT r3 #9). Clustered data is the realistic embedding shape —
+    neighbors co-locate in coarse cells, which is the premise IVF rests on."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(33)
+    d, n, n_centers = 32, 100_000, 24
+    centers = rng.standard_normal((n_centers, d)) * 4.0
+    assign = rng.integers(0, n_centers, n)
+    mat = centers[assign] + rng.standard_normal((n, d)) * 0.6
+    n_q = 20
+    q_idx = rng.choice(n, n_q, replace=False)
+    qmat = mat[q_idx] + rng.standard_normal((n_q, d)) * 0.05
+    queries = {"qid": np.arange(n_q, dtype=np.int64), "mat": qmat.astype(np.float64)}
+
+    # exact oracle: plain numpy cosine top-10
+    tn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    sims = qn @ tn.T
+    exact = {q: set(np.argsort(-sims[q])[:10].tolist()) for q in range(n_q)}
+
+    df = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                       "embedding": [v.astype(np.float32).tolist() for v in mat]})
+    ds = rd.from_pandas(df).repartition(16)
+    got = ann.ivf_topk(ds, queries, k=10).to_pandas()  # default nlist/nprobe
+    hit = sum(len(set(g["vid"].tolist()) & exact[q])
+              for q, g in got.groupby("qid"))
+    recall = hit / (10 * n_q)
+    assert recall >= 0.95, f"recall@10 = {recall}"

@@ -36,6 +36,22 @@ def test_hll_merge_equals_single_pass():
     assert np.array_equal(hll_merge(merged, hll_registers(hs[:1000])), merged)
 
 
+def test_grouped_registers_bit_equal_per_group():
+    import pandas as pd
+
+    from crawler_ray.functions.sketches import hll_registers_grouped
+
+    strs = [f"tok{i}" for i in range(9000)]
+    hs = xxh64_array(strs)
+    codes = np.array([i % 3 for i in range(9000)], np.int64)
+    grouped = hll_registers_grouped(hs, codes, 3)
+    for g in range(3):
+        assert np.array_equal(grouped[g], hll_registers(hs[codes == g]))
+    # empty input yields all-zero registers
+    assert not hll_registers_grouped(np.zeros(0, np.uint64),
+                                     np.zeros(0, np.int64), 2).any()
+
+
 def test_approx_distinct_tokens_bounds_error(ray_session):
     import re
 
