@@ -335,6 +335,7 @@ _GOLDEN_CHECKED = (
     "ann_lsh_topk", "ann_ivf_topk", "crawl_page_lookup", "crawl_city_pages",
     "crawl_city_locations", "crawl_similar_nearby", "image_thumbnails",
     "crawl_recrawl_delta", "training_shards",
+    "audio_clip_features", "video_frame_sample",
 )
 
 

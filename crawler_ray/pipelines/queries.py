@@ -1114,10 +1114,64 @@ def embedding_norm_stats(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Audio / video (opaque binary columns, REAL decode — no media libs in the
+# container, so the codecs are spec-implemented in sources/synthetic_media)
+# ---------------------------------------------------------------------------
+
+def audio_clip_features(sf_dir: str):
+    """Audio decode + feature extraction over an opaque binary column: a
+    deterministic ~4 % subset of docs each synthesize a PCM16 WAV clip
+    (functional media, like the synthetic web), an actor-pool stage
+    chunk-parses the RIFF container and extracts duration/RMS/ZCR/dominant
+    frequency per clip. Golden-checked against the STDLIB `wave` decoder —
+    a fully independent parser."""
+    from crawler_ray.pipelines.multimodal import featurize_audio
+    from crawler_ray.sources.synthetic_media import audio_wav_bytes
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def gen(b: pd.DataFrame) -> pa.Table:
+        ids = b["doc_id"].to_numpy(np.int64)
+        ids = ids[ids % 23 == 3]
+        return pa.table({
+            "audio_id": pa.array([f"a{i}" for i in ids], pa.string()),
+            "bytes": pa.array([audio_wav_bytes(f"a{i}", 42) for i in ids], pa.binary()),
+        })
+
+    out = featurize_audio(ds.map_batches(gen, batch_format="pandas")).to_pandas()
+    return out.sort_values("audio_id").reset_index(drop=True)
+
+
+def video_frame_sample(sf_dir: str):
+    """Video frame sampling over an opaque binary column: a deterministic
+    ~2.5 % subset of docs each synthesize an RVID container (length-prefixed
+    PNG frames), an actor-pool stage parses the container, decodes every
+    4th frame with the pure-numpy PNG codec and emits (frame dims, fps,
+    phash) per sampled frame — the training-data frame-extraction shape."""
+    from crawler_ray.pipelines.multimodal import video_frames
+    from crawler_ray.sources.synthetic_media import video_bytes
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def gen(b: pd.DataFrame) -> pa.Table:
+        ids = b["doc_id"].to_numpy(np.int64)
+        ids = ids[ids % 41 == 5]
+        return pa.table({
+            "video_id": pa.array([f"v{i}" for i in ids], pa.string()),
+            "bytes": pa.array([video_bytes(f"v{i}", 42) for i in ids], pa.binary()),
+        })
+
+    out = video_frames(ds.map_batches(gen, batch_format="pandas"), every_n=4).to_pandas()
+    return out.sort_values(["video_id", "frame_idx"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
 # Registry + DuckDB oracles (column names match exactly)
 # ---------------------------------------------------------------------------
 
 QUERIES = {
+    "audio_clip_features": audio_clip_features,
+    "video_frame_sample": video_frame_sample,
     "q1_pricing_summary": q1_pricing_summary,
     "heatmap_grid": heatmap_grid,
     "domain_top10": domain_top10,

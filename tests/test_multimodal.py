@@ -76,11 +76,61 @@ def test_phash_near_dups_finds_identical_images(ray_session):
     assert not any("c" in p for p in zip(pairs["image_a"], pairs["image_b"]))
 
 
-def test_codec_stubs_are_gated():
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_audio(pa.table({}))
-    with pytest.raises(NotImplementedError):
-        multimodal.sample_video_frames(pa.table({}))
+def test_wav_codec_roundtrip_and_stdlib_parity():
+    """Engine WAV chunk-walker == stdlib `wave` on the same payload, and
+    survives an inserted extra chunk (real parsers tolerate LIST etc.)."""
+    import io
+    import struct
+    import wave
+
+    from crawler_ray.sources import synthetic_media as sm
+
+    data = sm.audio_wav_bytes("clip-1", 7)
+    sr, x = sm.decode_wav(data)
+    with wave.open(io.BytesIO(data)) as w:
+        assert (w.getframerate(), w.getnframes()) == (sr, len(x))
+        ref = np.frombuffer(w.readframes(w.getnframes()), np.int16)
+    assert np.array_equal(x, ref)
+    # insert a LIST chunk between fmt and data: still decodes identically
+    fmt_end = 12 + 8 + 16
+    extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    sr2, x2 = sm.decode_wav(data[:fmt_end] + extra + data[fmt_end:])
+    assert sr2 == sr and np.array_equal(x2, x)
+
+
+def test_media_decoders_reject_malformed():
+    from crawler_ray.sources import synthetic_media as sm
+
+    with pytest.raises(ValueError):
+        sm.decode_wav(b"RIFFxxxxJUNK")
+    with pytest.raises(ValueError):
+        sm.decode_wav(sm.audio_wav_bytes("c", 1)[:30])  # truncated
+    with pytest.raises(ValueError):
+        sm.read_video_container(b"NOPE" + b"\x00" * 20)
+    good = sm.video_bytes("v", 1)
+    with pytest.raises(ValueError):
+        sm.read_video_container(good[:-3])  # truncated last frame
+
+
+def test_audio_video_stages_over_dataset(ray_session):
+    """Actor-pool plumbing end-to-end: binary column in, typed rows out."""
+    import ray.data as rd
+
+    from crawler_ray.sources import synthetic_media as sm
+
+    audio = rd.from_items([{"audio_id": f"a{i}", "bytes": sm.audio_wav_bytes(f"a{i}", 9)}
+                           for i in range(6)]).repartition(3)
+    feats = multimodal.featurize_audio(audio).to_pandas()
+    assert len(feats) == 6 and (feats["sample_rate"] == sm.AUDIO_SR).all()
+    assert (feats["rms"] > 0).all() and (feats["dominant_hz"] > 0).all()
+
+    video = rd.from_items([{"video_id": f"v{i}", "bytes": sm.video_bytes(f"v{i}", 9)}
+                           for i in range(3)]).repartition(2)
+    frames = multimodal.video_frames(video, every_n=4).to_pandas()
+    assert (frames["frame_idx"] % 4 == 0).all() and (frames["w"] == 24).all()
+    # every video contributes its frame 0 and a deterministic frame count
+    n0, _, f0 = sm.read_video_container(sm.video_bytes("v0", 9))
+    assert len(frames.loc[frames["video_id"] == "v0"]) == len(range(0, n0, 4))
 
 
 def test_resize_rgb_matches_naive_box_filter():

@@ -524,6 +524,75 @@ def export_golden(o):
     write("training_shards", out.sort_values("shard").reset_index(drop=True))
 
 
+def audio_golden():
+    """Independent audio decoder: the STDLIB `wave` module parses the same
+    WAV payloads the engine's numpy chunk-walker decodes; features are the
+    published formulas in a per-clip loop."""
+    import io
+    import wave
+
+    from crawler_ray.sources.synthetic_media import audio_wav_bytes
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id"])
+    ids = np.sort(docs["doc_id"].to_numpy(np.int64))
+    ids = ids[ids % 23 == 3]
+    rows = []
+    for i in ids:
+        data = audio_wav_bytes(f"a{i}", 42)
+        with wave.open(io.BytesIO(data)) as w:
+            assert w.getnchannels() == 1 and w.getsampwidth() == 2
+            sr, n = w.getframerate(), w.getnframes()
+            x = np.frombuffer(w.readframes(n), np.int16)
+        f = x.astype(np.float64) / 32768.0
+        rms = float(np.sqrt(np.mean(f * f))) if n else 0.0
+        zcr = float(np.mean(np.signbit(f[1:]) != np.signbit(f[:-1]))) if n > 1 else 0.0
+        dom = float(np.argmax(np.abs(np.fft.rfft(f))) * sr / n) if n > 1 else 0.0
+        rows.append({"audio_id": f"a{i}", "sample_rate": sr, "n_samples": n,
+                     "duration_s": round(n / sr, 6), "rms": round(rms, 6),
+                     "zcr": round(zcr, 6), "dominant_hz": round(dom, 3)})
+    schema = pa.schema([("audio_id", pa.string()), ("sample_rate", pa.int32()),
+                        ("n_samples", pa.int64()), ("duration_s", pa.float64()),
+                        ("rms", pa.float64()), ("zcr", pa.float64()),
+                        ("dominant_hz", pa.float64())])
+    df = pd.DataFrame(rows).sort_values("audio_id").reset_index(drop=True)
+    write("audio_clip_features", df, schema=schema)
+
+
+def video_golden():
+    """Independent RVID walk (struct loop) + per-frame decode/phash via the
+    shared image kernels (the sampling/plumbing is what's under test)."""
+    import struct
+
+    from crawler_ray.imaging import decode_png, phash64
+    from crawler_ray.sources.synthetic_media import video_bytes
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id"])
+    ids = np.sort(docs["doc_id"].to_numpy(np.int64))
+    ids = ids[ids % 41 == 5]
+    rows = []
+    for i in ids:
+        data = video_bytes(f"v{i}", 42)
+        assert data[:4] == b"RVID"
+        n_frames, fps = struct.unpack("<II", data[4:12])
+        pos, frames = 12, []
+        for _ in range(n_frames):
+            (ln,) = struct.unpack("<I", data[pos:pos + 4])
+            frames.append(data[pos + 4:pos + 4 + ln])
+            pos += 4 + ln
+        assert pos == len(data)
+        for fi in range(0, n_frames, 4):
+            rgb = decode_png(frames[fi])
+            rows.append({"video_id": f"v{i}", "frame_idx": fi,
+                         "w": rgb.shape[1], "h": rgb.shape[0], "fps": fps,
+                         "phash": np.uint64(phash64(rgb))})
+    schema = pa.schema([("video_id", pa.string()), ("frame_idx", pa.int32()),
+                        ("w", pa.int32()), ("h", pa.int32()), ("fps", pa.int32()),
+                        ("phash", pa.uint64())])
+    df = (pd.DataFrame(rows).sort_values(["video_id", "frame_idx"])
+          .reset_index(drop=True))
+    write("video_frame_sample", df, schema=schema)
+
+
 if __name__ == "__main__":
     os.makedirs(OUT, exist_ok=True)
     o, params = crawl_goldens()
@@ -532,4 +601,6 @@ if __name__ == "__main__":
     text_goldens()
     ann_golden()
     ann_ivf_golden()
+    audio_golden()
+    video_golden()
     print("done")
