@@ -336,6 +336,7 @@ _GOLDEN_CHECKED = (
     "crawl_city_locations", "crawl_similar_nearby", "image_thumbnails",
     "crawl_recrawl_delta", "training_shards",
     "audio_clip_features", "video_frame_sample",
+    "audio_near_dups", "video_near_dups",
 )
 
 

@@ -322,6 +322,178 @@ def sample_video_frames(batch: pa.Table, every_n: int = 4) -> pa.Table:
     })
 
 
+# --- audio / video near-duplicates -------------------------------------------
+
+def _audio_grid_rows(b: pd.DataFrame, cell_hz: float) -> pd.DataFrame:
+    """Blocking rows for the audio near-dup grid: bucket key =
+    (n_samples, dominant-frequency cell), each clip replicated to its home
+    cell AND the next cell (ghost), so any pair within ``cell_hz`` Hz shares
+    at least one bucket — the 1-D analogue of the embedding tile grid."""
+    cells = np.floor(b["dominant_hz"].to_numpy(np.float64) / cell_hz).astype(np.int64)
+    n = b["n_samples"].to_numpy(np.int64)
+    keep = b[["audio_id", "rms", "zcr", "dominant_hz"]]
+    home = keep.assign(band=n, band_hash=cells)
+    ghost = keep.assign(band=n, band_hash=cells + 1)
+    return pd.concat([home, ghost], ignore_index=True)
+
+
+_AUDIO_PAIRS_EMPTY = dict(audio_a=str, audio_b=str, d_rms=np.float64)
+
+
+def _audio_collide_block(b: pd.DataFrame, max_d_rms: float, max_d_zcr: float,
+                         max_d_hz: float) -> pd.DataFrame:
+    """Per-bucket verify kernel (runs after bucket co-location): all pairs
+    in a bucket checked against the joint feature rule, vectorized via
+    triangular index arrays. Emits typed empties (hash-partitioned blocks
+    can arrive schema-less)."""
+    empty = pd.DataFrame({c: pd.Series([], dtype=t) for c, t in _AUDIO_PAIRS_EMPTY.items()})
+    if len(b) == 0:
+        return empty
+    hot = b.loc[b.duplicated(["band", "band_hash"], keep=False)]
+    pieces = []
+    for _, g in hot.groupby(["band", "band_hash"]):
+        g = g.drop_duplicates("audio_id")
+        m = len(g)
+        if m < 2:
+            continue
+        ii, jj = np.triu_indices(m, k=1)
+        rms = g["rms"].to_numpy(np.float64)
+        zcr = g["zcr"].to_numpy(np.float64)
+        hz = g["dominant_hz"].to_numpy(np.float64)
+        ids = g["audio_id"].to_numpy(object)
+        d_rms = np.abs(rms[ii] - rms[jj])
+        ok = ((d_rms <= max_d_rms)
+              & (np.abs(zcr[ii] - zcr[jj]) <= max_d_zcr)
+              & (np.abs(hz[ii] - hz[jj]) <= max_d_hz))
+        if not ok.any():
+            continue
+        a, bb = ids[ii[ok]], ids[jj[ok]]
+        pieces.append(pd.DataFrame({"audio_a": np.minimum(a, bb).astype(str),
+                                    "audio_b": np.maximum(a, bb).astype(str),
+                                    "d_rms": d_rms[ok]}))
+    if not pieces:
+        return empty
+    out = pd.concat(pieces, ignore_index=True)
+    return out.drop_duplicates(["audio_a", "audio_b"])
+
+
+def audio_near_dup_pairs(features_ds, max_d_rms: float = 0.02,
+                         max_d_zcr: float = 0.015,
+                         max_d_hz: float = 4.0) -> pd.DataFrame:
+    """Near-duplicate audio clips by joint feature distance (same length,
+    |ΔRMS| ≤ max_d_rms, |ΔZCR| ≤ max_d_zcr, |Δdominant_hz| ≤ max_d_hz) —
+    the "same recording, different master" rule. Distributed as a 1-D grid:
+    clips block on (n_samples, ⌊dominant_hz / max_d_hz⌋) with ghost
+    replication to the next cell (complete w.r.t. the rule: |Δhz| ≤ cell
+    width ⇒ same or adjacent cell), sort-shuffle bucket collision
+    (``banded_candidate_pairs``), vectorized in-bucket verification. The
+    driver receives RESULT pairs only.
+
+    ``features_ds``: Dataset with (audio_id, n_samples, rms, zcr,
+    dominant_hz) — the output of ``featurize_audio``; a pandas DataFrame
+    also works for tests."""
+    import functools
+
+    import ray.data as rd
+
+    from crawler_ray.functions.dedup_ops import banded_candidate_pairs
+
+    if isinstance(features_ds, pd.DataFrame):
+        features_ds = rd.from_pandas(features_ds)
+    rows = features_ds.map_batches(
+        functools.partial(_audio_grid_rows, cell_hz=max_d_hz), batch_format="pandas")
+    out = banded_candidate_pairs(
+        rows, functools.partial(_audio_collide_block, max_d_rms=max_d_rms,
+                                max_d_zcr=max_d_zcr, max_d_hz=max_d_hz))
+    if len(out) == 0:
+        return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in _AUDIO_PAIRS_EMPTY.items()})
+    out = out.drop_duplicates(["audio_a", "audio_b"])
+    out["d_rms"] = out["d_rms"].round(6)
+    return out.sort_values(["audio_a", "audio_b"]).reset_index(drop=True)
+
+
+def _video_grid_rows(b: pd.DataFrame) -> pd.DataFrame:
+    """Bucket rows for shared-frame detection: bucket key = the frame phash
+    itself (exact match, no ghosting needed)."""
+    return pd.DataFrame({
+        "band": np.zeros(len(b), np.int64),
+        "band_hash": b["phash"].to_numpy(np.uint64),
+        "video_id": b["video_id"].astype(str),
+    })
+
+
+_VIDEO_PAIRS_EMPTY = dict(video_a=str, video_b=str, shared=np.int64)
+
+
+def _video_collide_block(b: pd.DataFrame, max_group: int) -> pd.DataFrame:
+    """Per-phash-bucket kernel: one incidence row per cross-video pair
+    sharing this frame hash. Buckets larger than ``max_group`` videos are
+    stop-word frames (solid-color cards, slates) and are dropped — the
+    standard guard against the quadratic blowup a degenerate frame causes
+    at corpus scale."""
+    empty = pd.DataFrame({c: pd.Series([], dtype=t) for c, t in _VIDEO_PAIRS_EMPTY.items()})
+    if len(b) == 0:
+        return empty
+    b = b.drop_duplicates(["video_id", "band_hash"])
+    hot = b.loc[b.duplicated(["band", "band_hash"], keep=False)]
+    pieces = []
+    for _, g in hot.groupby(["band", "band_hash"]):
+        m = len(g)
+        if m < 2 or m > max_group:
+            continue
+        ii, jj = np.triu_indices(m, k=1)
+        ids = g["video_id"].to_numpy(object)
+        a, bb = ids[ii], ids[jj]
+        pieces.append(pd.DataFrame({"video_a": np.minimum(a, bb).astype(str),
+                                    "video_b": np.maximum(a, bb).astype(str),
+                                    "shared": np.ones(len(ii), np.int64)}))
+    if not pieces:
+        return empty
+    return pd.concat(pieces, ignore_index=True)
+
+
+def video_shared_phash_pairs(frames_ds, min_shared: int = 2,
+                             max_group: int = 64) -> pd.DataFrame:
+    """Near-duplicate videos by shared sampled-frame phashes (≥ min_shared
+    distinct frame hashes in common — catches re-cuts/trims/re-uploads).
+    Distributed: (video_id, phash) rows bucket on the phash via sort-shuffle
+    collision (``banded_candidate_pairs_ds`` — each bucket handled whole,
+    exactly once), one incidence row per pair per shared hash, then a
+    pair-sorted per-block count fold with a driver boundary merge — the
+    corpus-scale incidence set never lands on the driver unfolded.
+
+    ``frames_ds``: Dataset with (video_id, phash) — the output of
+    ``video_frames``; a pandas DataFrame also works for tests."""
+    import functools
+
+    import ray.data as rd
+
+    from crawler_ray.functions.dedup_ops import banded_candidate_pairs_ds
+
+    empty = pd.DataFrame({c: pd.Series([], dtype=t) for c, t in _VIDEO_PAIRS_EMPTY.items()})
+    if isinstance(frames_ds, pd.DataFrame):
+        frames_ds = rd.from_pandas(frames_ds)
+    rows = frames_ds.map_batches(_video_grid_rows, batch_format="pandas")
+    inc_ds = banded_candidate_pairs_ds(
+        rows, functools.partial(_video_collide_block, max_group=max_group))
+
+    def fold(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return empty
+        return b.groupby(["video_a", "video_b"], as_index=False).agg(
+            shared=("shared", "sum"))
+
+    folded = (inc_ds.sort(["video_a", "video_b"])
+              .map_batches(fold, batch_format="pandas", batch_size=None)
+              .to_pandas())
+    out = fold(folded)
+    out = out[out["shared"] >= min_shared]
+    if len(out) == 0:
+        return empty
+    out["shared"] = out["shared"].astype(np.int64)
+    return out.sort_values(["video_a", "video_b"]).reset_index(drop=True)
+
+
 def featurize_audio(audio_ds, concurrency: int = 2, batch_size: int = 64):
     """Audio Dataset (audio_id, bytes) → decoded feature rows (actor pool;
     payload-heavy rows ⇒ small batches)."""

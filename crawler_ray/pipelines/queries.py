@@ -1165,6 +1165,67 @@ def video_frame_sample(sf_dir: str):
     return out.sort_values(["video_id", "frame_idx"]).reset_index(drop=True)
 
 
+def audio_near_dups(sf_dir: str):
+    """Near-duplicate audio clips: the `audio_clip_features` corpus plus a
+    deterministic ~20 % of clips re-mastered (small gain change + dither —
+    sources/synthetic_media.near_dup_audio_bytes), detected by joint feature
+    distance over a 1-D dominant-frequency grid with ghost replication
+    (multimodal.audio_near_dup_pairs). Golden-checked against a brute-force
+    all-pairs scan over STDLIB-wave-decoded features."""
+    from crawler_ray.pipelines.multimodal import audio_near_dup_pairs, featurize_audio
+    from crawler_ray.sources.synthetic_media import audio_wav_bytes, near_dup_audio_bytes
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def gen(b: pd.DataFrame) -> pa.Table:
+        ids = b["doc_id"].to_numpy(np.int64)
+        ids = ids[ids % 23 == 3]
+        out_ids: list[str] = []
+        out_bytes: list[bytes] = []
+        for i in ids:
+            out_ids.append(f"a{i}")
+            out_bytes.append(audio_wav_bytes(f"a{i}", 42))
+            if i % 115 == 26:  # every 5th clip gets a re-mastered twin
+                out_ids.append(f"a{i}x")
+                out_bytes.append(near_dup_audio_bytes(f"a{i}", 42))
+        return pa.table({"audio_id": pa.array(out_ids, pa.string()),
+                         "bytes": pa.array(out_bytes, pa.binary())})
+
+    feats = featurize_audio(ds.map_batches(gen, batch_format="pandas"))
+    return audio_near_dup_pairs(feats)
+
+
+def video_near_dups(sf_dir: str):
+    """Near-duplicate videos: the `video_frame_sample` corpus plus a
+    deterministic ~20 % re-cut 4 frames in (same footage, trimmed start —
+    sources/synthetic_media.recut_video_bytes), detected by ≥2 shared
+    sampled-frame phashes (multimodal.video_shared_phash_pairs: phash-bucket
+    collision + distributed pair-count fold). Golden-checked against a
+    brute-force pairwise frame-hash-set intersection over struct-walked
+    containers."""
+    from crawler_ray.pipelines.multimodal import video_frames, video_shared_phash_pairs
+    from crawler_ray.sources.synthetic_media import recut_video_bytes, video_bytes
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def gen(b: pd.DataFrame) -> pa.Table:
+        ids = b["doc_id"].to_numpy(np.int64)
+        ids = ids[ids % 41 == 5]
+        out_ids: list[str] = []
+        out_bytes: list[bytes] = []
+        for i in ids:
+            out_ids.append(f"v{i}")
+            out_bytes.append(video_bytes(f"v{i}", 42))
+            if i % 205 == 46:  # every 5th video gets a re-cut
+                out_ids.append(f"v{i}x")
+                out_bytes.append(recut_video_bytes(f"v{i}", 42))
+        return pa.table({"video_id": pa.array(out_ids, pa.string()),
+                         "bytes": pa.array(out_bytes, pa.binary())})
+
+    frames = video_frames(ds.map_batches(gen, batch_format="pandas"), every_n=4)
+    return video_shared_phash_pairs(frames, min_shared=2)
+
+
 # ---------------------------------------------------------------------------
 # Registry + DuckDB oracles (column names match exactly)
 # ---------------------------------------------------------------------------
@@ -1172,6 +1233,8 @@ def video_frame_sample(sf_dir: str):
 QUERIES = {
     "audio_clip_features": audio_clip_features,
     "video_frame_sample": video_frame_sample,
+    "audio_near_dups": audio_near_dups,
+    "video_near_dups": video_near_dups,
     "q1_pricing_summary": q1_pricing_summary,
     "heatmap_grid": heatmap_grid,
     "domain_top10": domain_top10,

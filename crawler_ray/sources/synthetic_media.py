@@ -68,6 +68,21 @@ def audio_wav_bytes(key: str, seed: int) -> bytes:
     return wav_encode(synth_audio_samples(key, seed))
 
 
+def near_dup_audio_bytes(key: str, seed: int, gain: float = 0.97) -> bytes:
+    """A NEAR-duplicate of ``audio_wav_bytes(key, seed)``: the same sample
+    stream re-mastered with a small gain change plus a deterministic ±30-LSB
+    dither — the "same recording, different encode" shape real corpora have.
+    Every feature moves slightly (RMS by the gain, ZCR by sign flips near
+    zeros) while the clip length and dominant frequency are preserved."""
+    x = synth_audio_samples(key, seed).astype(np.float64)
+    u = _u(key, seed, "dither")
+    # Weyl-sequence dither: deterministic, zero-mean-ish, ±30 LSB
+    d = ((((np.arange(len(x), dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+            + np.uint64(u)) >> np.uint64(32)) % 61).astype(np.float64) - 30.0)
+    y = np.clip(x * gain + d, -32768, 32767).astype(np.int16)
+    return wav_encode(y)
+
+
 def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
     """Real RIFF chunk walker for PCM16 mono WAV: validates magics, walks
     chunks (tolerating extras like LIST), returns (sample_rate, int16
@@ -126,17 +141,38 @@ def synth_video_frame(key: str, seed: int, idx: int, size: int = 24) -> np.ndarr
     return np.stack([r, g, b], axis=-1).astype(np.uint8)
 
 
+def encode_video_container(frame_pngs: list[bytes], fps: int) -> bytes:
+    """Assemble an RVID container from already-encoded PNG frames."""
+    out = [VIDEO_MAGIC, struct.pack("<II", len(frame_pngs), fps)]
+    for png in frame_pngs:
+        out.append(struct.pack("<I", len(png)))
+        out.append(png)
+    return b"".join(out)
+
+
 def video_bytes(key: str, seed: int, size: int = 24) -> bytes:
     """Deterministic RVID container: 4-32 frames keyed by (key, seed)."""
     u = _u(key, seed, "vmeta")
     n_frames = 4 + (u % 29)
     fps = 4 + ((u >> 16) % 27)
-    out = [VIDEO_MAGIC, struct.pack("<II", n_frames, fps)]
-    for i in range(n_frames):
-        png = encode_png(synth_video_frame(key, seed, i, size))
-        out.append(struct.pack("<I", len(png)))
-        out.append(png)
-    return b"".join(out)
+    return encode_video_container(
+        [encode_png(synth_video_frame(key, seed, i, size)) for i in range(n_frames)],
+        fps)
+
+
+def recut_video_bytes(key: str, seed: int, offset: int = 4, size: int = 24) -> bytes:
+    """A "re-cut" of ``video_bytes(key, seed)``: the same footage starting
+    ``offset`` frames in (frame j of the re-cut is frame j+offset of the
+    original), same fps — the trimmed-reupload shape video dedup targets.
+    With offset a multiple of the frame-sampling stride, the re-cut's
+    sampled frames are pixel-identical to sampled frames of the original."""
+    u = _u(key, seed, "vmeta")
+    n_frames = 4 + (u % 29)
+    fps = 4 + ((u >> 16) % 27)
+    n2 = max(n_frames - offset, 2)
+    return encode_video_container(
+        [encode_png(synth_video_frame(key, seed, i + offset, size)) for i in range(n2)],
+        fps)
 
 
 def read_video_container(data: bytes) -> tuple[int, int, list[bytes]]:

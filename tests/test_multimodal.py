@@ -177,3 +177,75 @@ def test_image_resizer_roundtrip(ray_session):
     assert (by_id["small"]["h"], by_id["small"]["w"]) == (20, 24)  # no upscale
     thumb = decode_png(by_id["big"]["bytes"])
     assert (thumb == resize_rgb(big, 32, 21)).all()
+
+
+def test_audio_near_dup_pairs_planted(ray_session):
+    """A re-mastered twin (gain + dither) is found; unrelated clips are not."""
+    from crawler_ray.sources.synthetic_media import (
+        audio_features, audio_wav_bytes, near_dup_audio_bytes)
+
+    clips = {"c0": audio_wav_bytes("c0", 7), "c0x": near_dup_audio_bytes("c0", 7),
+             "c1": audio_wav_bytes("c1", 7), "c2": audio_wav_bytes("c2", 7)}
+    rows = []
+    for k, data in clips.items():
+        f = audio_features(data)
+        rows.append({"audio_id": k, "n_samples": f["n_samples"],
+                     "rms": round(f["rms"], 6), "zcr": round(f["zcr"], 6),
+                     "dominant_hz": round(f["dominant_hz"], 3)})
+    out = multimodal.audio_near_dup_pairs(pd.DataFrame(rows))
+    assert list(out["audio_a"]) == ["c0"] and list(out["audio_b"]) == ["c0x"]
+    assert (out["d_rms"] <= 0.02).all()
+
+
+def test_audio_grid_boundary_pair_not_missed(ray_session):
+    """Two clips whose dominant frequencies straddle a grid-cell boundary
+    (cells 0 and 1 at width 4.0) still meet via ghost replication."""
+    rows = pd.DataFrame([
+        {"audio_id": "lo", "n_samples": 4000, "rms": 0.30, "zcr": 0.10, "dominant_hz": 3.9},
+        {"audio_id": "hi", "n_samples": 4000, "rms": 0.31, "zcr": 0.11, "dominant_hz": 4.1},
+        # same features but different length: must NOT pair
+        {"audio_id": "otherlen", "n_samples": 4001, "rms": 0.30, "zcr": 0.10, "dominant_hz": 3.9},
+    ])
+    out = multimodal.audio_near_dup_pairs(rows)
+    assert list(zip(out["audio_a"], out["audio_b"])) == [("hi", "lo")]
+
+
+def test_video_shared_phash_pairs_recut(ray_session):
+    """A re-cut (offset = sampling stride) shares the original's sampled
+    frames; the shared count matches a brute-force set intersection, and
+    an unrelated video pairs with neither."""
+    import ray.data as rd
+
+    from crawler_ray.imaging import decode_png, phash64
+    from crawler_ray.sources.synthetic_media import (
+        read_video_container, recut_video_bytes, video_bytes)
+
+    vids = {"vd": video_bytes("vd", 3), "vdx": recut_video_bytes("vd", 3),
+            "vb": video_bytes("vb", 3)}
+    n0, _, _ = read_video_container(vids["vd"])
+    assert n0 >= 12, "fixture video too short for a >=2-shared-frame re-cut"
+    rows, sets = [], {}
+    for k, data in vids.items():
+        n, _, frames = read_video_container(data)
+        hs = [int(phash64(decode_png(frames[i]))) for i in range(0, n, 4)]
+        sets[k] = set(hs)
+        rows += [{"video_id": k, "phash": np.uint64(h)} for h in hs]
+    frames_ds = rd.from_pandas(pd.DataFrame(rows)).repartition(3)
+    out = multimodal.video_shared_phash_pairs(frames_ds, min_shared=2)
+    expect = len(sets["vd"] & sets["vdx"])
+    assert expect >= 2
+    got = {(a, b): s for a, b, s in zip(out["video_a"], out["video_b"], out["shared"])}
+    assert got.get(("vd", "vdx")) == expect
+    assert ("vb", "vd") not in got and ("vb", "vdx") not in got
+
+
+def test_video_shared_phash_hot_bucket_capped(ray_session):
+    """A stop-word frame hash shared by > max_group videos is dropped
+    instead of exploding quadratically."""
+    rows = pd.DataFrame({
+        "video_id": [f"v{i}" for i in range(10)] + ["p", "q", "p", "q"],
+        "phash": [np.uint64(777)] * 10 + [np.uint64(1), np.uint64(1),
+                                          np.uint64(2), np.uint64(2)],
+    })
+    out = multimodal.video_shared_phash_pairs(rows, min_shared=2, max_group=4)
+    assert list(zip(out["video_a"], out["video_b"], out["shared"])) == [("p", "q", 2)]

@@ -593,6 +593,94 @@ def video_golden():
     write("video_frame_sample", df, schema=schema)
 
 
+def audio_near_dup_golden():
+    """Brute-force all-pairs over STDLIB-wave-decoded features: same clip
+    length AND |ΔRMS| ≤ 0.02 AND |ΔZCR| ≤ 0.015 AND |Δdominant_hz| ≤ 4.0
+    (the engine's rule, applied with no blocking at all)."""
+    import io
+    import wave
+
+    from crawler_ray.sources.synthetic_media import audio_wav_bytes, near_dup_audio_bytes
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id"])
+    ids = np.sort(docs["doc_id"].to_numpy(np.int64))
+    ids = ids[ids % 23 == 3]
+    clips = []
+    for i in ids:
+        clips.append((f"a{i}", audio_wav_bytes(f"a{i}", 42)))
+        if i % 115 == 26:
+            clips.append((f"a{i}x", near_dup_audio_bytes(f"a{i}", 42)))
+    feats = []
+    for key, data in clips:
+        with wave.open(io.BytesIO(data)) as w:
+            assert w.getnchannels() == 1 and w.getsampwidth() == 2
+            sr, n = w.getframerate(), w.getnframes()
+            x = np.frombuffer(w.readframes(n), np.int16)
+        f = x.astype(np.float64) / 32768.0
+        rms = round(float(np.sqrt(np.mean(f * f))), 6) if n else 0.0
+        zcr = round(float(np.mean(np.signbit(f[1:]) != np.signbit(f[:-1]))), 6) if n > 1 else 0.0
+        dom = round(float(np.argmax(np.abs(np.fft.rfft(f))) * sr / n), 3) if n > 1 else 0.0
+        feats.append((key, n, rms, zcr, dom))
+    rows = []
+    for a in range(len(feats)):
+        for b in range(a + 1, len(feats)):
+            ka, na, ra, za, da = feats[a]
+            kb, nb, rb, zb, db = feats[b]
+            if (na == nb and abs(ra - rb) <= 0.02 and abs(za - zb) <= 0.015
+                    and abs(da - db) <= 4.0):
+                lo, hi = min(ka, kb), max(ka, kb)
+                rows.append({"audio_a": lo, "audio_b": hi,
+                             "d_rms": round(abs(ra - rb), 6)})
+    df = (pd.DataFrame(rows, columns=["audio_a", "audio_b", "d_rms"])
+          .sort_values(["audio_a", "audio_b"]).reset_index(drop=True))
+    df["d_rms"] = df["d_rms"].astype(np.float64)
+    write("audio_near_dups", df)
+
+
+def video_near_dup_golden():
+    """Brute-force pairwise frame-hash-set intersection: struct-walked
+    containers, sampled frames (every 4th), phash via the shared imaging
+    kernels; a pair is reported when ≥2 DISTINCT sampled-frame phashes are
+    shared."""
+    import struct
+
+    from crawler_ray.imaging import decode_png, phash64
+    from crawler_ray.sources.synthetic_media import recut_video_bytes, video_bytes
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id"])
+    ids = np.sort(docs["doc_id"].to_numpy(np.int64))
+    ids = ids[ids % 41 == 5]
+    vids = []
+    for i in ids:
+        vids.append((f"v{i}", video_bytes(f"v{i}", 42)))
+        if i % 205 == 46:
+            vids.append((f"v{i}x", recut_video_bytes(f"v{i}", 42)))
+    sets = []
+    for key, data in vids:
+        assert data[:4] == b"RVID"
+        n_frames, _fps = struct.unpack("<II", data[4:12])
+        pos, frames = 12, []
+        for _ in range(n_frames):
+            (ln,) = struct.unpack("<I", data[pos:pos + 4])
+            frames.append(data[pos + 4:pos + 4 + ln])
+            pos += 4 + ln
+        assert pos == len(data)
+        hashes = {int(phash64(decode_png(frames[fi])))
+                  for fi in range(0, n_frames, 4)}
+        sets.append((key, hashes))
+    rows = []
+    for a in range(len(sets)):
+        for b in range(a + 1, len(sets)):
+            shared = len(sets[a][1] & sets[b][1])
+            if shared >= 2:
+                lo, hi = min(sets[a][0], sets[b][0]), max(sets[a][0], sets[b][0])
+                rows.append({"video_a": lo, "video_b": hi, "shared": shared})
+    df = (pd.DataFrame(rows, columns=["video_a", "video_b", "shared"])
+          .sort_values(["video_a", "video_b"]).reset_index(drop=True))
+    df["shared"] = df["shared"].astype(np.int64)
+    write("video_near_dups", df)
+
+
 if __name__ == "__main__":
     os.makedirs(OUT, exist_ok=True)
     o, params = crawl_goldens()
@@ -603,4 +691,6 @@ if __name__ == "__main__":
     ann_ivf_golden()
     audio_golden()
     video_golden()
+    audio_near_dup_golden()
+    video_near_dup_golden()
     print("done")
