@@ -97,7 +97,8 @@ def run_query_bench(sf_dir: str) -> dict:
     from crawler_ray.pipelines.queries import QUERIES
 
     names = ["q1_pricing_summary", "heatmap_grid", "events_window", "exact_dedup_docs",
-             "minhash_near_dups", "ann_cosine_topk", "token_stats", "orders_join",
+             "minhash_near_dups", "ngram_jaccard_dups", "simhash_near_dups",
+             "ann_cosine_topk", "token_stats", "orders_join",
              "asof_join_quotes", "events_in_windows", "approx_distinct_tokens"]
     out = {}
     for name in names:
