@@ -117,3 +117,36 @@ def fingerprint(batch: pd.DataFrame, window: int = 8) -> pd.DataFrame:
     out = batch[["doc_id"]].copy()
     out["fingerprint"] = fps.astype(np.int64)  # int64 column (bit pattern)
     return out
+
+
+def repetition_stats(batch: pd.DataFrame) -> pd.DataFrame:
+    """Intra-document repetition features (Gopher-style quality filter,
+    Rae et al. 2021 "Scaling Language Models" app. A1.1, public): per doc
+    the duplicate-token fraction ``1 - distinct/total`` and the share of
+    the single most frequent token. Each doc is independent, so the
+    operator is an embarrassingly-parallel ``map_batches`` — no shuffle at
+    any corpus size. Vectorized as one explode + two hash groupbys per
+    batch (no per-row Python).
+
+    Token = ``string_split(text, ' ')`` (the documents fixture is strictly
+    single-space-joined alnum tokens, so this matches the DuckDB oracle
+    exactly and no float ever depends on regex parity).
+    """
+    ex = (batch[["doc_id"]]
+          .assign(tok=batch["text"].astype("string").str.split(" "))
+          .explode("tok"))
+    per_tok = ex.groupby(["doc_id", "tok"], sort=False).size().rename("c").reset_index()
+    g = per_tok.groupby("doc_id", sort=False)["c"]
+    agg = pd.DataFrame({"total": g.sum(), "distinct": g.count(), "top": g.max()})
+    total = agg["total"].to_numpy(np.float64)
+    out = pd.DataFrame({
+        "doc_id": agg.index.to_numpy(np.int64),
+        "n_tokens": agg["total"].to_numpy(np.int64),
+        "dup_frac": 1.0 - agg["distinct"].to_numpy(np.float64) / total,
+        "top_share": agg["top"].to_numpy(np.float64) / total,
+    })
+    # flag on the RAW ratio: engine and oracle derive it from the identical
+    # IEEE division of identical ints, so the comparison is exact; callers
+    # round the ratios for display AFTER any thresholding
+    out["flagged"] = ((out["dup_frac"] > 0.75) | (out["top_share"] > 0.2)).astype(np.int64)
+    return out

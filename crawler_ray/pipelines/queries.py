@@ -25,7 +25,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray
 import ray.data as rd
-from crawler_ray.functions import ann, dedup_ops, textops
+from crawler_ray.functions import ann, dedup_ops, scan, textops
 from crawler_ray.hashing import xxh64_array
 
 
@@ -872,6 +872,82 @@ def doc_fingerprints(sf_dir: str):
     return out.sort_values("source").reset_index(drop=True)
 
 
+def doc_repetition(sf_dir: str):
+    """Gopher-style intra-document repetition filter (duplicate-token
+    fraction + top-token share + flag): per-doc independent features, so
+    the whole operator is ONE embarrassingly-parallel ``map_batches`` over
+    pruned columns — zero shuffle at any corpus size. Returns only the
+    flagged docs plus per-doc stats for the dup-heavy tail (dup_frac ≥ the
+    corpus p90), keeping the result O(filtered), not O(corpus)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def stats_and_filter(b: pd.DataFrame) -> pd.DataFrame:
+        r = textops.repetition_stats(b)
+        r = r[(r["flagged"] == 1) | (r["dup_frac"] >= 0.65)].copy()
+        # parts-per-million via FLOOR: round() has engine-dependent midpoint
+        # semantics (half-even vs half-away) and ratios with power-of-two
+        # denominators DO land on exact midpoints; floor of the identical
+        # IEEE double is bit-deterministic on both sides
+        r["dup_ppm"] = np.floor(r["dup_frac"].to_numpy(np.float64) * 1e6).astype(np.int64)
+        r["top_ppm"] = np.floor(r["top_share"].to_numpy(np.float64) * 1e6).astype(np.int64)
+        return r.drop(columns=["dup_frac", "top_share"])
+
+    out = ds.map_batches(stats_and_filter, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def running_revenue(sf_dir: str):
+    """Running (cumulative) revenue over the global order timeline —
+    ``SUM(...) OVER (ORDER BY o_orderdate, o_orderkey)`` as a distributed
+    two-pass prefix scan (``functions/scan.py``): one sort exchange,
+    O(blocks) carry summaries on the driver, in-block vectorized cumsum.
+    Cents as int64 end-to-end, so engine and oracle sums are EXACT (a
+    float running sum differs between engines by accumulation order)."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_totalprice"])
+
+    def to_cents(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["cents"] = np.round(b["o_totalprice"].to_numpy(np.float64) * 100).astype(np.int64)
+        return b.drop(columns=["o_totalprice"])
+
+    cents = ds.map_batches(to_cents, batch_format="pandas")
+    out = scan.cumulative_sum_ds(cents, ["o_orderdate", "o_orderkey"],
+                                 "cents", out_col="running_cents")
+    res = out.to_pandas().drop(columns=["cents"])
+    res["running_cents"] = res["running_cents"].astype(np.int64)
+    return res.sort_values("o_orderkey").reset_index(drop=True)
+
+
+# Token budget per training shard for token_shard_assignment (greedy
+# contiguous packing: a doc never splits; a shard closes when its budget
+# is exhausted by the NEXT doc's arrival).
+PACK_TOKEN_BUDGET = 4096
+
+
+def token_shard_assignment(sf_dir: str):
+    """Sequence packing for training export: assign docs (in doc_id order)
+    to fixed token-budget shards — shard_id = exclusive-prefix-sum(tokens)
+    // budget, the standard contiguous-packing formulation (a shard may
+    overflow by at most one doc, which is what real packers ship). Uses the
+    distributed prefix scan; per-doc token counts come from one vectorized
+    map, and nothing corpus-scale touches the driver."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def count_tokens(b: pd.DataFrame) -> pd.DataFrame:
+        t = b["text"].astype("string")
+        return pd.DataFrame({"doc_id": b["doc_id"].to_numpy(np.int64),
+                             "n_tokens": (t.str.count(" ") + 1).to_numpy(np.int64)})
+
+    toks = ds.map_batches(count_tokens, batch_format="pandas")
+    out = scan.cumulative_sum_ds(toks, ["doc_id"], "n_tokens",
+                                 out_col="tok_before", exclusive=True)
+    res = out.to_pandas()
+    res["shard_id"] = (res["tok_before"].to_numpy(np.int64)
+                       // PACK_TOKEN_BUDGET).astype(np.int64)
+    res = res.drop(columns=["tok_before"])
+    return res.sort_values("doc_id").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # Near-dup + ANN
 # ---------------------------------------------------------------------------
@@ -1266,6 +1342,9 @@ QUERIES = {
     "top_tokens": top_tokens,
     "approx_distinct_tokens": approx_distinct_tokens,
     "doc_fingerprints": doc_fingerprints,
+    "doc_repetition": doc_repetition,
+    "running_revenue": running_revenue,
+    "token_shard_assignment": token_shard_assignment,
     "minhash_near_dups": minhash_near_dups,
     "ngram_jaccard_dups": ngram_jaccard_dups,
     "simhash_near_dups": simhash_near_dups,
@@ -1424,6 +1503,44 @@ ORACLE_SQL = {
                ROUND(SUM(n_chars) * 1.0 / COUNT(*), 2) AS avg_chars,
                ROUND(SUM(LEN(regexp_extract_all(text, '[.,!?;:]')) * 1.0 / n_chars) / COUNT(*), 4) AS avg_punct_ratio
         FROM documents GROUP BY lang""",
+    "doc_repetition": """
+        WITH per_tok AS (
+          SELECT doc_id, tok, COUNT(*) AS c
+          FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+                FROM documents)
+          GROUP BY doc_id, tok
+        ), stats AS (
+          SELECT doc_id,
+                 CAST(SUM(c) AS BIGINT) AS n_tokens,
+                 1.0 - COUNT(*) * 1.0 / SUM(c) AS dup_raw,
+                 MAX(c) * 1.0 / SUM(c) AS top_raw
+          FROM per_tok GROUP BY doc_id
+        )
+        SELECT doc_id, n_tokens,
+               CAST(FLOOR(dup_raw * 1e6) AS BIGINT) AS dup_ppm,
+               CAST(FLOOR(top_raw * 1e6) AS BIGINT) AS top_ppm,
+               CAST(dup_raw > 0.75 OR top_raw > 0.2 AS BIGINT) AS flagged
+        FROM stats
+        WHERE dup_raw > 0.75 OR top_raw > 0.2 OR dup_raw >= 0.65""",
+    "running_revenue": """
+        SELECT o_orderkey, o_orderdate,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    OVER (ORDER BY o_orderdate, o_orderkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS running_cents
+        FROM orders""",
+    "token_shard_assignment": """
+        WITH toks AS (
+          SELECT doc_id,
+                 LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS n_tokens
+          FROM documents
+        )
+        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(COALESCE(CAST(SUM(n_tokens) OVER
+                      (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                      AS BIGINT), 0) // 4096 AS BIGINT) AS shard_id
+        FROM toks""",
     "ngram_jaccard_dups": """
         WITH toks AS (
           SELECT doc_id,

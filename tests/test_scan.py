@@ -1,0 +1,88 @@
+"""Distributed prefix-scan operator (functions/scan.py) and the
+repetition-stats kernel behind doc_repetition."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from crawler_ray.functions import scan, textops
+
+
+@pytest.fixture(scope="module")
+def shuffled_ints(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(42)
+    n = 20_000
+    df = pd.DataFrame({"k": rng.permutation(n),
+                       "v": rng.integers(0, 1000, n)})
+    return df, rd.from_pandas(df).repartition(13)
+
+
+def test_cumsum_inclusive_matches_numpy(shuffled_ints):
+    df, ds = shuffled_ints
+    out = (scan.cumulative_sum_ds(ds, ["k"], "v", out_col="cs")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    exp = df.sort_values("k")["v"].cumsum().to_numpy()
+    assert out["cs"].dtype == np.int64
+    np.testing.assert_array_equal(out["cs"].to_numpy(), exp)
+
+
+def test_cumsum_exclusive_shifts_by_own_value(shuffled_ints):
+    df, ds = shuffled_ints
+    out = (scan.cumulative_sum_ds(ds, ["k"], "v", out_col="cs", exclusive=True)
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    srt = df.sort_values("k")
+    exp = srt["v"].cumsum().to_numpy() - srt["v"].to_numpy()
+    np.testing.assert_array_equal(out["cs"].to_numpy(), exp)
+    assert out["cs"].iloc[0] == 0
+
+
+def test_cumsum_float_and_single_block(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame({"k": np.arange(500), "v": rng.random(500)})
+    out = (scan.cumulative_sum_ds(rd.from_pandas(df), ["k"], "v", out_col="cs")
+           .to_pandas().sort_values("k"))
+    assert out["cs"].dtype == np.float64
+    np.testing.assert_allclose(out["cs"].to_numpy(), df["v"].cumsum().to_numpy(),
+                               rtol=1e-12)
+
+
+def test_cumsum_multi_column_order(ray_session):
+    """Composite (date-like, id) order key — the running_revenue shape."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(3)
+    n = 5_000
+    df = pd.DataFrame({
+        "d": rng.integers(0, 50, n),          # coarse key with heavy ties
+        "id": rng.permutation(n),             # unique tiebreaker
+        "v": rng.integers(1, 10, n),
+    })
+    out = (scan.cumulative_sum_ds(rd.from_pandas(df).repartition(9),
+                                  ["d", "id"], "v", out_col="cs")
+           .to_pandas().sort_values(["d", "id"]).reset_index(drop=True))
+    exp = df.sort_values(["d", "id"])["v"].cumsum().to_numpy()
+    np.testing.assert_array_equal(out["cs"].to_numpy(), exp)
+
+
+def test_repetition_stats_vs_loop_reference():
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(20)]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(1, 60)))
+             for _ in range(200)]
+    b = pd.DataFrame({"doc_id": np.arange(200, dtype=np.int64), "text": texts})
+    got = textops.repetition_stats(b).sort_values("doc_id").reset_index(drop=True)
+    for i, t in enumerate(texts):
+        toks = t.split(" ")
+        from collections import Counter
+        c = Counter(toks)
+        assert got["n_tokens"].iloc[i] == len(toks)
+        assert got["dup_frac"].iloc[i] == 1.0 - len(c) / len(toks)
+        assert got["top_share"].iloc[i] == max(c.values()) / len(toks)
+        flag = (1.0 - len(c) / len(toks) > 0.75) or (max(c.values()) / len(toks) > 0.2)
+        assert got["flagged"].iloc[i] == int(flag)
