@@ -918,6 +918,30 @@ def running_revenue(sf_dir: str):
     return res.sort_values("o_orderkey").reset_index(drop=True)
 
 
+def customer_running_spend(sf_dir: str):
+    """Per-customer running order total — ``SUM(...) OVER (PARTITION BY
+    o_custkey ORDER BY o_orderdate, o_orderkey)`` via the partitioned
+    distributed scan (``functions/scan.py``): the per-group running state
+    a naive implementation would centralize never exists; the driver sees
+    two partial sums per block regardless of customer cardinality. Cents
+    as int64 end-to-end (exact)."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate",
+                                  "o_totalprice"])
+
+    def to_cents(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["cents"] = np.round(b["o_totalprice"].to_numpy(np.float64) * 100).astype(np.int64)
+        return b.drop(columns=["o_totalprice"])
+
+    cents = ds.map_batches(to_cents, batch_format="pandas")
+    out = scan.grouped_cumulative_sum_ds(cents, "o_custkey",
+                                         ["o_orderdate", "o_orderkey"],
+                                         "cents", out_col="running_cents")
+    res = out.to_pandas().drop(columns=["cents", "o_orderdate"])
+    res["running_cents"] = res["running_cents"].astype(np.int64)
+    return res.sort_values("o_orderkey").reset_index(drop=True)
+
+
 # Token budget per training shard for token_shard_assignment (greedy
 # contiguous packing: a doc never splits; a shard closes when its budget
 # is exhausted by the NEXT doc's arrival).
@@ -1344,6 +1368,7 @@ QUERIES = {
     "doc_fingerprints": doc_fingerprints,
     "doc_repetition": doc_repetition,
     "running_revenue": running_revenue,
+    "customer_running_spend": customer_running_spend,
     "token_shard_assignment": token_shard_assignment,
     "minhash_near_dups": minhash_near_dups,
     "ngram_jaccard_dups": ngram_jaccard_dups,
@@ -1526,6 +1551,14 @@ ORACLE_SQL = {
         SELECT o_orderkey, o_orderdate,
                CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
                     OVER (ORDER BY o_orderdate, o_orderkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS running_cents
+        FROM orders""",
+    "customer_running_spend": """
+        SELECT o_orderkey, o_custkey,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    OVER (PARTITION BY o_custkey
+                          ORDER BY o_orderdate, o_orderkey
                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                     AS BIGINT) AS running_cents
         FROM orders""",

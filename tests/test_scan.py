@@ -86,3 +86,38 @@ def test_repetition_stats_vs_loop_reference():
         assert got["top_share"].iloc[i] == max(c.values()) / len(toks)
         flag = (1.0 - len(c) / len(toks) > 0.75) or (max(c.values()) / len(toks) > 0.2)
         assert got["flagged"].iloc[i] == int(flag)
+
+
+def test_grouped_cumsum_straddling_and_tiny_groups(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(19)
+    n = 15_000
+    for n_groups in (10, 7_000):   # mega-groups straddle blocks; tiny ones don't
+        df = pd.DataFrame({"g": rng.integers(0, n_groups, n),
+                           "t": rng.permutation(n),
+                           "v": rng.integers(1, 9, n)})
+        out = (scan.grouped_cumulative_sum_ds(
+                   rd.from_pandas(df).repartition(11), "g", ["t"], "v",
+                   out_col="cs")
+               .to_pandas().sort_values(["g", "t"]).reset_index(drop=True))
+        exp = df.sort_values(["g", "t"]).groupby("g")["v"].cumsum().to_numpy()
+        np.testing.assert_array_equal(out["cs"].to_numpy(), exp)
+
+
+def test_grouped_cumsum_exclusive_zero_per_group_head(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(23)
+    df = pd.DataFrame({"g": rng.integers(0, 25, 4_000),
+                       "t": rng.permutation(4_000),
+                       "v": rng.integers(1, 9, 4_000)})
+    out = (scan.grouped_cumulative_sum_ds(
+               rd.from_pandas(df).repartition(7), "g", ["t"], "v",
+               out_col="cs", exclusive=True)
+           .to_pandas().sort_values(["g", "t"]).reset_index(drop=True))
+    srt = df.sort_values(["g", "t"])
+    exp = srt.groupby("g")["v"].cumsum().to_numpy() - srt["v"].to_numpy()
+    np.testing.assert_array_equal(out["cs"].to_numpy(), exp)
+    heads = out.groupby("g").head(1)
+    assert (heads["cs"] == 0).all()
