@@ -942,6 +942,58 @@ def customer_running_spend(sf_dir: str):
     return res.sort_values("o_orderkey").reset_index(drop=True)
 
 
+def trailing_event_volume(sf_dir: str):
+    """Per-row trailing time-window aggregate — ``SUM(...) OVER (ORDER BY
+    ts RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)`` — as a
+    bin-replicated self-join: every event lands in its own W-bin as a
+    probe, replicates into bins (b, b+1) as a build row, and a hash join
+    on the bin key + a vectorized residual filter meets each qualifying
+    (probe, build) pair EXACTLY once (qualifying builds span at most two
+    W-bins because the window width equals the bin width). Nothing is
+    ordered globally and nothing is sequential — the trailing sum of a
+    range window is local by definition, so this beats a prefix-scan
+    composition (whose predecessor lookup would be an as-of join).
+    Cents as int64 end-to-end (exact)."""
+    W_US = 3_600_000_000  # 1-hour window == bin width
+
+    events = _read(sf_dir, "events", ["event_id", "ts", "value"])
+
+    def probe(b: pd.DataFrame) -> pd.DataFrame:
+        t = b["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        return pd.DataFrame({"event_id": b["event_id"].to_numpy(np.int64),
+                             "t": t, "bin": t // W_US})
+
+    def build(b: pd.DataFrame) -> pd.DataFrame:
+        t = b["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        cents = np.round(b["value"].to_numpy(np.float64) * 100).astype(np.int64)
+        one = pd.DataFrame({"rbin": t // W_US, "rt": t, "cents": cents})
+        two = one.assign(rbin=one["rbin"] + 1)
+        return pd.concat([one, two], ignore_index=True)
+
+    joined = (events.map_batches(probe, batch_format="pandas")
+              .join(events.map_batches(build, batch_format="pandas"),
+                    join_type="inner", num_partitions=8,
+                    on=("bin",), right_on=("rbin",)))
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        t = b["t"].to_numpy()
+        rt = b["rt"].to_numpy()
+        m = (rt >= t - W_US) & (rt <= t)
+        return (b.loc[m].groupby("event_id", as_index=False)
+                .agg(trailing_cents=("cents", "sum"), n_window=("cents", "size")))
+
+    def fold(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("event_id", as_index=False).agg(
+            trailing_cents=("trailing_cents", "sum"), n_window=("n_window", "sum"))
+
+    out = _sorted_fold(joined.map_batches(partial, batch_format="pandas"),
+                       ["event_id"], fold)
+    out["event_id"] = out["event_id"].astype(np.int64)
+    out["trailing_cents"] = out["trailing_cents"].astype(np.int64)
+    out["n_window"] = out["n_window"].astype(np.int64)
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 # Token budget per training shard for token_shard_assignment (greedy
 # contiguous packing: a doc never splits; a shard closes when its budget
 # is exhausted by the NEXT doc's arrival).
@@ -1369,6 +1421,7 @@ QUERIES = {
     "doc_repetition": doc_repetition,
     "running_revenue": running_revenue,
     "customer_running_spend": customer_running_spend,
+    "trailing_event_volume": trailing_event_volume,
     "token_shard_assignment": token_shard_assignment,
     "minhash_near_dups": minhash_near_dups,
     "ngram_jaccard_dups": ngram_jaccard_dups,
@@ -1554,6 +1607,17 @@ ORACLE_SQL = {
                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                     AS BIGINT) AS running_cents
         FROM orders""",
+    "trailing_event_volume": """
+        SELECT event_id,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                    OVER (ORDER BY ts
+                          RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                                AND CURRENT ROW) AS BIGINT) AS trailing_cents,
+               CAST(COUNT(*)
+                    OVER (ORDER BY ts
+                          RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                                AND CURRENT ROW) AS BIGINT) AS n_window
+        FROM events""",
     "customer_running_spend": """
         SELECT o_orderkey, o_custkey,
                CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
