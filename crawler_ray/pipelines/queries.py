@@ -942,6 +942,29 @@ def customer_running_spend(sf_dir: str):
     return res.sort_values("o_orderkey").reset_index(drop=True)
 
 
+# Training-mixture sampling rates per language (percent). Deterministic
+# hash-Bernoulli per row, so the mixture is reproducible on any cluster
+# size / block layout and exactly oracle-checkable (same predicate in SQL).
+MIXTURE_RATES = {"en": 10, "es": 20, "de": 30, "fr": 40, "zh": 50}
+
+
+def stratified_sample(sf_dir: str, seed: int = 42):
+    """Stratified (mixture-weighted) sampling — the data-mixing step of a
+    training pipeline: each language keeps a different deterministic
+    fraction via murmur64(doc_id XOR seed) % 100 < rate[lang]. The rate
+    table is O(strata) and ships inside the batch fn; the filter is one
+    vectorized pass, zero shuffle at any corpus size."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def pick(b: pd.DataFrame, s=seed) -> pd.DataFrame:
+        h = _murmur64(b["doc_id"].to_numpy(np.int64).view(np.uint64) ^ np.uint64(s))
+        rate = b["lang"].map(MIXTURE_RATES).fillna(0).to_numpy(np.uint64)
+        return b.loc[(h % np.uint64(100)) < rate]
+
+    out = ds.map_batches(pick, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def trailing_event_volume(sf_dir: str):
     """Per-row trailing time-window aggregate — ``SUM(...) OVER (ORDER BY
     ts RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)`` — as a
@@ -1422,6 +1445,7 @@ QUERIES = {
     "running_revenue": running_revenue,
     "customer_running_spend": customer_running_spend,
     "trailing_event_volume": trailing_event_volume,
+    "stratified_sample": stratified_sample,
     "token_shard_assignment": token_shard_assignment,
     "minhash_near_dups": minhash_near_dups,
     "ngram_jaccard_dups": ngram_jaccard_dups,
@@ -1607,6 +1631,11 @@ ORACLE_SQL = {
                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                     AS BIGINT) AS running_cents
         FROM orders""",
+    "stratified_sample": """
+        SELECT doc_id, lang FROM documents
+        WHERE hash(xor(CAST(doc_id AS BIGINT), CAST(42 AS BIGINT))) % 100 <
+              CASE lang WHEN 'en' THEN 10 WHEN 'es' THEN 20 WHEN 'de' THEN 30
+                        WHEN 'fr' THEN 40 WHEN 'zh' THEN 50 ELSE 0 END""",
     "trailing_event_volume": """
         SELECT event_id,
                CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
