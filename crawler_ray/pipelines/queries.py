@@ -902,7 +902,12 @@ def running_revenue(sf_dir: str):
     two-pass prefix scan (``functions/scan.py``): one sort exchange,
     O(blocks) carry summaries on the driver, in-block vectorized cumsum.
     Cents as int64 end-to-end, so engine and oracle sums are EXACT (a
-    float running sum differs between engines by accumulation order)."""
+    float running sum differs between engines by accumulation order).
+    The operator output is a LAZY Dataset; this query gathers it only
+    because the driver contract compares full frames — a production
+    caller writes/iterates the Dataset (O(result) never sits on the
+    driver).
+    """
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_totalprice"])
 
     def to_cents(b: pd.DataFrame) -> pd.DataFrame:
@@ -924,7 +929,12 @@ def customer_running_spend(sf_dir: str):
     distributed scan (``functions/scan.py``): the per-group running state
     a naive implementation would centralize never exists; the driver sees
     two partial sums per block regardless of customer cardinality. Cents
-    as int64 end-to-end (exact)."""
+    as int64 end-to-end (exact).
+    The operator output is a LAZY Dataset; this query gathers it only
+    because the driver contract compares full frames — a production
+    caller writes/iterates the Dataset (O(result) never sits on the
+    driver).
+    """
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate",
                                   "o_totalprice"])
 
@@ -976,7 +986,12 @@ def trailing_event_volume(sf_dir: str):
     ordered globally and nothing is sequential — the trailing sum of a
     range window is local by definition, so this beats a prefix-scan
     composition (whose predecessor lookup would be an as-of join).
-    Cents as int64 end-to-end (exact)."""
+    Cents as int64 end-to-end (exact).
+    The operator output is a LAZY Dataset; this query gathers it only
+    because the driver contract compares full frames — a production
+    caller writes/iterates the Dataset (O(result) never sits on the
+    driver).
+    """
     W_US = 3_600_000_000  # 1-hour window == bin width
 
     events = _read(sf_dir, "events", ["event_id", "ts", "value"])
@@ -1029,7 +1044,12 @@ def token_shard_assignment(sf_dir: str):
     // budget, the standard contiguous-packing formulation (a shard may
     overflow by at most one doc, which is what real packers ship). Uses the
     distributed prefix scan; per-doc token counts come from one vectorized
-    map, and nothing corpus-scale touches the driver."""
+    map, and nothing corpus-scale touches the driver.
+    The operator output is a LAZY Dataset; this query gathers it only
+    because the driver contract compares full frames — a production
+    caller writes/iterates the Dataset (O(result) never sits on the
+    driver).
+    """
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def count_tokens(b: pd.DataFrame) -> pd.DataFrame:
