@@ -1422,6 +1422,217 @@ def video_near_dups(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Round-4 additions: OLAP rollup, sketch quantiles, anti-join, retrieval,
+# decontamination
+# ---------------------------------------------------------------------------
+
+def rollup_lang_source(sf_dir: str):
+    """Multi-level ROLLUP aggregate over (lang, source) in ONE data pass:
+    the combiner shrinks each batch to the FINEST grouping set only, and the
+    coarser levels derive from the folded finest-level frame (exact for
+    counts/sums), so the shuffle moves O(finest groups) rows — never one
+    replica of the fact table per grouping set, which is what a naive
+    ROLLUP plan (union of three scans) costs at 100 TB."""
+    ds = _read(sf_dir, "documents", ["lang", "source", "n_chars"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby(["lang", "source"], as_index=False).agg(
+            n_docs=("n_chars", "size"), total_chars=("n_chars", "sum"))
+
+    fine = _fold(ds.map_batches(partial, batch_format="pandas"),
+                 ["lang", "source"],
+                 dict(n_docs=("n_docs", "sum"), total_chars=("total_chars", "sum")))
+    by_lang = fine.groupby("lang", as_index=False)[["n_docs", "total_chars"]].sum()
+    by_lang["source"] = "ALL"
+    total = pd.DataFrame({"lang": ["ALL"], "source": ["ALL"],
+                          "n_docs": [fine["n_docs"].sum()],
+                          "total_chars": [fine["total_chars"].sum()]})
+    out = pd.concat([fine, by_lang, total], ignore_index=True)
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    out["total_chars"] = out["total_chars"].astype(np.int64)
+    return (out[["lang", "source", "n_docs", "total_chars"]]
+            .sort_values(["lang", "source"]).reset_index(drop=True))
+
+
+def histogram_quantiles(sf_dir: str):
+    """Approximate per-group quantiles via a MERGEABLE fixed-grid histogram
+    sketch (the deterministic counterpart of t-digest/KLL): each batch folds
+    its values into integer bins (floor(value/w)), partials merge by
+    ADDITION — associative, so block layout cannot perturb the sketch — and
+    the driver walks O(groups × bins) cumulative counts once. The estimate
+    is the upper edge of the bin holding the target rank; the rank threshold
+    is pure-integer ((n·pct + 99) // 100) so no float-ceil ambiguity can
+    split engine and oracle."""
+    W = 2.0
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        bins = np.floor(b["value"].to_numpy(np.float64) / W).astype(np.int64)
+        return (b.assign(bin=bins).groupby(["event_type", "bin"], as_index=False)
+                .size().rename(columns={"size": "c"}))
+
+    h = _fold(ds.map_batches(partial, batch_format="pandas"),
+              ["event_type", "bin"], dict(c=("c", "sum")))
+    rows = []
+    for et, g in h.sort_values("bin").groupby("event_type"):
+        n = int(g["c"].sum())
+        cc = g["c"].cumsum().to_numpy(np.int64)
+        edges = g["bin"].to_numpy(np.int64)
+        est = {nm: float((edges[np.searchsorted(cc, (n * pct + 99) // 100)] + 1) * W)
+               for nm, pct in (("p50_est", 50), ("p95_est", 95), ("p99_est", 99))}
+        rows.append(dict(event_type=et, n=n, **est))
+    out = pd.DataFrame(rows)
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def customers_without_orders(sf_dir: str):
+    """Distributed ANTI-join: customers holding no pending ('P') order,
+    rolled up per market segment. The order side prunes to the status at
+    the Arrow scan and shrinks to DISTINCT keys in place (keyed repartition
+    co-locates duplicates; per-block drop_duplicates is then globally
+    distinct — kernels emit typed empties because empty hash partitions
+    arrive schema-less), and a distributed left-outer hash join marks
+    matches; nothing is collected or broadcast on either side."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    okeys = _read(sf_dir, "orders", ["o_custkey", "o_orderstatus"],
+                  filter=pc.field("o_orderstatus") == "P").drop_columns(["o_orderstatus"])
+
+    def distinct_block(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0 or "o_custkey" not in b.columns:
+            return pd.DataFrame({"o_custkey": pd.Series(dtype=np.int64),
+                                 "matched": pd.Series(dtype=np.int64)})
+        out = b.drop_duplicates().copy()
+        out["matched"] = np.int64(1)
+        return out.astype({"o_custkey": np.int64, "matched": np.int64})
+
+    # materialize while the context snapshot is flipped to HASH_SHUFFLE,
+    # then un-flip — the final chain otherwise executes this lineage under
+    # the default sort-shuffle context and the keyed exchange refuses
+    dk = (_keyed(okeys).repartition(8, keys=["o_custkey"])
+          .map_batches(distinct_block, batch_format="pandas").materialize())
+    dk.context.shuffle_strategy = rd.DataContext.get_current().shuffle_strategy
+    joined = cust.join(dk, join_type="left_outer", num_partitions=8,
+                       on=("c_custkey",), right_on=("o_custkey",))
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        miss = b.loc[b["matched"].isna()]
+        return (miss.groupby("c_mktsegment", as_index=False)
+                .size().rename(columns={"size": "n_customers"}))
+
+    out = _fold(joined.map_batches(partial, batch_format="pandas"),
+                ["c_mktsegment"], dict(n_customers=("n_customers", "sum")))
+    out["n_customers"] = out["n_customers"].astype(np.int64)
+    return out.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+# BM25 constants shared by engine and oracle; the oracle SQL spells out the
+# identical float expression term-by-term in this tuple's order so both
+# sides execute the same IEEE op sequence.
+_BM25_TERMS = ("dup", "hash", "spark", "window")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def bm25_search(sf_dir: str, k: int = 15):
+    """BM25 top-k retrieval (Robertson's probabilistic ranking; the Lucene
+    idf form ln(1+(N−df+0.5)/(df+0.5)), public) as TWO streaming passes:
+    pass 1 folds per-batch partials into the corpus stats (N, avgdl, df per
+    query term — O(terms) numbers on the driver); pass 2 re-scans, scores
+    every batch fully vectorized against the broadcast stats, and keeps its
+    LOCAL top-k, so the driver merges O(batches × k) candidate rows — the
+    classic scatter-gather top-k retrieval shape. Score terms accumulate in
+    fixed term order and round to 4 decimals on both sides."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    terms = _BM25_TERMS
+
+    def stats_partial(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].astype("string").str.split(" ")
+        dl = toks.str.len().to_numpy(np.int64)
+        ex = toks.explode()
+        row = {"n_docs": [np.int64(len(b))], "sum_dl": [dl.sum()]}
+        for t in terms:
+            row[f"df_{t}"] = [np.int64((ex == t).groupby(level=0).any().sum())]
+        return pd.DataFrame(row)
+
+    st = ds.map_batches(stats_partial, batch_format="pandas").to_pandas().sum()
+    n = int(st["n_docs"])
+    avgdl = st["sum_dl"] / st["n_docs"]  # int64/int64 → float64, same op as SQL
+    idf = {t: float(np.log(1.0 + (n - st[f"df_{t}"] + 0.5) / (st[f"df_{t}"] + 0.5)))
+           for t in terms}
+
+    def score_topk(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].astype("string").str.split(" ")
+        dl = toks.str.len().to_numpy(np.float64)
+        ex = toks.explode()
+        denom_base = _BM25_K1 * (1.0 - _BM25_B + _BM25_B * (dl / avgdl))
+        score = np.zeros(len(b))
+        for t in terms:  # fixed order == the oracle expression's order
+            tf = ((ex == t).groupby(level=0).sum()
+                  .reindex(toks.index).fillna(0).to_numpy(np.float64))
+            score = score + idf[t] * (tf * (_BM25_K1 + 1.0)) / (tf + denom_base)
+        out = pd.DataFrame({"doc_id": b["doc_id"].to_numpy(np.int64),
+                            "score": np.round(score, 4)})
+        out = out.loc[out["score"] > 0]
+        return (out.sort_values(["score", "doc_id"], ascending=[False, True],
+                                kind="mergesort").head(k))
+
+    parts = ds.map_batches(score_topk, batch_format="pandas").to_pandas()
+    return (parts.sort_values(["score", "doc_id"], ascending=[False, True],
+                              kind="mergesort").head(k).reset_index(drop=True))
+
+
+def _five_grams(b: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized word-5-gram extraction: one token explode, then four
+    shifted string concats masked at document boundaries — no per-row
+    Python. Documents fixture text is strictly single-space-joined tokens,
+    so split(' ') matches the oracle's string_split exactly."""
+    toks = b["text"].astype("string").str.split(" ")
+    lens = toks.str.len().to_numpy(np.int64)
+    doc = np.repeat(b["doc_id"].to_numpy(np.int64), lens)
+    s = toks.explode().astype("string").reset_index(drop=True)
+    g = s
+    for j in range(1, 5):
+        g = g + " " + s.shift(-j)
+    m = np.zeros(len(s), dtype=bool)
+    if len(s) >= 5:
+        m[: len(s) - 4] = doc[: len(s) - 4] == doc[4:]
+    return pd.DataFrame({"doc_id": doc[m], "gram": g.to_numpy()[m]})
+
+
+def benchmark_decontaminate(sf_dir: str):
+    """Training-data decontamination: flag corpus docs sharing any word
+    5-gram with a benchmark/eval set (docs with doc_id % 97 == 0 stand in
+    for the eval suite) — the GPT-3-style n-gram overlap scrub (Brown et
+    al. 2020 app. C, public). The benchmark gram set is tiny BY NATURE
+    (evals are KBs, the corpus is TBs), so it ships once per actor via
+    ``ray.put`` and the corpus pass is an embarrassingly-parallel membership
+    scan with a per-doc occurrence count — zero shuffle at any corpus
+    size. Exact string membership (no hashing), so no collision can split
+    engine and oracle."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    bench = (ds.map_batches(lambda b: b.loc[b["doc_id"] % 97 == 0],
+                            batch_format="pandas")
+             .map_batches(_five_grams, batch_format="pandas").to_pandas())
+    ref = ray.put(frozenset(bench["gram"]))
+
+    class Scan:
+        def __init__(self):
+            self.grams = ray.get(ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            b = b.loc[b["doc_id"] % 97 != 0]
+            g = _five_grams(b)
+            hit = g.loc[g["gram"].isin(self.grams)]
+            return (hit.groupby("doc_id", as_index=False)
+                    .size().rename(columns={"size": "n_hits"}))
+
+    out = _fold(ds.map_batches(Scan, batch_format="pandas", concurrency=(1, 8)),
+                ["doc_id"], dict(n_hits=("n_hits", "sum")))
+    out["n_hits"] = out["n_hits"].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
 # Registry + DuckDB oracles (column names match exactly)
 # ---------------------------------------------------------------------------
 
@@ -1467,6 +1678,11 @@ QUERIES = {
     "trailing_event_volume": trailing_event_volume,
     "stratified_sample": stratified_sample,
     "token_shard_assignment": token_shard_assignment,
+    "rollup_lang_source": rollup_lang_source,
+    "histogram_quantiles": histogram_quantiles,
+    "customers_without_orders": customers_without_orders,
+    "bm25_search": bm25_search,
+    "benchmark_decontaminate": benchmark_decontaminate,
     "minhash_near_dups": minhash_near_dups,
     "ngram_jaccard_dups": ngram_jaccard_dups,
     "simhash_near_dups": simhash_near_dups,
@@ -1687,6 +1903,39 @@ ORACLE_SQL = {
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
                       AS BIGINT), 0) // 4096 AS BIGINT) AS shard_id
         FROM toks""",
+    "rollup_lang_source": """
+        SELECT COALESCE(lang, 'ALL') AS lang, COALESCE(source, 'ALL') AS source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM documents GROUP BY ROLLUP(lang, source) ORDER BY 1, 2""",
+    "histogram_quantiles": """
+        WITH b AS (SELECT event_type, CAST(FLOOR(value / 2.0e0) AS BIGINT) AS bin,
+                          COUNT(*) AS c FROM events GROUP BY 1, 2),
+        cum AS (SELECT event_type, bin,
+                       SUM(c) OVER (PARTITION BY event_type ORDER BY bin) AS cc,
+                       SUM(c) OVER (PARTITION BY event_type) AS n FROM b)
+        SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+               MIN(CASE WHEN cc >= (n*50 + 99)//100 THEN (bin+1)*2.0e0 END) AS p50_est,
+               MIN(CASE WHEN cc >= (n*95 + 99)//100 THEN (bin+1)*2.0e0 END) AS p95_est,
+               MIN(CASE WHEN cc >= (n*99 + 99)//100 THEN (bin+1)*2.0e0 END) AS p99_est
+        FROM cum GROUP BY event_type ORDER BY event_type""",
+    "customers_without_orders": """
+        SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderstatus = 'P')
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "benchmark_decontaminate": """
+        WITH d AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        g AS (SELECT doc_id, array_to_string(ts[i:i+4], ' ') AS gram
+              FROM d, UNNEST(range(1, len(ts) - 3)) AS t(i)
+              WHERE len(ts) >= 5),
+        bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0)
+        SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+        FROM g JOIN bench USING (gram)
+        WHERE g.doc_id % 97 <> 0
+        GROUP BY g.doc_id ORDER BY g.doc_id""",
     "ngram_jaccard_dups": """
         WITH toks AS (
           SELECT doc_id,
@@ -1727,3 +1976,35 @@ ORACLE_SQL = {
                ROUND(SUM(SQRT(CAST(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) AS DOUBLE))) / COUNT(*), 4) AS avg_norm
         FROM embeddings GROUP BY label""",
 }
+
+
+def _bm25_oracle() -> str:
+    """Unrolled BM25 oracle: one contribution expression per query term, in
+    ``_BM25_TERMS`` order, so the SQL executes the identical left-to-right
+    float accumulation as the engine's fixed-order term loop. All float
+    literals use exponent form (0.5e0) — a bare 0.5 is DECIMAL in DuckDB and
+    decimal arithmetic would diverge from the engine's float64 ops."""
+    dfs = ",\n               ".join(
+        f"SUM(CASE WHEN list_contains(ts, '{t}') THEN 1 ELSE 0 END) AS df_{t}"
+        for t in _BM25_TERMS)
+    contribs = "\n             + ".join(
+        f"LN(1.0e0 + (st.n - st.df_{t} + 0.5e0) / (st.df_{t} + 0.5e0))"
+        f" * (length(list_filter(ts, x -> x = '{t}')) * (1.2e0 + 1.0e0))"
+        f" / (length(list_filter(ts, x -> x = '{t}'))"
+        f" + 1.2e0 * (1.0e0 - 0.75e0 + 0.75e0 * (len(ts) / st.avgdl)))"
+        for t in _BM25_TERMS)
+    return f"""
+        WITH d AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        st AS (SELECT COUNT(*) AS n, SUM(len(ts)) / COUNT(*) AS avgdl,
+               {dfs}
+               FROM d),
+        sc AS (SELECT doc_id,
+               {contribs}
+               AS score
+               FROM d, st)
+        SELECT doc_id, ROUND(score, 4) AS score FROM sc
+        WHERE ROUND(score, 4) > 0
+        ORDER BY ROUND(score, 4) DESC, doc_id LIMIT 15"""
+
+
+ORACLE_SQL["bm25_search"] = _bm25_oracle()

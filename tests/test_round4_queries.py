@@ -1,0 +1,89 @@
+"""Round-4 query additions vs their DuckDB oracles at sf0.001: ROLLUP,
+histogram-sketch quantiles, anti-join, BM25 retrieval, decontamination.
+
+Each test compares the engine result to the oracle SQL the same way the
+driver does (columns sorted by name, rows sorted, exact equality)."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in ("documents", "events", "customer", "orders"):
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return c
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def _check(name: str, con) -> pd.DataFrame:
+    from crawler_ray.pipelines.queries import ORACLE_SQL, QUERIES
+
+    got = QUERIES[name](SF)
+    if hasattr(got, "to_pandas"):
+        got = got.to_pandas()
+    exp = con.execute(ORACLE_SQL[name]).df()
+    a, b = _norm(got), _norm(exp)
+    assert list(a.columns) == list(b.columns), (a.columns, b.columns)
+    assert len(a) == len(b), (name, len(a), len(b))
+    for c in a.columns:
+        bb = b[c].astype(a[c].dtype) if a[c].dtype != b[c].dtype else b[c]
+        assert (a[c].to_numpy() == bb.to_numpy()).all(), (name, c)
+    return got
+
+
+def test_rollup_lang_source(ray_session, con):
+    out = _check("rollup_lang_source", con)
+    total = out.loc[(out["lang"] == "ALL") & (out["source"] == "ALL"), "n_docs"]
+    assert int(total.iloc[0]) == out.loc[out["source"] != "ALL", "n_docs"].sum()
+
+
+def test_histogram_quantiles(ray_session, con):
+    out = _check("histogram_quantiles", con)
+    # sketch estimate brackets the true quantile within one bin width
+    vals = pd.read_parquet(f"{SF}/events.parquet", columns=["event_type", "value"])
+    for _, r in out.iterrows():
+        true_p50 = vals.loc[vals["event_type"] == r["event_type"], "value"].quantile(0.5)
+        assert abs(r["p50_est"] - true_p50) <= 2.0 + 1e-9
+
+
+def test_customers_without_orders(ray_session, con):
+    out = _check("customers_without_orders", con)
+    assert out["n_customers"].sum() > 0  # fixture guarantees some
+
+
+def test_bm25_search(ray_session, con):
+    out = _check("bm25_search", con)
+    assert len(out) == 15
+    # descending score, doc_id tiebreak
+    s = out["score"].to_numpy()
+    assert (np.diff(s) <= 1e-12).all()
+
+
+def test_benchmark_decontaminate(ray_session, con):
+    out = _check("benchmark_decontaminate", con)
+    assert (out["doc_id"] % 97 != 0).all()  # benchmark docs never flag themselves
+
+
+def test_five_grams_kernel_boundaries():
+    from crawler_ray.pipelines.queries import _five_grams
+
+    b = pd.DataFrame({"doc_id": np.array([1, 2, 3], np.int64),
+                      "text": ["a b c d e f", "x y z w v", "p q"]})
+    g = _five_grams(b)
+    # doc 1: two 5-grams; doc 2: one; doc 3 (len<5): none — and no gram
+    # may ever span the doc boundary
+    assert g.loc[g["doc_id"] == 1, "gram"].tolist() == ["a b c d e", "b c d e f"]
+    assert g.loc[g["doc_id"] == 2, "gram"].tolist() == ["x y z w v"]
+    assert (g["doc_id"] != 3).all()

@@ -19,12 +19,16 @@ con = duckdb.connect()
 for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
 
-t0 = time.time()
-r = e.entry()
-n = r.count()
-print(f"entry: {time.time()-t0:.1f}s rows={n}")
+only = set(sys.argv[1:])  # optional query-name filter: python tools/driver_sim.py q1 q2
+if not only:
+    t0 = time.time()
+    r = e.entry()
+    n = r.count()
+    print(f"entry: {time.time()-t0:.1f}s rows={n}")
 
 qs = e.queries()
+if only:
+    qs = {k: v for k, v in qs.items() if k in only}
 sqls = e.oracle_sql()
 results = {}
 for name, fn in qs.items():
