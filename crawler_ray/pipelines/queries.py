@@ -1632,6 +1632,54 @@ def benchmark_decontaminate(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def pagerank_users(sf_dir: str):
+    """Iterative distributed PageRank (Brin & Page 1998) over a derived
+    interaction graph (src = user_id, dst = event_id % 150, distinct) in
+    EXACT integer arithmetic — functions/graph.py: integer unit flow is
+    associative, so engine, the 10-round unrolled SQL oracle and any
+    cluster size produce bit-identical ranks (float PageRank differs in
+    ulps between summation orders and cannot be oracle-checked). The tiny
+    derived graph takes the in-memory fast path; the broadcast and join
+    scale modes are pinned bit-identical in tests/test_graph.py."""
+    from crawler_ray.functions import graph
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id"])
+    edges = ds.map_batches(
+        lambda b: pd.DataFrame({"src": b["user_id"].to_numpy(np.int64),
+                                "dst": b["event_id"].to_numpy(np.int64) % 150}),
+        batch_format="pandas")
+    out = graph.pagerank_units(graph.distinct_edges(edges), n_iters=10)
+    return out
+
+
+def _pagerank_oracle(n_iters: int = 10, total_units: int = 10**12,
+                     damping_pct: int = 85) -> str:
+    """Unrolled SQL power iteration: one CTE per round, pure integer
+    arithmetic (``//`` floors), identical semantics to graph.pagerank_units."""
+    rem = 100 - damping_pct
+    head = f"""
+        WITH e AS (SELECT DISTINCT user_id AS src, event_id % 150 AS dst FROM events),
+        nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY src),
+        consts AS (SELECT CAST({total_units} // COUNT(*) AS BIGINT) AS r0,
+                          CAST(({total_units} * {rem} // 100) // COUNT(*) AS BIGINT) AS base
+                   FROM nodes),
+        r0 AS (SELECT node, (SELECT r0 FROM consts) AS u FROM nodes)"""
+    rounds = "".join(f""",
+        r{i + 1} AS (
+          SELECT n.node,
+                 (SELECT base FROM consts)
+                 + COALESCE(SUM((r.u * {damping_pct} // 100) // deg.d), 0) AS u
+          FROM nodes n
+          LEFT JOIN e ON e.dst = n.node
+          LEFT JOIN r{i} r ON r.node = e.src
+          LEFT JOIN deg ON deg.src = e.src
+          GROUP BY n.node)""" for i in range(n_iters))
+    return (head + rounds
+            + f"\n        SELECT node, CAST(u AS BIGINT) AS rank_units"
+              f" FROM r{n_iters} ORDER BY node")
+
+
 # ---------------------------------------------------------------------------
 # Registry + DuckDB oracles (column names match exactly)
 # ---------------------------------------------------------------------------
@@ -1683,6 +1731,7 @@ QUERIES = {
     "customers_without_orders": customers_without_orders,
     "bm25_search": bm25_search,
     "benchmark_decontaminate": benchmark_decontaminate,
+    "pagerank_users": pagerank_users,
     "minhash_near_dups": minhash_near_dups,
     "ngram_jaccard_dups": ngram_jaccard_dups,
     "simhash_near_dups": simhash_near_dups,
@@ -2008,3 +2057,4 @@ def _bm25_oracle() -> str:
 
 
 ORACLE_SQL["bm25_search"] = _bm25_oracle()
+ORACLE_SQL["pagerank_users"] = _pagerank_oracle()

@@ -1,0 +1,77 @@
+"""PageRank operator (functions/graph.py): the three execution modes must
+be BIT-IDENTICAL (integer arithmetic is associative), distinct_edges must
+be globally exact, and rank mass must behave (sinks keep base units)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from crawler_ray.functions import graph
+
+
+@pytest.fixture(scope="module")
+def planted(ray_session):
+    """A planted graph with hubs, a dangling (sink) node, an in-degree-0
+    node and duplicate raw edges, split over many blocks."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(7)
+    src = rng.integers(0, 200, 5000)
+    dst = (src * 31 + rng.integers(0, 50, 5000)) % 211  # nodes up to 210
+    df = pd.DataFrame({"src": src, "dst": dst})
+    df = pd.concat([df, df.head(500)], ignore_index=True)  # duplicates
+    ds = rd.from_pandas(df).repartition(9)
+    return df, graph.distinct_edges(ds, num_partitions=4)
+
+
+def test_distinct_edges_exact(planted):
+    df, edges = planted
+    got = edges.to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+    exp = (df.drop_duplicates().astype(np.int64)
+           .sort_values(["src", "dst"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_three_modes_bit_identical(planted):
+    _, edges = planted
+    inmem = graph.pagerank_units(edges, n_iters=4, mode="inmem")
+    bcast = graph.pagerank_units(edges, n_iters=4, mode="broadcast")
+    join = graph.pagerank_units(edges, n_iters=4, mode="join", num_partitions=4)
+    pd.testing.assert_frame_equal(inmem, bcast)
+    pd.testing.assert_frame_equal(inmem, join)
+
+
+def test_rank_semantics_vs_loop_reference(planted):
+    """Independent per-edge Python-loop reference (no numpy scatter)."""
+    df, edges = planted
+    e = df.drop_duplicates()
+    nodes = sorted(set(e["src"]) | set(e["dst"]))
+    deg = e.groupby("src").size().to_dict()
+    total, damp = 10**12, 85
+    base = (total * (100 - damp) // 100) // len(nodes)
+    r = {v: total // len(nodes) for v in nodes}
+    for _ in range(4):
+        nxt = {v: base for v in nodes}
+        for s, d_ in e.itertuples(index=False):
+            nxt[d_] += (r[s] * damp // 100) // deg[s]
+        r = nxt
+    exp = pd.DataFrame({"node": nodes,
+                        "rank_units": [r[v] for v in nodes]}).astype(np.int64)
+    got = graph.pagerank_units(edges, n_iters=4, mode="inmem")
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_sink_keeps_base_only():
+    import ray.data as rd
+
+    # 0→1, 0→2, 1→2; node 2 is a sink (its mass drains), node 0 has no
+    # in-edges so after round 1 it holds exactly the base units
+    e = rd.from_pandas(pd.DataFrame({"src": [0, 0, 1], "dst": [1, 2, 2]}))
+    out = graph.pagerank_units(graph.distinct_edges(e, num_partitions=2),
+                               n_iters=3, mode="inmem")
+    total, n = 10**12, 3
+    base = (total * 15 // 100) // n
+    assert out.loc[out["node"] == 0, "rank_units"].iloc[0] == base
+    assert out["rank_units"].sum() < total  # floor + sink losses only shrink
