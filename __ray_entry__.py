@@ -332,7 +332,8 @@ _GOLDEN_CHECKED = (
     "minhash_near_dups", "simhash_near_dups",
     "near_dup_clusters", "lang_id_confusion", "doc_fingerprints",
     "approx_distinct_tokens",
-    "ann_lsh_topk", "ann_ivf_topk", "crawl_page_lookup", "crawl_city_pages",
+    "ann_lsh_topk", "ann_ivf_topk", "kmeans_embeddings",
+    "crawl_page_lookup", "crawl_city_pages",
     "crawl_city_locations", "crawl_similar_nearby", "image_thumbnails",
     "crawl_recrawl_delta", "training_shards",
     "audio_clip_features", "video_frame_sample",

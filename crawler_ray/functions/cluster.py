@@ -1,0 +1,99 @@
+"""Distributed Lloyd's k-means with EXACT integer state.
+
+Float k-means cannot be conformance-checked across cluster sizes: centroid
+updates sum coordinates in block order, so every layout differs in ulps and
+borderline points flip clusters. This operator removes floats entirely:
+
+- coordinates quantize once to an integer grid (``round(x · scale)``,
+  int64) — deterministic, and exact for any |x| ≲ 2^53/scale;
+- a centroid is the FLOOR of the exact mean (``sum // count`` per
+  dimension), so centroids live on the same grid;
+- assignment distance is the integer squared L2 distance (≤ d·(2·scale)²
+  per point — far inside int64), per-row independent;
+- the update folds per-batch integer (sum, count) partials, and integer
+  addition is associative: any batch split, merge order or cluster size
+  yields BIT-IDENTICAL centroids, assignments and counts.
+
+Ties (equal distance to two centroids) go to the lowest cluster index;
+an emptied cluster keeps its previous centroid. Init = the k rows with the
+smallest id. The per-batch partial is O(k·d) integers serialized as one
+binary blob per cluster row, so the driver folds O(batches·k) rows.
+
+Lloyd 1982 / MacQueen 1967 (public); the integer-grid trick is the same
+determinism device as functions/graph.py's integer PageRank.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+
+DEFAULT_SCALE = 10**6
+
+
+def quantize(vectors, scale: int = DEFAULT_SCALE) -> np.ndarray:
+    """(n, d) int64 grid coordinates from a sequence of float vectors."""
+    x = np.asarray(np.vstack(list(vectors)), np.float64)
+    return np.rint(x * scale).astype(np.int64)
+
+
+def assign_ids(xq: np.ndarray, cent: np.ndarray) -> np.ndarray:
+    """Nearest-centroid ids by integer squared L2; ties → lowest index."""
+    # (b, k, d) would allocate b·k·d int64 — expand via the norm identity
+    # instead: ||x−c||² = ||x||² − 2x·c + ||c||², all exact in int64 at the
+    # grid's magnitude (cross term ≤ d·scale² ≈ 2^46 per unit coordinate)
+    xx = np.einsum("nd,nd->n", xq, xq)[:, None]
+    cc = np.einsum("kd,kd->k", cent, cent)[None, :]
+    d2 = xx - 2 * (xq @ cent.T) + cc
+    return d2.argmin(axis=1)
+
+
+def kmeans_quantized(ds, id_col: str, vec_col: str, k: int = 8,
+                     n_iters: int = 5, scale: int = DEFAULT_SCALE):
+    """Run ``n_iters`` Lloyd rounds over a Dataset; returns
+    (centroids int64 (k, d), counts int64 (k,)) of the final update."""
+    init = ds.sort(id_col).limit(k).to_pandas()
+    cent = quantize(init[vec_col], scale)
+    counts = np.ones(k, np.int64)
+    dim = cent.shape[1]
+    # a k·d centroid array is small BY DESIGN — ship it in the task closure
+    # (pennies per task); past a few MB (huge-k coarse quantizers) switch to
+    # ray.put + an actor pool so it ships once per worker, not per task
+    use_actors = cent.nbytes > 4 * 2**20
+    for _ in range(n_iters):
+        def partial(b: pd.DataFrame, c=cent.copy()) -> pd.DataFrame:
+            xq = quantize(b[vec_col], scale)
+            a = assign_ids(xq, c)
+            sums = np.zeros((k, dim), np.int64)
+            np.add.at(sums, a, xq)
+            cnt = np.bincount(a, minlength=k).astype(np.int64)
+            return pd.DataFrame({
+                "cluster": np.arange(k, dtype=np.int64),
+                "cnt": cnt,
+                "sums": [row.tobytes() for row in sums],
+            })
+
+        if use_actors:
+            ref = ray.put(cent)
+
+            class Partial:
+                def __init__(self):
+                    self.c = ray.get(ref)
+
+                def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+                    return partial(b, c=self.c)
+
+            mapped = ds.map_batches(Partial, batch_format="pandas",
+                                    concurrency=(1, 8))
+        else:
+            mapped = ds.map_batches(partial, batch_format="pandas")
+        p = mapped.to_pandas()
+        counts = np.zeros(k, np.int64)
+        sums = np.zeros((k, dim), np.int64)
+        for cl, cnt, blob in p.itertuples(index=False):
+            counts[cl] += cnt
+            sums[cl] += np.frombuffer(blob, np.int64)
+        keep = counts == 0  # emptied cluster keeps its previous centroid
+        cent = np.where(keep[:, None], cent, sums // np.maximum(counts, 1)[:, None])
+    return cent, counts

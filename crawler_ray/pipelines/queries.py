@@ -1652,6 +1652,25 @@ def pagerank_users(sf_dir: str):
     return out
 
 
+def kmeans_embeddings(sf_dir: str):
+    """Distributed Lloyd's k-means (k=8, 5 rounds) over the embedding
+    vectors in EXACT integer state (functions/cluster.py): quantized-grid
+    coordinates, floor-of-mean centroids, integer distances — so any block
+    layout or cluster size yields bit-identical centroids/counts, checked
+    against an independent per-row-loop golden. Returns per-cluster size
+    and the integer squared centroid norm."""
+    from crawler_ray.functions import cluster
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cent, counts = cluster.kmeans_quantized(ds, "vec_id", "embedding",
+                                            k=8, n_iters=5)
+    return pd.DataFrame({
+        "cluster": np.arange(len(counts), dtype=np.int64),
+        "n_members": counts.astype(np.int64),
+        "centroid_norm2": np.einsum("kd,kd->k", cent, cent).astype(np.int64),
+    })
+
+
 def _pagerank_oracle(n_iters: int = 10, total_units: int = 10**12,
                      damping_pct: int = 85) -> str:
     """Unrolled SQL power iteration: one CTE per round, pure integer
@@ -1732,6 +1751,7 @@ QUERIES = {
     "bm25_search": bm25_search,
     "benchmark_decontaminate": benchmark_decontaminate,
     "pagerank_users": pagerank_users,
+    "kmeans_embeddings": kmeans_embeddings,
     "minhash_near_dups": minhash_near_dups,
     "ngram_jaccard_dups": ngram_jaccard_dups,
     "simhash_near_dups": simhash_near_dups,

@@ -476,6 +476,40 @@ def ann_golden():
     write("ann_lsh_topk", out)
 
 
+def kmeans_golden(k: int = 8, n_iters: int = 5, scale: int = 10**6):
+    """kmeans_embeddings golden: a per-row Python loop over the quantized
+    grid — integer distances and floor-of-mean centroids are exact, so this
+    independent formulation must equal the distributed engine BIT-FOR-BIT
+    (the whole point of the integer-state design)."""
+    t = pq.read_table(f"{SF}/embeddings.parquet",
+                      columns=["vec_id", "embedding"]).to_pandas()
+    t = t.sort_values("vec_id").reset_index(drop=True)
+    xq = [np.rint(np.asarray(v, np.float64) * scale).astype(np.int64)
+          for v in t["embedding"]]
+    cent = [xq[i].copy() for i in range(k)]  # k smallest vec_ids
+    counts = [1] * k
+    for _ in range(n_iters):
+        sums = [np.zeros_like(cent[0]) for _ in range(k)]
+        counts = [0] * k
+        for x in xq:
+            best, bd = 0, None
+            for j in range(k):
+                d = int(((x - cent[j]) ** 2).sum())
+                if bd is None or d < bd:  # strict < ⇒ ties keep lowest j
+                    best, bd = j, d
+            sums[best] += x
+            counts[best] += 1
+        cent = [cent[j] if counts[j] == 0 else sums[j] // counts[j]
+                for j in range(k)]
+    out = pd.DataFrame({
+        "cluster": np.arange(k, dtype=np.int64),
+        "n_members": np.asarray(counts, np.int64),
+        "centroid_norm2": np.asarray([int((c.astype(object) ** 2).sum())
+                                      for c in cent], np.int64),
+    })
+    write("kmeans_embeddings", out)
+
+
 def export_golden(o):
     """training_shards golden: pure-python loop over the oracle store —
     shard assignment (murmur64 finalizer on phash), per-shard first-wins
@@ -689,6 +723,7 @@ if __name__ == "__main__":
     text_goldens()
     ann_golden()
     ann_ivf_golden()
+    kmeans_golden()
     audio_golden()
     video_golden()
     audio_near_dup_golden()
