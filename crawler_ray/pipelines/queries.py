@@ -1632,6 +1632,108 @@ def benchmark_decontaminate(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _word_grams_pos(b: pd.DataFrame, k: int = 8) -> pd.DataFrame:
+    """Vectorized word-k-gram extraction WITH 1-based start positions and
+    per-doc token counts: one token explode, k-1 shifted string concats
+    masked at document boundaries — same zero-row-loop shape as
+    ``_five_grams``. Fixture text is strictly single-space-joined tokens,
+    so split(' ') matches the oracle's string_split exactly."""
+    toks = b["text"].astype("string").str.split(" ")
+    lens = toks.str.len().to_numpy(np.int64)
+    doc = np.repeat(b["doc_id"].to_numpy(np.int64), lens)
+    ntok = np.repeat(lens, lens)
+    starts = np.cumsum(lens) - lens
+    pos = np.arange(len(doc), dtype=np.int64) - np.repeat(starts, lens) + 1
+    s = toks.explode().astype("string").reset_index(drop=True)
+    g = s
+    for j in range(1, k):
+        g = g + " " + s.shift(-j)
+    m = np.zeros(len(s), dtype=bool)
+    if len(s) >= k:
+        m[: len(s) - (k - 1)] = doc[: len(s) - (k - 1)] == doc[k - 1:]
+    return pd.DataFrame({"doc_id": doc[m], "pos": pos[m],
+                         "n_tokens": ntok[m], "gram": g.to_numpy()[m]})
+
+
+DUP_SPAN_K = 8
+
+
+def dup_span_coverage(sf_dir: str):
+    """Exact duplicated-SPAN coverage per document (the substring-dedup
+    statistic of Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better", public): a word position is *covered* when it
+    lies inside any k-gram (k=8) that also occurs in at least one OTHER
+    document. Two record-level exchanges, nothing corpus-scale on the
+    driver:
+
+    1. gram-keyed repartition → block-local ``nunique(doc_id)`` per gram is
+       the GLOBAL cross-doc frequency (same co-location argument as
+       ``df_prefix_rows``); emit every (doc, pos) occurrence of duplicated
+       grams. A corpus-stopword gram (shared by millions of docs) makes a
+       hot key here; the mitigation at 100 TB is the same hot-bucket
+       frequency cap ``video_near_dups`` applies — a gram frequent enough
+       to be a hot key marks ALL its positions covered anyway, so capping
+       the group and emitting unconditionally is semantics-preserving.
+    2. doc-keyed repartition → per-block vectorized gaps-and-islands union
+       of the [pos, pos+k-1] intervals (sorted positions, one boolean diff
+       — no Python loop), then covered-token sums.
+
+    ``coverage_ppm`` is pure int64 arithmetic (``covered * 1e6 // n``), so
+    no float-rounding rule can split engine and oracle. Exact string grams
+    (no hashing): no collision can either."""
+    k = DUP_SPAN_K
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    rows = ds.map_batches(_word_grams_pos, fn_kwargs=dict(k=k),
+                          batch_format="pandas")
+
+    def dup_positions(b: pd.DataFrame) -> pd.DataFrame:
+        # empty hash-shuffle partitions arrive schema-less (CLAUDE.md);
+        # emit the typed shape explicitly
+        if len(b) == 0:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                                 "pos": pd.Series([], dtype=np.int64),
+                                 "n_tokens": pd.Series([], dtype=np.int64)})
+        nd = b.groupby("gram")["doc_id"].transform("nunique").to_numpy()
+        return (b.loc[nd >= 2, ["doc_id", "pos", "n_tokens"]]
+                .reset_index(drop=True))
+
+    def coverage(b: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                              "n_tokens": pd.Series([], dtype=np.int64),
+                              "covered_tokens": pd.Series([], dtype=np.int64),
+                              "coverage_ppm": pd.Series([], dtype=np.int64)})
+        if len(b) == 0:
+            return empty
+        b = b.sort_values(["doc_id", "pos"], kind="mergesort")
+        doc = b["doc_id"].to_numpy(np.int64)
+        pos = b["pos"].to_numpy(np.int64)
+        new_isl = np.ones(len(b), dtype=bool)
+        new_isl[1:] = (doc[1:] != doc[:-1]) | (pos[1:] > pos[:-1] + k - 1)
+        si = np.flatnonzero(new_isl)                      # island start idx
+        ei = np.append(si[1:] - 1, len(b) - 1)            # island end idx
+        span_len = pos[ei] + (k - 1) - pos[si] + 1
+        f = pd.DataFrame({"doc_id": doc[si], "len": span_len})
+        cov = f.groupby("doc_id", as_index=False)["len"].sum()
+        ntok = (b.drop_duplicates("doc_id")[["doc_id", "n_tokens"]]
+                .reset_index(drop=True))
+        out = ntok.merge(cov, on="doc_id")
+        covered = out["len"].to_numpy(np.int64)
+        n = out["n_tokens"].to_numpy(np.int64)
+        return pd.DataFrame({"doc_id": out["doc_id"].to_numpy(np.int64),
+                             "n_tokens": n, "covered_tokens": covered,
+                             "coverage_ppm": covered * 1_000_000 // n})
+
+    hits = (_keyed(rows).repartition(8, keys=["gram"])
+            .map_batches(dup_positions, batch_format="pandas",
+                         batch_size=None)
+            .materialize())
+    out = (hits.repartition(8, keys=["doc_id"])
+           .map_batches(coverage, batch_format="pandas", batch_size=None)
+           .materialize())
+    out.context.shuffle_strategy = rd.DataContext.get_current().shuffle_strategy
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
 def pagerank_users(sf_dir: str):
     """Iterative distributed PageRank (Brin & Page 1998) over a derived
     interaction graph (src = user_id, dst = event_id % 150, distinct) in
@@ -1750,6 +1852,7 @@ QUERIES = {
     "customers_without_orders": customers_without_orders,
     "bm25_search": bm25_search,
     "benchmark_decontaminate": benchmark_decontaminate,
+    "dup_span_coverage": dup_span_coverage,
     "pagerank_users": pagerank_users,
     "kmeans_embeddings": kmeans_embeddings,
     "minhash_near_dups": minhash_near_dups,
@@ -2005,6 +2108,32 @@ ORACLE_SQL = {
         FROM g JOIN bench USING (gram)
         WHERE g.doc_id % 97 <> 0
         GROUP BY g.doc_id ORDER BY g.doc_id""",
+    "dup_span_coverage": """
+        WITH d AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        g AS (SELECT doc_id, i AS pos, array_to_string(ts[i:i+7], ' ') AS gram,
+                     len(ts) AS n_tokens
+              FROM d, UNNEST(range(1, len(ts) - 6)) AS t(i)
+              WHERE len(ts) >= 8),
+        dup AS (SELECT gram FROM g GROUP BY gram
+                HAVING COUNT(DISTINCT doc_id) >= 2),
+        hits AS (SELECT doc_id, pos, n_tokens FROM g JOIN dup USING (gram)),
+        marks AS (SELECT doc_id, pos, n_tokens,
+                         CASE WHEN pos > lag(pos, 1, -8) OVER
+                                   (PARTITION BY doc_id ORDER BY pos) + 7
+                              THEN 1 ELSE 0 END AS new_island
+                  FROM hits),
+        isl AS (SELECT doc_id, pos, n_tokens,
+                       SUM(new_island) OVER
+                           (PARTITION BY doc_id ORDER BY pos) AS island
+                FROM marks),
+        spans AS (SELECT doc_id, ANY_VALUE(n_tokens) AS n_tokens, island,
+                         MIN(pos) AS s, MAX(pos) + 7 AS e
+                  FROM isl GROUP BY doc_id, island)
+        SELECT doc_id, CAST(ANY_VALUE(n_tokens) AS BIGINT) AS n_tokens,
+               CAST(SUM(e - s + 1) AS BIGINT) AS covered_tokens,
+               CAST((SUM(e - s + 1) * 1000000) // ANY_VALUE(n_tokens) AS BIGINT)
+                   AS coverage_ppm
+        FROM spans GROUP BY doc_id ORDER BY doc_id""",
     "ngram_jaccard_dups": """
         WITH toks AS (
           SELECT doc_id,

@@ -87,3 +87,63 @@ def test_five_grams_kernel_boundaries():
     assert g.loc[g["doc_id"] == 1, "gram"].tolist() == ["a b c d e", "b c d e f"]
     assert g.loc[g["doc_id"] == 2, "gram"].tolist() == ["x y z w v"]
     assert (g["doc_id"] != 3).all()
+
+
+def test_dup_span_coverage_oracle(ray_session, con):
+    out = _check("dup_span_coverage", con)
+    assert len(out) > 0
+    assert (out["covered_tokens"] <= out["n_tokens"]).all()
+    assert (out["coverage_ppm"] <= 1_000_000).all()
+
+
+def _loop_dup_span(docs: dict[int, str], k: int = 8) -> pd.DataFrame:
+    """Straight-line reference: gram -> doc set, then per-doc interval union."""
+    grams: dict[str, set] = {}
+    occ: dict[int, list] = {}
+    for d, text in docs.items():
+        ts = text.split(" ")
+        for i in range(len(ts) - k + 1):
+            g = " ".join(ts[i:i + k])
+            grams.setdefault(g, set()).add(d)
+            occ.setdefault(d, []).append((i + 1, g))
+    rows = []
+    for d, text in docs.items():
+        n = len(text.split(" "))
+        covered = set()
+        for pos, g in occ.get(d, []):
+            if len(grams[g]) >= 2:
+                covered.update(range(pos, pos + k))
+        if covered:
+            rows.append({"doc_id": d, "n_tokens": n,
+                         "covered_tokens": len(covered),
+                         "coverage_ppm": len(covered) * 1_000_000 // n})
+    return pd.DataFrame(rows).sort_values("doc_id").reset_index(drop=True)
+
+
+def test_dup_span_coverage_crafted(ray_session, tmp_path):
+    from crawler_ray.pipelines.queries import dup_span_coverage
+
+    S = " ".join(f"s{i}" for i in range(10))          # 10-token shared span
+    T = " ".join(f"t{i}" for i in range(9))           # 9-token shared span
+    R = " ".join(f"r{i}" for i in range(8))           # repeated WITHIN doc 2 only
+    docs = {
+        0: S + " " + " ".join(f"u{i}" for i in range(20)),
+        1: " ".join(f"v{i}" for i in range(5)) + " " + S
+           + " " + " ".join(f"w{i}" for i in range(5)) + " " + S,
+        2: R + " mid " + R,                            # intra-doc dup: excluded
+        3: T + " " + " ".join(f"x{i}" for i in range(12)),
+        4: " ".join(f"y{i}" for i in range(3)) + " " + T,
+        5: " ".join(f"z{i}" for i in range(40)),       # nothing shared
+    }
+    df = pd.DataFrame({"doc_id": np.array(sorted(docs), np.int64),
+                       "text": [docs[d] for d in sorted(docs)]})
+    df.to_parquet(tmp_path / "documents.parquet")
+    got = dup_span_coverage(str(tmp_path))
+    exp = _loop_dup_span(docs)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # the two S islands in doc 1 stay separate: 20 covered, not one 26-span
+    assert int(got.loc[got["doc_id"] == 1, "covered_tokens"].iloc[0]) == 20
+    # intra-doc-only repetition is not cross-doc duplication
+    assert 2 not in got["doc_id"].to_numpy()
+    # overlapping 8-grams inside T merge into one 9-token island
+    assert int(got.loc[got["doc_id"] == 3, "covered_tokens"].iloc[0]) == 9
