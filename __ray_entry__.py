@@ -115,6 +115,139 @@ def _image_thumbnails(sf_dir: str):
     return out.sort_values("image_id").reset_index(drop=True)
 
 
+def _image_ann_topk(sf_dir: str):
+    """Similarity search over the CRAWLED image corpus (the store as a
+    vector index): probe images — every unique image whose
+    xxh64(image_id) % 23 == 0 — retrieve their 5 nearest neighbours among
+    the remaining images by feature cosine, exact brute force
+    (functions/ann.py: broadcast probe matrix + per-batch float64 GEMM
+    partial top-k + tiny per-qid merge). image_id strings key through
+    xxh64 into the int64 ANN kernel; duplicate stored images (same id on
+    several pages) dedup locally per batch plus exactly in the O(output)
+    per-qid merge — equal ids carry identical content-derived vectors, so
+    no corpus-wide embedding shuffle is ever needed. The map-back to
+    strings is an output-sized filter join (n_probes × 5 rows — never
+    corpus-scale). Golden: independent per-image decode loop + one
+    all-pairs numpy matmul."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from crawler_ray.functions import ann
+    from crawler_ray.hashing import xxh64_array
+
+    feats = _featurized()
+
+    def keyed(b: pd.DataFrame) -> pd.DataFrame:
+        # local (per-batch) dedup only — equal image_ids carry identical
+        # content-derived vectors, so cross-batch duplicates are removed
+        # exactly in the O(output) per-qid merge below instead of paying a
+        # corpus-wide embedding shuffle
+        b = b.drop_duplicates("image_id")
+        h = xxh64_array(b["image_id"].to_numpy(object))
+        return pd.DataFrame({"vec_id": h.view(np.int64),
+                             "image_id": b["image_id"].to_numpy(object),
+                             "embedding": b["feature"].to_numpy(object)})
+
+    kd = feats.map_batches(keyed, batch_format="pandas").materialize()
+
+    is_probe = lambda v: v.view(np.uint64) % np.uint64(23) == 0  # noqa: E731
+    probes = (kd.map_batches(
+        lambda b: b.loc[is_probe(b["vec_id"].to_numpy(np.int64))],
+        batch_format="pandas").to_pandas().drop_duplicates("vec_id"))
+    assert len(probes) > 0, "probe rule selected no images"
+    qref = ray.put({"qid": probes["vec_id"].to_numpy(np.int64),
+                    "mat": np.stack([np.asarray(f, np.float64)
+                                     for f in probes["embedding"]])})
+    targets = kd.map_batches(
+        lambda b: b.loc[~is_probe(b["vec_id"].to_numpy(np.int64))],
+        batch_format="pandas")
+    partial = targets.map_batches(
+        ann.BruteForceTopK,
+        fn_constructor_kwargs=dict(queries_ref=qref, k=5),
+        batch_format="pandas", concurrency=2)
+    topk = (partial.groupby("qid")
+            .map_groups(lambda g: ann.merge_topk(g.drop_duplicates("vid"), 5),
+                        batch_format="pandas")
+            .to_pandas())
+
+    id_of = dict(zip(probes["vec_id"], probes["image_id"]))
+    need = set(topk["vid"])
+    back = (kd.map_batches(
+        lambda b, s=need: b.loc[b["vec_id"].isin(s), ["vec_id", "image_id"]],
+        batch_format="pandas").to_pandas())
+    id_of.update(zip(back["vec_id"], back["image_id"]))
+    out = pd.DataFrame({"probe_id": topk["qid"].map(id_of),
+                        "match_id": topk["vid"].map(id_of)})
+    return (out.sort_values(["probe_id", "match_id"], kind="mergesort")
+            .reset_index(drop=True))
+
+
+def _city_image_stats(sf_dir: str):
+    """CROSS-MODAL join: image store ⋈ pages on the image's source URL — a
+    distributed hash join with BOTH sides corpus-scale at 100 TB — rolled
+    up per city: stored images, distinct visual contents (phash), and the
+    floor-mean image area. Distinct phashes are a (city, phash)-keyed
+    repartition + per-block drop_duplicates (global by co-location), then
+    a per-block count folded per city; all outputs pure int64 (``//``), so
+    no float rule can split engine and golden."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from crawler_ray.pipelines.queries import _fold, _keyed
+    from crawler_ray.sources import lance_layout as ll
+
+    run = _crawl_run("queries")
+    m = ll.latest_manifest(run.root)
+    paths = ll.fragment_paths(run.root, "store", m["tables"]["store"])
+    store = rd.read_parquet(paths, columns=["image_id", "src_url", "w", "h", "phash"])
+    pages = _pages_ds(["url", "city"])
+    joined = store.join(pages, join_type="inner", num_partitions=8,
+                        on=("src_url",), right_on=("url",))
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame({"city": pd.Series([], dtype=object),
+                                 "n_images": pd.Series([], dtype=np.int64),
+                                 "total_pixels": pd.Series([], dtype=np.int64)})
+        b = b.assign(area=b["w"].astype(np.int64) * b["h"].astype(np.int64))
+        return b.groupby("city", as_index=False).agg(
+            n_images=("image_id", "size"), total_pixels=("area", "sum"))
+
+    jm = joined.materialize()
+    stats = _fold(jm.map_batches(partial, batch_format="pandas"), ["city"],
+                  dict(n_images=("n_images", "sum"),
+                       total_pixels=("total_pixels", "sum")))
+
+    def distinct_count(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame({"city": pd.Series([], dtype=object),
+                                 "n_distinct_phash": pd.Series([], dtype=np.int64)})
+        u = b.drop_duplicates(["city", "phash"])
+        return (u.groupby("city", as_index=False).size()
+                .rename(columns={"size": "n_distinct_phash"}))
+
+    pairs = jm.map_batches(
+        lambda b: b[["city", "phash"]] if len(b) else
+        pd.DataFrame({"city": pd.Series([], dtype=object),
+                      "phash": pd.Series([], dtype=np.int64)}),
+        batch_format="pandas")
+    dk = (_keyed(pairs).repartition(8, keys=["city", "phash"])
+          .map_batches(distinct_count, batch_format="pandas", batch_size=None)
+          .materialize())
+    dk.context.shuffle_strategy = rd.DataContext.get_current().shuffle_strategy
+    distinct = _fold(dk, ["city"],
+                     dict(n_distinct_phash=("n_distinct_phash", "sum")))
+
+    out = stats.merge(distinct, on="city")
+    for c in ("n_images", "total_pixels", "n_distinct_phash"):
+        out[c] = out[c].astype(np.int64)
+    out["avg_pixels"] = out["total_pixels"] // out["n_images"]
+    out = out[["city", "n_images", "n_distinct_phash", "avg_pixels"]]
+    return out.sort_values("city").reset_index(drop=True)
+
+
 def _header_stats(sf_dir: str):
     """Pages-per-server rollup over the nested ``headers`` JSON column (the
     reference's JSONB transport metadata, database_service.py:45-66)."""
@@ -302,6 +435,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["image_phash_dups"] = _phash_dups
     out["image_feature_near_dups"] = _image_feature_near_dups
     out["image_thumbnails"] = _image_thumbnails
+    out["image_ann_topk"] = _image_ann_topk
+    out["city_image_stats"] = _city_image_stats
     out["crawl_recrawl_delta"] = _recrawl_delta
     out["training_shards"] = _training_shards
     out["crawl_order"] = _crawl_table("order")
@@ -335,6 +470,7 @@ _GOLDEN_CHECKED = (
     "ann_lsh_topk", "ann_ivf_topk", "kmeans_embeddings",
     "crawl_page_lookup", "crawl_city_pages",
     "crawl_city_locations", "crawl_similar_nearby", "image_thumbnails",
+    "image_ann_topk", "city_image_stats",
     "crawl_recrawl_delta", "training_shards",
     "audio_clip_features", "video_frame_sample",
     "audio_near_dups", "video_near_dups",

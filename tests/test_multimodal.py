@@ -249,3 +249,23 @@ def test_video_shared_phash_hot_bucket_capped(ray_session):
     })
     out = multimodal.video_shared_phash_pairs(rows, min_shared=2, max_group=4)
     assert list(zip(out["video_a"], out["video_b"], out["shared"])) == [("p", "q", 2)]
+
+
+def test_ann_merge_dedups_duplicate_store_images():
+    """Duplicate stored images (same image_id from several pages) produce
+    duplicate (qid, vid, sim) partial rows; the image_ann_topk merge must
+    drop them so they cannot crowd the k-th DISTINCT neighbour out of the
+    top-k."""
+    import pandas as pd
+
+    from crawler_ray.functions.ann import merge_topk
+
+    g = pd.DataFrame({
+        "qid": [1] * 7,
+        "vid": [10, 10, 10, 11, 12, 13, 14],     # vid 10 stored 3 times
+        "sim": [0.9, 0.9, 0.9, 0.8, 0.7, 0.6, 0.5],
+    })
+    merged = merge_topk(g.drop_duplicates("vid"), 5)
+    assert merged["vid"].tolist() == [10, 11, 12, 13, 14]
+    naive = merge_topk(g, 5)                      # without dedup: 14 crowded out
+    assert 14 not in naive["vid"].tolist()

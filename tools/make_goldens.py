@@ -273,6 +273,45 @@ def image_goldens(o, params):
                             phash=np.int64(phash64(thumb))))
     write("image_thumbnails", pd.DataFrame(th_rows))
 
+    # ANN top-5 golden: same unique-image set and hash probe rule as the
+    # engine, one independent float64 all-pairs pass (per-probe GEMV vs
+    # the engine's batched GEMM partials — only ID order is compared, and
+    # ties happen only between identical vectors, which tie identically)
+    from crawler_ray.hashing import xxh64
+
+    u_ids = [fids[i] for i in uidx]
+    u_mat = np.stack([fmat[i].astype(np.float64) for i in uidx])
+    norms = np.linalg.norm(u_mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    u_mat = u_mat / norms
+    h = np.array([xxh64(s) for s in u_ids], np.uint64)
+    probe_mask = h % np.uint64(23) == 0
+    vids = h.view(np.int64)
+    t_idx = np.nonzero(~probe_mask)[0]
+    ann_rows = []
+    for qi in np.nonzero(probe_mask)[0]:
+        sims = u_mat[t_idx] @ u_mat[qi]
+        order = np.lexsort((vids[t_idx], -sims))[: min(5, len(t_idx))]
+        for oi in order:
+            ann_rows.append((u_ids[qi], u_ids[t_idx[oi]]))
+    ann_rows.sort()
+    write("image_ann_topk",
+          pd.DataFrame(ann_rows, columns=["probe_id", "match_id"]))
+
+    # cross-modal city rollup: loop join store → pages via src_url
+    url_city = {p["url"]: p["city"] for p in o["pages"]}
+    cagg: dict = {}
+    for r in o["store"]:
+        a = cagg.setdefault(url_city[r["src_url"]], [0, 0, set()])
+        a[0] += 1
+        a[1] += int(r["w"]) * int(r["h"])
+        a[2].add(int(r["phash"]))
+    city_rows = [dict(city=c, n_images=np.int64(v[0]),
+                      n_distinct_phash=np.int64(len(v[2])),
+                      avg_pixels=np.int64(v[1] // v[0]))
+                 for c, v in sorted(cagg.items())]
+    write("city_image_stats", pd.DataFrame(city_rows))
+
 
 # ---------------------------------------------------------------------------
 # Text goldens over the sf0.01 documents table
