@@ -467,7 +467,7 @@ _GOLDEN_CHECKED = (
     "minhash_near_dups", "simhash_near_dups",
     "near_dup_clusters", "lang_id_confusion", "doc_fingerprints",
     "approx_distinct_tokens",
-    "ann_lsh_topk", "ann_ivf_topk", "kmeans_embeddings",
+    "ann_lsh_topk", "ann_ivf_topk", "kmeans_embeddings", "semantic_dedup",
     "crawl_page_lookup", "crawl_city_pages",
     "crawl_city_locations", "crawl_similar_nearby", "image_thumbnails",
     "image_ann_topk", "city_image_stats",

@@ -1773,6 +1773,84 @@ def kmeans_embeddings(sf_dir: str):
     })
 
 
+SEMANTIC_DEDUP_THRESHOLD = 0.45  # same cosine bar as embedding_near_dups
+
+
+def semantic_dedup(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023, public): cluster the embedding corpus
+    with the integer-exact k-means (deterministic assignment on every
+    cluster size / block layout), then drop, WITHIN each cluster, every
+    vector that has a same-cluster neighbour with cosine ≥ τ and a smaller
+    vec_id. The drop rule is the pure pairwise id-order variant (greedy
+    rescan variants differ run-to-run on unordered corpora); the golden
+    mirrors it with an independent loop k-means + per-pair dots.
+
+    Scale shape: pairwise search touches only same-cluster co-located
+    blocks (one cluster-keyed repartition), so the all-pairs cost is
+    Σ|cluster|² — the published SemDeDup economics, with k grown with the
+    corpus to keep clusters bounded (an oversize cluster would tile like
+    ``ann.tiled_near_dup_pairs``). The k-means pass itself folds O(k·d)
+    integer partials; nothing corpus-scale ever sits on the driver."""
+    from crawler_ray.functions import cluster as cl
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cent, _ = cl.kmeans_quantized(ds, "vec_id", "embedding", k=8, n_iters=5)
+
+    def assign(b: pd.DataFrame, c=cent) -> pa.Table:
+        xq = cl.quantize(b["embedding"])
+        a = cl.assign_ids(xq, c)
+        return pa.table({
+            "vec_id": pa.array(b["vec_id"].to_numpy(np.int64), pa.int64()),
+            "cluster": pa.array(a.astype(np.int64), pa.int64()),
+            "embedding": pa.array([np.asarray(v, np.float32)
+                                   for v in b["embedding"]],
+                                  pa.list_(pa.float32())),
+        })
+
+    assigned = ds.map_batches(assign, batch_format="pandas")
+
+    def drops(b: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"vec_id": pd.Series([], dtype=np.int64),
+                              "cluster": pd.Series([], dtype=np.int64),
+                              "dup_of": pd.Series([], dtype=np.int64),
+                              "sim": pd.Series([], dtype=np.float64)})
+        if len(b) == 0:
+            return empty
+        outs = []
+        for cid, g in b.groupby("cluster"):
+            if len(g) < 2:
+                continue
+            g = g.sort_values("vec_id", kind="mergesort")
+            m = np.stack([np.asarray(v, np.float64) for v in g["embedding"]])
+            n = np.linalg.norm(m, axis=1, keepdims=True)
+            n[n == 0] = 1.0
+            m = m / n
+            sims = m @ m.T
+            ids = g["vec_id"].to_numpy(np.int64)
+            iu = np.triu_indices(len(g), k=1)
+            mask = sims[iu] >= SEMANTIC_DEDUP_THRESHOLD
+            if not mask.any():
+                continue
+            df = pd.DataFrame({"vec_id": ids[iu[1][mask]],
+                               "dup_of": ids[iu[0][mask]],
+                               "sim": sims[iu][mask]})
+            agg = (df.sort_values(["vec_id", "dup_of"], kind="mergesort")
+                   .groupby("vec_id", as_index=False).first())
+            agg["cluster"] = np.int64(cid)
+            outs.append(agg)
+        if not outs:
+            return empty
+        out = pd.concat(outs, ignore_index=True)
+        out["sim"] = out["sim"].round(6)
+        return out[["vec_id", "cluster", "dup_of", "sim"]]
+
+    dk = (_keyed(assigned).repartition(8, keys=["cluster"])
+          .map_batches(drops, batch_format="pandas", batch_size=None)
+          .materialize())
+    dk.context.shuffle_strategy = rd.DataContext.get_current().shuffle_strategy
+    return dk.to_pandas().sort_values("vec_id").reset_index(drop=True)
+
+
 def _pagerank_oracle(n_iters: int = 10, total_units: int = 10**12,
                      damping_pct: int = 85) -> str:
     """Unrolled SQL power iteration: one CTE per round, pure integer
@@ -1855,6 +1933,7 @@ QUERIES = {
     "dup_span_coverage": dup_span_coverage,
     "pagerank_users": pagerank_users,
     "kmeans_embeddings": kmeans_embeddings,
+    "semantic_dedup": semantic_dedup,
     "minhash_near_dups": minhash_near_dups,
     "ngram_jaccard_dups": ngram_jaccard_dups,
     "simhash_near_dups": simhash_near_dups,

@@ -147,3 +147,22 @@ def test_dup_span_coverage_crafted(ray_session, tmp_path):
     assert 2 not in got["doc_id"].to_numpy()
     # overlapping 8-grams inside T merge into one 9-token island
     assert int(got.loc[got["doc_id"] == 3, "covered_tokens"].iloc[0]) == 9
+
+
+def test_semantic_dedup_invariants(ray_session):
+    from crawler_ray.pipelines.queries import (SEMANTIC_DEDUP_THRESHOLD,
+                                               QUERIES)
+
+    out = QUERIES["semantic_dedup"](SF)
+    assert len(out) > 0
+    assert (out["dup_of"] < out["vec_id"]).all()        # id-order drop rule
+    assert (out["sim"] >= SEMANTIC_DEDUP_THRESHOLD).all()
+    assert out["vec_id"].is_unique                       # one row per drop
+    # every dropped pair must also be a corpus-wide embedding near-dup:
+    # clustering can only RESTRICT the pair set, never invent pairs
+    nd = QUERIES["embedding_near_dups"](SF)
+    if hasattr(nd, "to_pandas"):
+        nd = nd.to_pandas()
+    pairs = set(zip(nd["vid_a"].astype(int), nd["vid_b"].astype(int)))
+    got = set(zip(out["dup_of"].astype(int), out["vec_id"].astype(int)))
+    assert got <= pairs, got - pairs

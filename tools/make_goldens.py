@@ -548,6 +548,43 @@ def kmeans_golden(k: int = 8, n_iters: int = 5, scale: int = 10**6):
     })
     write("kmeans_embeddings", out)
 
+    # SemDeDup golden: assign with the final loop centroids (strict < ⇒
+    # ties to lowest cluster, same rule), then per-cluster per-pair dots —
+    # a vector is dropped when a same-cluster neighbour with a smaller
+    # vec_id sits at cosine ≥ 0.45; partner = the smallest such id
+    tau = 0.45
+    ids = t["vec_id"].to_numpy(np.int64)
+    fv = [np.asarray(v, np.float64) for v in t["embedding"]]
+    members: dict = {}
+    for i, x in enumerate(xq):
+        best, bd = 0, None
+        for j in range(k):
+            d = int(((x - cent[j]) ** 2).sum())
+            if bd is None or d < bd:
+                best, bd = j, d
+        members.setdefault(best, []).append(i)
+    rows = []
+    for cid in sorted(members):
+        idx = sorted(members[cid], key=lambda i: ids[i])
+        for a_pos in range(len(idx)):
+            for b_pos in range(a_pos):
+                va, vb = fv[idx[b_pos]], fv[idx[a_pos]]
+                na, nb = np.linalg.norm(va), np.linalg.norm(vb)
+                sim = float(np.dot(va / na if na else va, vb / nb if nb else vb))
+                if sim >= tau:
+                    rows.append(dict(vec_id=np.int64(ids[idx[a_pos]]),
+                                     cluster=np.int64(cid),
+                                     dup_of=np.int64(ids[idx[b_pos]]),
+                                     sim=round(sim, 6)))
+                    break  # idx scanned in ascending id order ⇒ first hit = min id
+    sd = pd.DataFrame(rows, columns=["vec_id", "cluster", "dup_of", "sim"])
+    if len(sd) == 0:
+        sd = pd.DataFrame({"vec_id": pd.Series([], dtype=np.int64),
+                           "cluster": pd.Series([], dtype=np.int64),
+                           "dup_of": pd.Series([], dtype=np.int64),
+                           "sim": pd.Series([], dtype=np.float64)})
+    write("semantic_dedup", sd.sort_values("vec_id").reset_index(drop=True))
+
 
 def export_golden(o):
     """training_shards golden: pure-python loop over the oracle store —
