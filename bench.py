@@ -99,7 +99,10 @@ def run_query_bench(sf_dir: str) -> dict:
     names = ["q1_pricing_summary", "heatmap_grid", "events_window", "exact_dedup_docs",
              "minhash_near_dups", "ngram_jaccard_dups", "simhash_near_dups",
              "ann_cosine_topk", "token_stats", "orders_join",
-             "asof_join_quotes", "events_in_windows", "approx_distinct_tokens"]
+             "asof_join_quotes", "events_in_windows", "approx_distinct_tokens",
+             "dup_span_coverage", "semantic_dedup", "bpe_top_pairs",
+             "bm25_search", "pagerank_users", "kmeans_embeddings",
+             "running_revenue"]
     out = {}
     for name in names:
         t0 = time.time()

@@ -1773,6 +1773,33 @@ def kmeans_embeddings(sf_dir: str):
     })
 
 
+def bpe_top_pairs(sf_dir: str, k: int = 20):
+    """The BPE-trainer merge-step primitive (Sennrich et al. 2016,
+    public): EXACT corpus-wide counts of ADJACENT token pairs, top-k by
+    (count desc, pair asc) — the pair a tokenizer trainer would merge
+    next. Same combiner → sort shuffle → per-block fold shape as
+    ``top_tokens`` (unbounded pair vocabulary, driver sees O(result));
+    pair construction reuses the one-explode + shifted-concat gram kernel
+    (no row loop). A full BPE trainer runs this once per merge round over
+    re-tokenized text; the query exposes one round."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        vc = _word_grams_pos(b, k=2)["gram"].value_counts()
+        return pd.DataFrame({"pair": vc.index.astype(str),
+                             "cnt": vc.to_numpy(np.int64)})
+
+    def fold(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("pair", as_index=False).agg(cnt=("cnt", "sum"))
+
+    out = _sorted_fold(ds.map_batches(partial, batch_format="pandas"),
+                       ["pair"], fold)
+    out["cnt"] = out["cnt"].astype(np.int64)
+    out = out.sort_values(["cnt", "pair"], ascending=[False, True],
+                          kind="mergesort")
+    return out.head(k).reset_index(drop=True)
+
+
 SEMANTIC_DEDUP_THRESHOLD = 0.45  # same cosine bar as embedding_near_dups
 
 
@@ -1934,6 +1961,7 @@ QUERIES = {
     "pagerank_users": pagerank_users,
     "kmeans_embeddings": kmeans_embeddings,
     "semantic_dedup": semantic_dedup,
+    "bpe_top_pairs": bpe_top_pairs,
     "minhash_near_dups": minhash_near_dups,
     "ngram_jaccard_dups": ngram_jaccard_dups,
     "simhash_near_dups": simhash_near_dups,
@@ -2187,6 +2215,14 @@ ORACLE_SQL = {
         FROM g JOIN bench USING (gram)
         WHERE g.doc_id % 97 <> 0
         GROUP BY g.doc_id ORDER BY g.doc_id""",
+    "bpe_top_pairs": """
+        WITH d AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        g AS (SELECT ts[i] || ' ' || ts[i+1] AS pair
+              FROM d, UNNEST(range(1, len(ts))) AS t(i)
+              WHERE len(ts) >= 2)
+        SELECT pair, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM g GROUP BY pair
+        ORDER BY cnt DESC, pair LIMIT 20""",
     "dup_span_coverage": """
         WITH d AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
         g AS (SELECT doc_id, i AS pos, array_to_string(ts[i:i+7], ' ') AS gram,
