@@ -1800,6 +1800,109 @@ def bpe_top_pairs(sf_dir: str, k: int = 20):
     return out.head(k).reset_index(drop=True)
 
 
+CORPUS_MIN_TOKENS = 20
+
+
+def corpus_build(sf_dir: str):
+    """FLAGSHIP COMPOSITE: the end-to-end training-corpus construction
+    pipeline the individual operators exist for, composed as one lazy
+    Dataset chain —
+
+    1. eval-set holdout + token-length gate + Gopher repetition gate
+       (all per-batch vectorized, ZERO shuffle at any corpus size),
+    2. exact content dedup: one text_hash-keyed exchange, first-wins per
+       co-located hash group (min doc_id),
+    3. GPT-3 5-gram decontamination: benchmark gram set broadcast once
+       (``ray.put`` — evals are KBs, the corpus is TBs), vectorized
+       membership scan,
+    4. token-budget sequence packing: distributed exclusive prefix scan
+       (O(blocks) driver carry) → shard_id = tok_before // budget,
+    5. per-shard rollup (combiner + tiny fold).
+
+    Output: one row per shard (n_docs, n_tokens, first/last doc). The
+    DuckDB oracle replicates all five stages as one CTE chain; every
+    gate compares in exact int/IEEE-identical arithmetic."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    empty2 = pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                           "text": pd.Series([], dtype=object)})
+
+    def gates(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.loc[b["doc_id"] % 97 != 0]
+        t = b["text"].astype("string")
+        n = (t.str.count(" ") + 1).to_numpy(np.int64)
+        b = b.loc[n >= CORPUS_MIN_TOKENS]
+        if len(b) == 0:
+            return empty2
+        r = textops.repetition_stats(b)
+        ok = set(r.loc[r["flagged"] == 0, "doc_id"])
+        return b.loc[b["doc_id"].isin(ok), ["doc_id", "text"]]
+
+    f = ds.map_batches(gates, batch_format="pandas")
+
+    def with_hash(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return empty2.assign(text_hash=pd.Series([], dtype=np.uint64))
+        return b.assign(text_hash=xxh64_array(b["text"]))
+
+    def first_wins(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return empty2.assign(text_hash=pd.Series([], dtype=np.uint64))
+        b = b.sort_values(["text_hash", "doc_id"], kind="mergesort")
+        return b.loc[~b["text_hash"].duplicated(keep="first")]
+
+    dd = (_keyed(f.map_batches(with_hash, batch_format="pandas"))
+          .repartition(8, keys=["text_hash"])
+          .map_batches(first_wins, batch_format="pandas", batch_size=None)
+          .materialize())
+    dd.context.shuffle_strategy = rd.DataContext.get_current().shuffle_strategy
+
+    bench = (ds.map_batches(lambda b: b.loc[b["doc_id"] % 97 == 0],
+                            batch_format="pandas")
+             .map_batches(_five_grams, batch_format="pandas").to_pandas())
+    ref = ray.put(frozenset(bench["gram"]))
+
+    class Scrub:
+        def __init__(self):
+            self.grams = ray.get(ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            if len(b) == 0:
+                return empty2
+            g = _five_grams(b)
+            hit = set(g.loc[g["gram"].isin(self.grams), "doc_id"])
+            return b.loc[~b["doc_id"].isin(hit), ["doc_id", "text"]]
+
+    clean = dd.map_batches(Scrub, batch_format="pandas", concurrency=(1, 8))
+
+    def count_tokens(b: pd.DataFrame) -> pd.DataFrame:
+        t = b["text"].astype("string")
+        return pd.DataFrame({"doc_id": b["doc_id"].to_numpy(np.int64),
+                             "n_tokens": (t.str.count(" ") + 1).to_numpy(np.int64)})
+
+    toks = clean.map_batches(count_tokens, batch_format="pandas")
+    packed = scan.cumulative_sum_ds(toks, ["doc_id"], "n_tokens",
+                                    out_col="tok_before", exclusive=True)
+
+    def shard_partial(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                                 for c in ("shard_id", "n_docs", "n_tokens",
+                                           "first_doc", "last_doc")})
+        sid = b["tok_before"].to_numpy(np.int64) // PACK_TOKEN_BUDGET
+        return (b.assign(shard_id=sid)
+                .groupby("shard_id", as_index=False)
+                .agg(n_docs=("doc_id", "size"), n_tokens=("n_tokens", "sum"),
+                     first_doc=("doc_id", "min"), last_doc=("doc_id", "max")))
+
+    out = _fold(packed.map_batches(shard_partial, batch_format="pandas"),
+                ["shard_id"],
+                dict(n_docs=("n_docs", "sum"), n_tokens=("n_tokens", "sum"),
+                     first_doc=("first_doc", "min"), last_doc=("last_doc", "max")))
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("shard_id").reset_index(drop=True)
+
+
 SEMANTIC_DEDUP_THRESHOLD = 0.45  # same cosine bar as embedding_near_dups
 
 
@@ -1962,6 +2065,7 @@ QUERIES = {
     "kmeans_embeddings": kmeans_embeddings,
     "semantic_dedup": semantic_dedup,
     "bpe_top_pairs": bpe_top_pairs,
+    "corpus_build": corpus_build,
     "minhash_near_dups": minhash_near_dups,
     "ngram_jaccard_dups": ngram_jaccard_dups,
     "simhash_near_dups": simhash_near_dups,
@@ -2215,6 +2319,43 @@ ORACLE_SQL = {
         FROM g JOIN bench USING (gram)
         WHERE g.doc_id % 97 <> 0
         GROUP BY g.doc_id ORDER BY g.doc_id""",
+    "corpus_build": """
+        WITH base AS (SELECT doc_id, text, string_split(text, ' ') AS ts
+                      FROM documents),
+        corpus AS (SELECT * FROM base
+                   WHERE doc_id % 97 <> 0 AND len(ts) >= 20),
+        per_tok AS (
+          SELECT doc_id, tok, COUNT(*) AS c
+          FROM (SELECT doc_id, UNNEST(ts) AS tok FROM corpus)
+          GROUP BY doc_id, tok),
+        rep AS (
+          SELECT doc_id FROM per_tok GROUP BY doc_id
+          HAVING NOT (1.0 - COUNT(*) * 1.0 / SUM(c) > 0.75
+                      OR MAX(c) * 1.0 / SUM(c) > 0.2)),
+        passed AS (SELECT c.* FROM corpus c JOIN rep USING (doc_id)),
+        dedup AS (
+          SELECT * FROM passed
+          QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY text)),
+        bench_grams AS (
+          SELECT DISTINCT array_to_string(ts[i:i+4], ' ') AS gram
+          FROM base, UNNEST(range(1, len(ts) - 3)) AS t(i)
+          WHERE doc_id % 97 = 0 AND len(ts) >= 5),
+        clean AS (
+          SELECT d.* FROM dedup d WHERE NOT EXISTS (
+            SELECT 1 FROM UNNEST(range(1, len(d.ts) - 3)) AS t(i)
+            JOIN bench_grams b ON array_to_string(d.ts[i:i+4], ' ') = b.gram)),
+        packed AS (
+          SELECT doc_id, len(ts) AS n_tokens,
+                 COALESCE(SUM(len(ts)) OVER (ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                          0) AS tok_before
+          FROM clean)
+        SELECT CAST(tok_before // 4096 AS BIGINT) AS shard_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+               CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+               CAST(MAX(doc_id) AS BIGINT) AS last_doc
+        FROM packed GROUP BY shard_id ORDER BY shard_id""",
     "bpe_top_pairs": """
         WITH d AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
         g AS (SELECT ts[i] || ' ' || ts[i+1] AS pair
