@@ -102,7 +102,7 @@ def run_query_bench(sf_dir: str) -> dict:
              "asof_join_quotes", "events_in_windows", "approx_distinct_tokens",
              "dup_span_coverage", "semantic_dedup", "bpe_top_pairs",
              "bm25_search", "pagerank_users", "kmeans_embeddings",
-             "running_revenue"]
+             "running_revenue", "corpus_build"]
     out = {}
     for name in names:
         t0 = time.time()
