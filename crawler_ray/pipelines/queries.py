@@ -896,6 +896,97 @@ def doc_repetition(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _pii_fixture_text(b: pd.DataFrame) -> pd.Series:
+    """Deterministic PII-bearing text derived from (doc_id, text).
+
+    The testdata word-soup contains no emails/phones/SSNs/IPs, so the PII
+    fixture is derived IN THE QUERY from existing columns — the identical
+    expression appears in the DuckDB oracle, so the thing under test is the
+    generic detector/redactor (functions/pii.py), not a side-channel
+    fixture. Moduli 3/5/11/13 are coprime: docs carry any subset of the
+    four PII types, including none and all four."""
+    did = b["doc_id"].to_numpy(np.int64)
+
+    def s(a):
+        return pd.Series(a.astype(str), index=b.index, dtype=object)
+
+    ft = b["text"].astype(object)
+    ft = ft + (" contact user" + s(did) + "@mail" + s(did % 7)
+               + ".example.com").where(did % 3 == 0, "")
+    ft = ft + (" call " + s(10 + did % 90) + "-" + s(100 + did % 900) + "-"
+               + s(100 + (did * 7) % 900) + "-"
+               + s(1000 + (did * 13) % 9000)).where(did % 5 == 0, "")
+    ft = ft + (" ssn " + s(100 + did % 900) + "-" + s(10 + did % 90) + "-"
+               + s(1000 + did % 9000)).where(did % 11 == 0, "")
+    ft = ft + (" from 10." + s(did % 256) + "." + s((did * 3) % 256) + "."
+               + s(1 + did % 254)).where(did % 13 == 0, "")
+    return ft
+
+
+# the same fixture expression, DuckDB-side (CAST makes int→varchar explicit)
+_PII_FIXTURE_SQL = """
+        SELECT doc_id, text
+          || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+               || '@mail' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' ELSE '' END
+          || CASE WHEN doc_id % 5 = 0 THEN ' call ' || CAST(10 + doc_id % 90 AS VARCHAR)
+               || '-' || CAST(100 + doc_id % 900 AS VARCHAR)
+               || '-' || CAST(100 + (doc_id * 7) % 900 AS VARCHAR)
+               || '-' || CAST(1000 + (doc_id * 13) % 9000 AS VARCHAR) ELSE '' END
+          || CASE WHEN doc_id % 11 = 0 THEN ' ssn ' || CAST(100 + doc_id % 900 AS VARCHAR)
+               || '-' || CAST(10 + doc_id % 90 AS VARCHAR)
+               || '-' || CAST(1000 + doc_id % 9000 AS VARCHAR) ELSE '' END
+          || CASE WHEN doc_id % 13 = 0 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+               || '.' || CAST((doc_id * 3) % 256 AS VARCHAR)
+               || '.' || CAST(1 + doc_id % 254 AS VARCHAR) ELSE '' END AS ft
+        FROM documents"""
+
+
+def pii_scan(sf_dir: str):
+    """PII detection sweep (RefinedWeb/Dolma-style pre-training scrub pass):
+    per-type corpus totals — documents containing ≥1 hit and total
+    non-overlapping hits. Per-doc counting is embarrassingly parallel
+    (one regex scan per pattern inside ``map_batches``, zero shuffle at
+    any corpus size); only the 4-row per-batch partial reaches the fold."""
+    from crawler_ray.functions import pii
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        c = pii.pii_counts(_pii_fixture_text(b))
+        rows = [(name, int((c[name] > 0).sum()), int(c[name].sum()))
+                for name, _, _ in pii.PII_PATTERNS]
+        return pd.DataFrame(rows, columns=["pii_type", "n_docs", "n_hits"])
+
+    out = _fold(ds.map_batches(partial, batch_format="pandas"), ["pii_type"],
+                dict(n_docs=("n_docs", "sum"), n_hits=("n_hits", "sum")))
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    out["n_hits"] = out["n_hits"].astype(np.int64)
+    return out.sort_values("pii_type").reset_index(drop=True)
+
+
+def pii_redact(sf_dir: str):
+    """PII redaction: every match replaced by its type placeholder, in the
+    fixed PII_PATTERNS pass order; returns only the documents that were
+    touched (doc_id, hit count, redacted text). Pure per-doc transform →
+    one ``map_batches``, no shuffle; output is O(pii docs), and the full
+    redacted STRINGS cross the driver compare, so the oracle pins the
+    byte-exact redaction, not just counts."""
+    from crawler_ray.functions import pii
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def rb(b: pd.DataFrame) -> pd.DataFrame:
+        ft = _pii_fixture_text(b)
+        n = pii.pii_counts(ft).to_numpy(np.int64).sum(axis=1)
+        out = pd.DataFrame({"doc_id": b["doc_id"].to_numpy(np.int64),
+                            "n_pii": n,
+                            "red_text": pii.redact(ft).to_numpy(object)})
+        return out.loc[n > 0]
+
+    out = ds.map_batches(rb, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def running_revenue(sf_dir: str):
     """Running (cumulative) revenue over the global order timeline —
     ``SUM(...) OVER (ORDER BY o_orderdate, o_orderkey)`` as a distributed
@@ -2050,6 +2141,8 @@ QUERIES = {
     "approx_distinct_tokens": approx_distinct_tokens,
     "doc_fingerprints": doc_fingerprints,
     "doc_repetition": doc_repetition,
+    "pii_scan": pii_scan,
+    "pii_redact": pii_redact,
     "running_revenue": running_revenue,
     "customer_running_spend": customer_running_spend,
     "trailing_event_volume": trailing_event_volume,
@@ -2243,6 +2336,48 @@ ORACLE_SQL = {
                CAST(dup_raw > 0.75 OR top_raw > 0.2 AS BIGINT) AS flagged
         FROM stats
         WHERE dup_raw > 0.75 OR top_raw > 0.2 OR dup_raw >= 0.65""",
+    "pii_scan": f"""
+        WITH f AS ({_PII_FIXTURE_SQL}
+        ), c AS (
+          SELECT
+            len(regexp_extract_all(ft, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{{2,}}')) AS email,
+            len(regexp_extract_all(ft, '\\d{{2}}-\\d{{3}}-\\d{{3}}-\\d{{4}}')) AS phone,
+            len(regexp_extract_all(ft, '\\d{{3}}-\\d{{2}}-\\d{{4}}')) AS ssn,
+            len(regexp_extract_all(ft, '\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}')) AS ipv4
+          FROM f)
+        SELECT pii_type, n_docs, n_hits FROM (
+          SELECT 'email' AS pii_type,
+                 CAST(COUNT(*) FILTER (WHERE email > 0) AS BIGINT) AS n_docs,
+                 CAST(COALESCE(SUM(email), 0) AS BIGINT) AS n_hits FROM c
+          UNION ALL SELECT 'phone',
+                 CAST(COUNT(*) FILTER (WHERE phone > 0) AS BIGINT),
+                 CAST(COALESCE(SUM(phone), 0) AS BIGINT) FROM c
+          UNION ALL SELECT 'ssn',
+                 CAST(COUNT(*) FILTER (WHERE ssn > 0) AS BIGINT),
+                 CAST(COALESCE(SUM(ssn), 0) AS BIGINT) FROM c
+          UNION ALL SELECT 'ipv4',
+                 CAST(COUNT(*) FILTER (WHERE ipv4 > 0) AS BIGINT),
+                 CAST(COALESCE(SUM(ipv4), 0) AS BIGINT) FROM c)
+        ORDER BY pii_type""",
+    "pii_redact": f"""
+        WITH f AS ({_PII_FIXTURE_SQL}
+        ), c AS (
+          SELECT doc_id, ft,
+            len(regexp_extract_all(ft, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{{2,}}'))
+            + len(regexp_extract_all(ft, '\\d{{2}}-\\d{{3}}-\\d{{3}}-\\d{{4}}'))
+            + len(regexp_extract_all(ft, '\\d{{3}}-\\d{{2}}-\\d{{4}}'))
+            + len(regexp_extract_all(ft, '\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}')) AS n_pii
+          FROM f)
+        SELECT doc_id, CAST(n_pii AS BIGINT) AS n_pii,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(ft,
+                       '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{{2,}}', '[EMAIL]', 'g'),
+                     '\\d{{2}}-\\d{{3}}-\\d{{3}}-\\d{{4}}', '[PHONE]', 'g'),
+                   '\\d{{3}}-\\d{{2}}-\\d{{4}}', '[SSN]', 'g'),
+                 '\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}', '[IP]', 'g') AS red_text
+        FROM c WHERE n_pii > 0 ORDER BY doc_id""",
     "running_revenue": """
         SELECT o_orderkey, o_orderdate,
                CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
