@@ -235,3 +235,83 @@ def replicate_intervals(b: pd.DataFrame, *, start: str, end: str,
     out = b.iloc[idx].reset_index(drop=True)
     out[bin_col] = lo[idx] + off
     return out
+
+
+# ---------------------------------------------------------------------------
+# Salted skew join (hot-key replication)
+# ---------------------------------------------------------------------------
+
+def sampled_hot_keys(fact_ds, key: str, *, threshold: int,
+                     sample_every: int = 16) -> set:
+    """Approximate hot-key detection for join salting: each batch keeps
+    every ``sample_every``-th row, value_counts it, and emits only keys
+    seen ≥2× in the sample slice; the driver folds the (tiny) partials and
+    keeps keys whose sampled count clears ``threshold / sample_every / 2``
+    (a 2× safety factor against sampling variance). Driver memory is
+    O(keys frequent in the sample), not O(distinct keys).
+
+    The hot set is a PERFORMANCE HINT, never a correctness input — every
+    key joins exactly once whether or not it lands in the set — so the
+    sampling approximation is safe by construction (same reasoning as
+    Spark AQE's skew-join detection, a public design)."""
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        vc = b[key].iloc[::sample_every].value_counts()
+        vc = vc[vc >= 2]
+        return pd.DataFrame({key: vc.index, "cnt": vc.to_numpy(np.int64)})
+
+    samp = fact_ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if len(samp) == 0:
+        return set()
+    tot = samp.groupby(key)["cnt"].sum()
+    cut = max(1.0, threshold / sample_every / 2.0)
+    return set(tot[tot >= cut].index.tolist())
+
+
+def salted_join(fact_ds, dim_ds, *, key: str, dim_key: str,
+                hot: set, salts: int = 8, num_partitions: int = 8,
+                salt_col: str = "__salt"):
+    """Inner hash join that breaks hot-key skew by salting: fact rows whose
+    key is in ``hot`` get a round-robin salt in [0, salts) so one hot key's
+    rows spread over ``salts`` join partitions instead of melting a single
+    reducer; dim rows for hot keys are replicated once per salt (dim side
+    is the small side — replication cost is |hot|×salts rows). Cold keys
+    keep salt 0 on both sides, so each (fact, dim) pair still meets exactly
+    once and the join result is EXACTLY the unsalted inner join.
+
+    Salt assignment is arange-based (any spread is correct — the dim side
+    covers every salt), so no per-row hash is paid on the fact side."""
+    hot_ref = None
+    import ray
+    hot_ref = ray.put(frozenset(hot))
+
+    class SaltFact:
+        def __init__(self):
+            self.hot = ray.get(hot_ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            s = np.zeros(len(b), np.int64)
+            if self.hot:
+                m = b[key].isin(self.hot).to_numpy()
+                s[m] = np.arange(int(m.sum()), dtype=np.int64) % salts
+            return b.assign(**{salt_col: s})
+
+    class SaltDim:
+        def __init__(self):
+            self.hot = ray.get(hot_ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            m = b[dim_key].isin(self.hot).to_numpy() if self.hot else np.zeros(len(b), bool)
+            reps = np.where(m, salts, 1).astype(np.int64)
+            idx = np.repeat(np.arange(len(b)), reps)
+            off = np.arange(int(reps.sum())) - np.repeat(np.cumsum(reps) - reps, reps)
+            out = b.iloc[idx].reset_index(drop=True)
+            out[salt_col] = off
+            return out
+
+    f = fact_ds.map_batches(SaltFact, batch_format="pandas", concurrency=(1, 8))
+    d = dim_ds.map_batches(SaltDim, batch_format="pandas", concurrency=(1, 4))
+    joined = f.join(d, join_type="inner", num_partitions=num_partitions,
+                    on=(key, salt_col), right_on=(dim_key, salt_col))
+    return joined.map_batches(
+        lambda b: b.drop(columns=[salt_col, dim_key], errors="ignore"),
+        batch_format="pandas")

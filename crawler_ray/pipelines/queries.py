@@ -2104,6 +2104,154 @@ def _pagerank_oracle(n_iters: int = 10, total_units: int = 10**12,
 # Registry + DuckDB oracles (column names match exactly)
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# Sketch-accelerated joins + heavy hitters (Bloom / salted / Count-Min)
+# ---------------------------------------------------------------------------
+
+
+def bloom_semi_join(sf_dir: str):
+    """Semi-join with Bloom pre-pruning: revenue of lineitems belonging to
+    URGENT orders. The build side folds per-block Bloom partials
+    (functions/sketches.py) that merge by OR on the driver — O(filter
+    bytes), never keys — and the probe side drops ~4/5 of the fact table
+    INSIDE ``map_batches`` before anything shuffles; only the <1 %-FP
+    survivor set pays the distributed hash join, which restores exactness
+    (Bloom has no false negatives). At 100 TB this is the difference
+    between shuffling the whole fact table and shuffling the semi-join
+    result: the filter is a few hundred MB broadcast once per actor via
+    ``ray.put``."""
+    from crawler_ray.functions import sketches as sk
+
+    urgent = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"]).map_batches(
+        lambda b: b.loc[b["o_orderpriority"] == "1-URGENT", ["o_orderkey"]],
+        batch_format="pandas")
+    # size the filter from parquet metadata alone (orders row count is an
+    # upper bound on build keys — no data read for the decision)
+    n_orders = pq.ParquetFile(f"{sf_dir}/orders.parquet").metadata.num_rows
+    m_bits = sk.bloom_m_bits(n_orders)
+
+    def bloom_partial(b: pd.DataFrame) -> pd.DataFrame:
+        h = _murmur64(b["o_orderkey"].to_numpy(np.int64).view(np.uint64))
+        return pd.DataFrame({"filt": [sk.bloom_build(h, m_bits).tobytes()]})
+
+    parts = urgent.map_batches(bloom_partial, batch_format="pandas").to_pandas()
+    filt = np.zeros(m_bits >> 6, np.uint64)
+    for blob in parts["filt"]:
+        filt = sk.bloom_merge(filt, np.frombuffer(blob, np.uint64))
+    filt_ref = ray.put(filt)
+
+    class BloomPrune:
+        def __init__(self):
+            self.filt = ray.get(filt_ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            h = _murmur64(b["l_orderkey"].to_numpy(np.int64).view(np.uint64))
+            return b.loc[sk.bloom_contains(self.filt, h)]
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag", "l_extendedprice"])
+    survivors = li.map_batches(BloomPrune, batch_format="pandas", concurrency=(1, 8))
+    verified = survivors.join(urgent, join_type="inner", num_partitions=8,
+                              on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def agg_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("l_returnflag", as_index=False).agg(
+            n_items=("l_orderkey", "size"), revenue=("l_extendedprice", "sum"))
+
+    out = _fold(verified.map_batches(agg_partial, batch_format="pandas"),
+                ["l_returnflag"],
+                dict(n_items=("n_items", "sum"), revenue=("revenue", "sum")))
+    out["n_items"] = out["n_items"].astype(np.int64)
+    out["revenue"] = out["revenue"].round(2)
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+def skew_join_brand_revenue(sf_dir: str):
+    """Skew-safe fact⋈dim join: revenue per part brand via a SALTED inner
+    join (functions/joins.py `salted_join`). A cheap sampled pre-pass
+    flags hot keys; their fact rows spread round-robin over 8 salts while
+    the dim replicates hot rows once per salt — one hot key melts 8
+    reducers instead of one, cold keys pay nothing, and the result is
+    EXACTLY the unsalted join (the hot set is a performance hint, not a
+    correctness input). The detection threshold scales with the fact row
+    count, so it flags the same frequency share at any corpus size."""
+    from crawler_ray.functions import joins as jn
+
+    fact = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice"])
+    n_rows = pq.ParquetFile(f"{sf_dir}/lineitem.parquet").metadata.num_rows
+    hot = jn.sampled_hot_keys(fact, "l_partkey",
+                              threshold=max(32, n_rows // 2000))
+    dim = _read(sf_dir, "part", ["p_partkey", "p_brand"])
+    joined = jn.salted_join(fact, dim, key="l_partkey", dim_key="p_partkey",
+                            hot=hot, salts=8)
+
+    def agg_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("p_brand", as_index=False).agg(
+            n_items=("l_partkey", "size"), revenue=("l_extendedprice", "sum"))
+
+    out = _fold(joined.map_batches(agg_partial, batch_format="pandas"),
+                ["p_brand"],
+                dict(n_items=("n_items", "sum"), revenue=("revenue", "sum")))
+    out["n_items"] = out["n_items"].astype(np.int64)
+    out["revenue"] = out["revenue"].round(2)
+    return out.sort_values("p_brand").reset_index(drop=True)
+
+
+CMS_PHI = 0.0013  # heavy-hitter frequency share (φ of total stream mass)
+
+
+def cms_heavy_bigrams(sf_dir: str):
+    """φ-heavy-hitter word bigrams, EXACT, via a two-pass Count-Min sketch
+    (functions/sketches.py). Pass 1 folds per-block (bigram, count) partials
+    into 512 KiB CMS matrices that merge by elementwise ADD — the driver
+    sees sketches, never the unbounded bigram vocabulary — plus the total
+    stream mass, which fixes the threshold T = ⌈φ·total⌉. Pass 2 broadcasts
+    the merged sketch, queries it per DISTINCT block bigram, and emits
+    block-local exact counts ONLY for candidates (CMS never undercounts, so
+    every true φ-heavy bigram is a candidate in every block — the partial
+    sums are complete); the driver folds the bounded candidate partials
+    (≤1/φ true heavies + FPs) and keeps true count ≥ T. Identical result to
+    the full GROUP BY ... HAVING, at a driver/shuffle cost of O(1/φ), not
+    O(vocabulary)."""
+    from crawler_ray.functions import sketches as sk
+    from crawler_ray.hashing import xxh64_array
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def sketch_partial(b: pd.DataFrame) -> pd.DataFrame:
+        vc = _word_grams_pos(b, k=2)["gram"].value_counts()
+        h = xxh64_array(vc.index.to_numpy(object).tolist())
+        cms = sk.cms_build(h, vc.to_numpy(np.int64))
+        return pd.DataFrame({"cms": [cms.tobytes()],
+                             "total": np.array([vc.sum()], np.int64)})
+
+    parts = ds.map_batches(sketch_partial, batch_format="pandas").to_pandas()
+    cms = np.zeros((sk.CMS_D, sk.CMS_W), np.int64)
+    for blob in parts["cms"]:
+        cms = sk.cms_merge(cms, np.frombuffer(blob, np.int64).reshape(sk.CMS_D, sk.CMS_W))
+    total = int(parts["total"].sum())
+    thresh = max(1, int(np.ceil(CMS_PHI * total)))
+    cms_ref = ray.put(cms)
+
+    class CandidateCounts:
+        def __init__(self):
+            self.cms = ray.get(cms_ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            vc = _word_grams_pos(b, k=2)["gram"].value_counts()
+            est = sk.cms_query(self.cms, xxh64_array(vc.index.to_numpy(object).tolist()))
+            keep = est >= thresh
+            return pd.DataFrame({"bigram": vc.index.to_numpy(object)[keep],
+                                 "cnt": vc.to_numpy(np.int64)[keep]})
+
+    cand = _fold(ds.map_batches(CandidateCounts, batch_format="pandas",
+                                concurrency=(1, 8)),
+                 ["bigram"], dict(cnt=("cnt", "sum")))
+    cand = cand.loc[cand["cnt"] >= thresh]
+    cand["cnt"] = cand["cnt"].astype(np.int64)
+    return (cand.sort_values(["cnt", "bigram"], ascending=[False, True],
+                             kind="mergesort").reset_index(drop=True))
+
+
 QUERIES = {
     "audio_clip_features": audio_clip_features,
     "video_frame_sample": video_frame_sample,
@@ -2168,6 +2316,9 @@ QUERIES = {
     "ann_ivf_topk": ann_ivf_topk,
     "embedding_near_dups": embedding_near_dups,
     "embedding_norm_stats": embedding_norm_stats,
+    "bloom_semi_join": bloom_semi_join,
+    "skew_join_brand_revenue": skew_join_brand_revenue,
+    "cms_heavy_bigrams": cms_heavy_bigrams,
 }
 
 ORACLE_SQL = {
@@ -2598,3 +2749,25 @@ def _bm25_oracle() -> str:
 
 ORACLE_SQL["bm25_search"] = _bm25_oracle()
 ORACLE_SQL["pagerank_users"] = _pagerank_oracle()
+
+ORACLE_SQL["bloom_semi_join"] = """
+    SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_items,
+           ROUND(SUM(l_extendedprice), 2) AS revenue
+    FROM lineitem WHERE l_orderkey IN
+      (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+    GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+ORACLE_SQL["skew_join_brand_revenue"] = """
+    SELECT p.p_brand, CAST(COUNT(*) AS BIGINT) AS n_items,
+           ROUND(SUM(l.l_extendedprice), 2) AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand ORDER BY p_brand"""
+
+ORACLE_SQL["cms_heavy_bigrams"] = f"""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    g AS (SELECT ts[i] || ' ' || ts[i+1] AS bigram
+          FROM d, UNNEST(range(1, len(ts))) AS t(i) WHERE len(ts) >= 2),
+    c AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS cnt FROM g GROUP BY bigram)
+    SELECT bigram, cnt FROM c
+    WHERE cnt >= CAST(CEIL({CMS_PHI} * (SELECT SUM(cnt) FROM c)) AS BIGINT)
+    ORDER BY cnt DESC, bigram"""

@@ -69,3 +69,69 @@ def test_approx_distinct_tokens_bounds_error(ray_session):
     for _, r in out.iterrows():
         true = int(exact[r["lang"]])
         assert abs(int(r["approx_distinct"]) - true) / true < 0.05, (r["lang"], true, r["approx_distinct"])
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_no_false_negatives_and_fp_bounded():
+    from crawler_ray.functions.sketches import (bloom_build, bloom_contains,
+                                                bloom_m_bits, bloom_merge)
+
+    keys = xxh64_array([f"key-{i}" for i in range(20_000)])
+    m = bloom_m_bits(20_000)
+    # partials built per slice merge by OR to the single-pass filter
+    merged = bloom_merge(bloom_build(keys[:9_000], m), bloom_build(keys[9_000:], m))
+    assert np.array_equal(merged, bloom_build(keys, m))
+    # the semi-join contract: NEVER a false negative
+    assert bloom_contains(merged, keys).all()
+    # false positives under ~2x the 10-bits/key design rate (<1 %)
+    probe = xxh64_array([f"absent-{i}" for i in range(50_000)])
+    assert bloom_contains(merged, probe).mean() < 0.02
+
+
+def test_bloom_sizing_power_of_two():
+    from crawler_ray.functions.sketches import bloom_m_bits
+
+    for n in (1, 100, 819, 820, 10**6):
+        m = bloom_m_bits(n)
+        assert m >= 10 * n and (m & (m - 1)) == 0
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch
+# ---------------------------------------------------------------------------
+
+
+def test_cms_never_undercounts_and_merges():
+    import pandas as pd
+
+    from crawler_ray.functions.sketches import cms_build, cms_merge, cms_query
+
+    rng = np.random.default_rng(11)
+    # zipf-ish stream: key i appears ~ 50000/(i+1) times
+    toks = np.repeat(np.arange(400), (50_000 / (np.arange(400) + 1)).astype(int))
+    rng.shuffle(toks)
+    strs = [f"tok-{t}" for t in toks]
+    hashes = xxh64_array(strs)
+    half = len(hashes) // 2
+    cms = cms_merge(cms_build(hashes[:half]), cms_build(hashes[half:]))
+    assert np.array_equal(cms, cms_build(hashes))
+    uniq = [f"tok-{t}" for t in range(400)]
+    est = cms_query(cms, xxh64_array(uniq))
+    true = pd.Series(toks).value_counts().reindex(range(400)).to_numpy(np.int64)
+    assert (est >= true).all()          # CM guarantee: no undercount
+    # ε ≈ e/W of stream mass bounds the overcount (generous 5ε slack)
+    from crawler_ray.functions.sketches import CMS_W
+    assert (est - true).max() <= max(1, int(5 * np.e / CMS_W * len(toks)))
+
+
+def test_cms_weighted_equals_unweighted():
+    from crawler_ray.functions.sketches import cms_build
+
+    strs = [f"w-{i}" for i in range(100)]
+    h = xxh64_array(strs)
+    w = np.arange(1, 101, dtype=np.int64)
+    assert np.array_equal(cms_build(h, w), cms_build(np.repeat(h, w)))
