@@ -2252,6 +2252,50 @@ def cms_heavy_bigrams(sf_dir: str):
                              kind="mergesort").reset_index(drop=True))
 
 
+BPE_N_MERGES = 10
+BPE_SAMPLE_SEED = 97
+
+
+def bpe_tokenize(sf_dir: str, n_merges: int = BPE_N_MERGES):
+    """Full BPE tokenizer round (functions/bpe.py): TRAIN the merge table
+    on a deterministic hash-sampled quarter of the corpus (murmur64(doc_id)
+    — the trainer never needs the full corpus; each round is one combiner
+    pass over the materialized sample state, incremental re-encode), then
+    ENCODE the whole corpus with the learned table broadcast in the closure
+    and count each merged symbol's occurrences — one vectorized pass, the
+    stage that actually runs at 100 TB. Output: (rank, pair, cnt) per rule.
+    Golden-checked against an independent per-doc loop trainer+encoder."""
+    from crawler_ray.functions import bpe
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def sample(b: pd.DataFrame) -> pd.DataFrame:
+        h = _murmur64(b["doc_id"].to_numpy(np.int64).view(np.uint64)
+                      ^ np.uint64(BPE_SAMPLE_SEED))
+        return b.loc[(h % np.uint64(4)) == 0, ["text"]]
+
+    merges = bpe.train_bpe_ds(ds.map_batches(sample, batch_format="pandas"),
+                              n_merges)
+    symbols = [a + bpe.SEP + b for a, b in merges]
+
+    def count_partial(b: pd.DataFrame, ms=tuple(merges)) -> pd.DataFrame:
+        enc = bpe.encode_batch(b, list(ms))
+        flat, _, _ = bpe._flatten(enc["toks"])
+        vc = pd.Series(flat, dtype=object).value_counts()
+        vc = vc[vc.index.isin(symbols)]
+        return pd.DataFrame({"sym": vc.index.astype(object),
+                             "cnt": vc.to_numpy(np.int64)})
+
+    tot = _fold(ds.map_batches(count_partial, batch_format="pandas"),
+                ["sym"], dict(cnt=("cnt", "sum")))
+    cnt_by_sym = dict(zip(tot["sym"], tot["cnt"])) if len(tot) else {}
+    return pd.DataFrame({
+        "rank": np.arange(len(merges), dtype=np.int64),
+        "pair": [s.replace(bpe.SEP, " ") for s in symbols],
+        "cnt": np.array([int(cnt_by_sym.get(s, 0)) for s in symbols], np.int64),
+    })
+
+
 QUERIES = {
     "audio_clip_features": audio_clip_features,
     "video_frame_sample": video_frame_sample,
@@ -2319,6 +2363,7 @@ QUERIES = {
     "bloom_semi_join": bloom_semi_join,
     "skew_join_brand_revenue": skew_join_brand_revenue,
     "cms_heavy_bigrams": cms_heavy_bigrams,
+    "bpe_tokenize": bpe_tokenize,
 }
 
 ORACLE_SQL = {

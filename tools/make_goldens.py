@@ -791,6 +791,71 @@ def video_near_dup_golden():
     write("video_near_dups", df)
 
 
+def bpe_golden(n_merges: int = 10, seed: int = 97):
+    """Independent loop-style BPE: per-doc while-loop merge application and
+    dict-based pair counting — no engine code. Must reproduce the engine's
+    (count desc, pair asc) rule table and full-corpus symbol counts."""
+    M64 = (1 << 64) - 1
+
+    def mur(x: int) -> int:
+        x &= M64
+        x ^= x >> 32
+        x = (x * 0xD6E8FEB86659FD93) & M64
+        x ^= x >> 32
+        x = (x * 0xD6E8FEB86659FD93) & M64
+        x ^= x >> 32
+        return x
+
+    SEP = "\x1f"
+    df = pq.read_table(f"{SF}/documents.parquet",
+                       columns=["doc_id", "text"]).to_pandas()
+    sample = [str(t).split(" ") for i, t in zip(df["doc_id"], df["text"])
+              if mur(int(i) ^ seed) % 4 == 0]
+
+    def apply_rule(tokens, a, b):
+        out, i = [], 0
+        while i < len(tokens):
+            if i + 1 < len(tokens) and tokens[i] == a and tokens[i + 1] == b:
+                out.append(a + SEP + b)
+                i += 2
+            else:
+                out.append(tokens[i])
+                i += 1
+        return out
+
+    state = [list(t) for t in sample]
+    merges = []
+    for _ in range(n_merges):
+        counts = {}
+        for toks in state:
+            for x, y in zip(toks, toks[1:]):
+                counts[(x, y)] = counts.get((x, y), 0) + 1
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < 2:
+            break
+        a, b = best[0]
+        merges.append((a, b))
+        state = [apply_rule(t, a, b) for t in state]
+
+    sym_counts = {a + SEP + b: 0 for a, b in merges}
+    for t in df["text"]:
+        toks = str(t).split(" ")
+        for a, b in merges:
+            toks = apply_rule(toks, a, b)
+        for tok in toks:
+            if tok in sym_counts:
+                sym_counts[tok] += 1
+
+    out = pd.DataFrame({
+        "rank": np.arange(len(merges), dtype=np.int64),
+        "pair": [(a + SEP + b).replace(SEP, " ") for a, b in merges],
+        "cnt": np.array([sym_counts[a + SEP + b] for a, b in merges], np.int64),
+    })
+    write("bpe_tokenize", out)
+
+
 if __name__ == "__main__":
     os.makedirs(OUT, exist_ok=True)
     o, params = crawl_goldens()
@@ -804,4 +869,5 @@ if __name__ == "__main__":
     video_golden()
     audio_near_dup_golden()
     video_near_dup_golden()
+    bpe_golden()
     print("done")
