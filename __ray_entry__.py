@@ -473,7 +473,7 @@ _GOLDEN_CHECKED = (
     "image_ann_topk", "city_image_stats",
     "crawl_recrawl_delta", "training_shards",
     "audio_clip_features", "video_frame_sample",
-    "audio_near_dups", "video_near_dups", "bpe_tokenize",
+    "audio_near_dups", "video_near_dups", "bpe_tokenize", "embedding_pca",
 )
 
 

@@ -2252,6 +2252,51 @@ def cms_heavy_bigrams(sf_dir: str):
                              kind="mergesort").reset_index(drop=True))
 
 
+def embedding_covariance(sf_dir: str):
+    """Exact distributed covariance of the embedding corpus
+    (functions/linalg.py): each block reduces to O(d²) integer moment
+    partials (count, coordinate sums, d×d second-moment matrix) that merge
+    by addition; the driver folds blocks with Python-int arithmetic (exact
+    at any corpus size) and emits the upper triangle of
+    m2 = n·S − s·sᵀ (= n²·cov·scale²) — 2,080 BIGINT rows for d=64,
+    bit-equal to DuckDB computing the same quantized sums. Row data never
+    reaches the driver; a 10^10-row corpus folds the same (blocks × 33 KiB)
+    partials."""
+    from crawler_ray.functions import linalg
+
+    d = 64
+    ds = _read(sf_dir, "embeddings", ["embedding"])
+    parts = ds.map_batches(linalg.moment_partial, batch_format="pandas").to_pandas()
+    n, s, S = linalg.fold_moments(parts, d)
+    m2 = linalg.scaled_covariance(n, s, S)
+    iu = np.triu_indices(d)
+    out = pd.DataFrame({"i": (iu[0] + 1).astype(np.int64),
+                        "j": (iu[1] + 1).astype(np.int64),
+                        "m2": [int(v) for v in m2[iu]]})
+    out["m2"] = out["m2"].astype(np.int64)  # raises on overflow, never wraps
+    return out
+
+
+def embedding_pca(sf_dir: str, k: int = 4):
+    """PCA over the exact distributed covariance: top-k explained-variance
+    ratios (in ppm of the trace) from a d×d dense eigensolve on the driver
+    — O(d³) once, independent of corpus size; everything corpus-scale is
+    the integer moment fold. Golden-checked against an independent per-row
+    Python-loop moment computation (the distributed part is what differs)."""
+    from crawler_ray.functions import linalg
+
+    d = 64
+    ds = _read(sf_dir, "embeddings", ["embedding"])
+    parts = ds.map_batches(linalg.moment_partial, batch_format="pandas").to_pandas()
+    n, s, S = linalg.fold_moments(parts, d)
+    m2 = linalg.scaled_covariance(n, s, S)
+    trace = int(np.trace(m2))
+    vals, _ = linalg.top_eigs(m2, k=k)
+    ppm = np.floor(vals / float(trace) * 1e6 + 0.5).astype(np.int64)
+    return pd.DataFrame({"comp": np.arange(1, k + 1, dtype=np.int64),
+                         "var_ppm": ppm})
+
+
 BPE_N_MERGES = 10
 BPE_SAMPLE_SEED = 97
 
@@ -2364,6 +2409,8 @@ QUERIES = {
     "skew_join_brand_revenue": skew_join_brand_revenue,
     "cms_heavy_bigrams": cms_heavy_bigrams,
     "bpe_tokenize": bpe_tokenize,
+    "embedding_covariance": embedding_covariance,
+    "embedding_pca": embedding_pca,
 }
 
 ORACLE_SQL = {
@@ -2816,3 +2863,18 @@ ORACLE_SQL["cms_heavy_bigrams"] = f"""
     SELECT bigram, cnt FROM c
     WHERE cnt >= CAST(CEIL({CMS_PHI} * (SELECT SUM(cnt) FROM c)) AS BIGINT)
     ORDER BY cnt DESC, bigram"""
+
+ORACLE_SQL["embedding_covariance"] = """
+    WITH q AS (SELECT list_transform(embedding,
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qe
+               FROM embeddings),
+    d AS (SELECT len(qe) AS nd FROM q LIMIT 1),
+    ij AS (SELECT a.i AS i, b.j AS j
+           FROM (SELECT unnest(range(1, (SELECT nd FROM d) + 1)) AS i) a,
+                (SELECT unnest(range(1, (SELECT nd FROM d) + 1)) AS j) b
+           WHERE b.j >= a.i),
+    t AS (SELECT i, j, qe[i] AS qi, qe[j] AS qj FROM q, ij)
+    SELECT i, j,
+           CAST((SELECT COUNT(*) FROM q) * SUM(qi * qj)
+                - SUM(qi) * SUM(qj) AS BIGINT) AS m2
+    FROM t GROUP BY i, j ORDER BY i, j"""

@@ -856,6 +856,35 @@ def bpe_golden(n_merges: int = 10, seed: int = 97):
     write("bpe_tokenize", out)
 
 
+def pca_golden(k: int = 4, scale: int = 10_000):
+    """Independent PCA: per-row loop quantization + exact Python-int
+    moments + np.linalg.eigh (vs the engine's power iteration)."""
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["embedding"])
+    rows = t["embedding"].to_pylist()
+    d = len(rows[0])
+    n = len(rows)
+    s = [0] * d
+    S = [[0] * d for _ in range(d)]
+    for v in rows:
+        q = [int(np.floor(np.float64(np.float32(x)) * scale)) for x in v]
+        for i in range(d):
+            s[i] += q[i]
+            for j in range(i, d):
+                S[i][j] += q[i] * q[j]
+    m2 = np.zeros((d, d), np.float64)
+    trace = 0
+    for i in range(d):
+        for j in range(i, d):
+            v = n * S[i][j] - s[i] * s[j]
+            m2[i, j] = m2[j, i] = float(v)
+            if i == j:
+                trace += v
+    vals = np.sort(np.linalg.eigh(m2)[0])[::-1][:k]
+    ppm = np.floor(vals / float(trace) * 1e6 + 0.5).astype(np.int64)
+    write("embedding_pca", pd.DataFrame(
+        {"comp": np.arange(1, k + 1, dtype=np.int64), "var_ppm": ppm}))
+
+
 if __name__ == "__main__":
     os.makedirs(OUT, exist_ok=True)
     o, params = crawl_goldens()
@@ -870,4 +899,5 @@ if __name__ == "__main__":
     audio_near_dup_golden()
     video_near_dup_golden()
     bpe_golden()
+    pca_golden()
     print("done")
