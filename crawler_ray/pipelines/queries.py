@@ -2252,6 +2252,32 @@ def cms_heavy_bigrams(sf_dir: str):
                              kind="mergesort").reset_index(drop=True))
 
 
+def per_source_cap(sf_dir: str, k: int = 5, seed: int = 21):
+    """Per-source document caps (the C4/RefinedWeb per-host balance rule):
+    keep at most k docs per source, chosen by a deterministic murmur64
+    order (DuckDB ``hash()``-compatible, so fully oracle-checkable — a
+    random ROW_NUMBER would not be). Rank = the distributed PARTITION BY
+    running count (functions/scan.py `grouped_cumulative_sum_ds` over a
+    ones column, exclusive): one sort exchange, O(blocks) driver carry at
+    ANY source cardinality — never a per-source counter anywhere."""
+    from crawler_ray.functions import scan
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def add_cols(b: pd.DataFrame) -> pd.DataFrame:
+        h = (_murmur64(b["doc_id"].to_numpy(np.int64).view(np.uint64)
+                       ^ np.uint64(seed)) % np.uint64(2**31)).astype(np.int64)
+        return b.assign(h=h, one=np.ones(len(b), np.int64))
+
+    ranked = scan.grouped_cumulative_sum_ds(
+        ds.map_batches(add_cols, batch_format="pandas"),
+        "source", ["h", "doc_id"], "one", out_col="rk", exclusive=True)
+    out = (ranked.map_batches(
+        lambda b: b.loc[b["rk"] < k, ["source", "doc_id"]],
+        batch_format="pandas").to_pandas())
+    return out.sort_values(["source", "doc_id"]).reset_index(drop=True)
+
+
 def embedding_covariance(sf_dir: str):
     """Exact distributed covariance of the embedding corpus
     (functions/linalg.py): each block reduces to O(d²) integer moment
@@ -2411,6 +2437,7 @@ QUERIES = {
     "bpe_tokenize": bpe_tokenize,
     "embedding_covariance": embedding_covariance,
     "embedding_pca": embedding_pca,
+    "per_source_cap": per_source_cap,
 }
 
 ORACLE_SQL = {
@@ -2878,3 +2905,13 @@ ORACLE_SQL["embedding_covariance"] = """
            CAST((SELECT COUNT(*) FROM q) * SUM(qi * qj)
                 - SUM(qi) * SUM(qj) AS BIGINT) AS m2
     FROM t GROUP BY i, j ORDER BY i, j"""
+
+ORACLE_SQL["per_source_cap"] = """
+    WITH h AS (SELECT doc_id, source,
+                      CAST(hash(xor(CAST(doc_id AS BIGINT), CAST(21 AS BIGINT)))
+                           % 2147483648 AS BIGINT) AS hh
+               FROM documents),
+    r AS (SELECT doc_id, source,
+                 ROW_NUMBER() OVER (PARTITION BY source ORDER BY hh, doc_id) AS rn
+          FROM h)
+    SELECT source, doc_id FROM r WHERE rn <= 5 ORDER BY source, doc_id"""

@@ -166,3 +166,31 @@ def test_semantic_dedup_invariants(ray_session):
     pairs = set(zip(nd["vid_a"].astype(int), nd["vid_b"].astype(int)))
     got = set(zip(out["dup_of"].astype(int), out["vec_id"].astype(int)))
     assert got <= pairs, got - pairs
+
+
+def test_per_source_cap_matches_duckdb(ray_session, con):
+    _check("per_source_cap", con)
+
+
+def test_bloom_semi_join_matches_duckdb(ray_session):
+    c = duckdb.connect()
+    for t in ("lineitem", "orders"):
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    _check("bloom_semi_join", c)
+
+
+def test_skew_join_brand_revenue_matches_duckdb(ray_session):
+    c = duckdb.connect()
+    for t in ("lineitem", "part"):
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    _check("skew_join_brand_revenue", c)
+
+
+def test_cms_heavy_bigrams_matches_duckdb(ray_session, con):
+    _check("cms_heavy_bigrams", con)
+
+
+def test_embedding_covariance_matches_duckdb(ray_session):
+    c = duckdb.connect()
+    c.execute(f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{SF}/embeddings.parquet')")
+    _check("embedding_covariance", c)
