@@ -102,10 +102,7 @@ def detokenize(flat: np.ndarray) -> np.ndarray:
     return s.explode().to_numpy(object)
 
 
-def pair_counts_batch(b: pd.DataFrame, toks_col: str = "toks") -> pd.DataFrame:
-    """Combiner partial: per-block adjacent-pair counts (tok_a, tok_b, cnt)
-    over already-encoded token lists — one explode + shift, no row loop."""
-    flat, doc, _ = _flatten(b[toks_col])
+def _pair_counts_flat(flat: np.ndarray, doc: np.ndarray) -> pd.DataFrame:
     if len(flat) < 2:
         return pd.DataFrame({"tok_a": pd.Series([], dtype=object),
                              "tok_b": pd.Series([], dtype=object),
@@ -118,32 +115,70 @@ def pair_counts_batch(b: pd.DataFrame, toks_col: str = "toks") -> pd.DataFrame:
     return out
 
 
+def pair_counts_batch(b: pd.DataFrame, toks_col: str = "toks") -> pd.DataFrame:
+    """Combiner partial: per-block adjacent-pair counts (tok_a, tok_b, cnt)
+    over already-encoded token lists — one explode + shift, no row loop."""
+    flat, doc, _ = _flatten(b[toks_col])
+    return _pair_counts_flat(flat, doc)
+
+
+# below this many sampled docs the 2·n_merges Dataset executions are pure
+# fixed cost (~0.5 s each); the identical kernels run driver-local instead
+# — the same tiny-tail-wave policy the crawl uses (pipelines/crawl.py)
+LOCAL_TRAIN_DOCS = 50_000
+
+
+def _pick_best(tot: pd.DataFrame, min_count: int) -> tuple[str, str] | None:
+    tot = tot.sort_values(["cnt", "tok_a", "tok_b"],
+                          ascending=[False, True, True], kind="mergesort")
+    if len(tot) == 0 or int(tot.iloc[0]["cnt"]) < min_count:
+        return None
+    return str(tot.iloc[0]["tok_a"]), str(tot.iloc[0]["tok_b"])
+
+
+def _train_local(toks: pd.Series, n_merges: int, min_count: int
+                 ) -> list[tuple[str, str]]:
+    """Driver-local rounds over the SAME vectorized kernels (one flatten,
+    then per-round one pair count + one merge application in place)."""
+    flat, doc, _ = _flatten(toks)
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        best = _pick_best(_pair_counts_flat(flat, doc), min_count)
+        if best is None:
+            break
+        merges.append(best)
+        flat, doc = apply_merge_flat(flat, doc, *best)
+    return merges
+
+
 def train_bpe_ds(ds, n_merges: int, text_col: str = "text",
                  min_count: int = 2) -> list[tuple[str, str]]:
     """Learn ``n_merges`` rules from a Dataset of documents. The token
     state is materialized once and re-materialized per round with ONLY the
     newest rule applied (incremental re-encode). The caller passes the
     training slice — at corpus scale that is a hash-sampled fraction, and
-    the driver fold per round is O(distinct pairs in that slice)."""
+    the driver fold per round is O(distinct pairs in that slice). Samples
+    below ``LOCAL_TRAIN_DOCS`` train driver-local with the identical
+    kernels (the distributed rounds would be ~100 % executor fixed cost);
+    both paths produce the same rule table by construction (unit-pinned)."""
     state = ds.map_batches(
         lambda b: pd.DataFrame({
             "toks": b[text_col].astype("string").str.split(" ")
                     .map(lambda x: np.asarray(x, object))}),
         batch_format="pandas").materialize()
+    if state.count() <= LOCAL_TRAIN_DOCS:
+        return _train_local(state.to_pandas()["toks"], n_merges, min_count)
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
         parts = state.map_batches(pair_counts_batch,
                                   batch_format="pandas").to_pandas()
         if len(parts) == 0:
             break
-        tot = parts.groupby(["tok_a", "tok_b"], as_index=False).agg(
-            cnt=("cnt", "sum"))
-        tot = tot.sort_values(["cnt", "tok_a", "tok_b"],
-                              ascending=[False, True, True], kind="mergesort")
-        best = tot.iloc[0]
-        if int(best["cnt"]) < min_count:
+        best = _pick_best(parts.groupby(["tok_a", "tok_b"], as_index=False)
+                          .agg(cnt=("cnt", "sum")), min_count)
+        if best is None:
             break
-        a, b = str(best["tok_a"]), str(best["tok_b"])
+        a, b = best
         merges.append((a, b))
 
         def apply_newest(batch: pd.DataFrame, a=a, b=b) -> pd.DataFrame:

@@ -91,3 +91,14 @@ def test_bpe_tokenize_matches_golden(ray_session):
     got = bpe_tokenize("/root/testdata/sf0.01")
     golden = pq.read_table("/root/repo/golden/bpe_tokenize.parquet").to_pandas()
     pd.testing.assert_frame_equal(got, golden)
+
+
+def test_local_and_distributed_trainers_agree(ray_session, monkeypatch):
+    import ray.data as rd
+
+    texts = ["a b a b c", "a b a b a b", "c c a b", "b a b a", ""] * 6
+    ds = rd.from_pandas(pd.DataFrame({"text": texts})).repartition(4)
+    local = bpe.train_bpe_ds(ds, 3)  # 30 docs → local path
+    monkeypatch.setattr(bpe, "LOCAL_TRAIN_DOCS", 0)
+    dist = bpe.train_bpe_ds(ds, 3)   # forced distributed rounds
+    assert local == dist and len(local) == 3
