@@ -43,3 +43,32 @@ def test_salted_join_exact_vs_pandas_merge(ray_session):
                .to_pandas()[["k", "v", "label"]]
                .sort_values(["k", "v"]).reset_index(drop=True))
         pd.testing.assert_frame_equal(got, expect[["k", "v", "label"]])
+
+
+def test_salted_join_hot_key_absent_from_dim(ray_session):
+    import ray.data as rd
+
+    # a key flagged hot but missing on the dim side must simply drop
+    # (inner-join semantics), not error or duplicate
+    fact = pd.DataFrame({"k": [1, 1, 1, 2, 3], "v": [1.0, 2.0, 3.0, 4.0, 5.0]})
+    dim = pd.DataFrame({"dk": [2, 3], "label": ["B", "C"]})
+    got = (salted_join(rd.from_pandas(fact), rd.from_pandas(dim),
+                       key="k", dim_key="dk", hot={1, 2}, salts=4)
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    assert list(got["k"]) == [2, 3] and list(got["label"]) == ["B", "C"]
+
+
+def test_salted_join_duplicate_dim_keys(ray_session):
+    import ray.data as rd
+
+    # dim-side duplicates multiply matches exactly as an unsalted join does
+    fact = pd.DataFrame({"k": [7] * 6 + [8], "v": np.arange(7.0)})
+    dim = pd.DataFrame({"dk": [7, 7, 8], "label": ["a", "b", "c"]})
+    expect = (fact.merge(dim, left_on="k", right_on="dk")
+              .drop(columns=["dk"]).sort_values(["k", "v", "label"])
+              .reset_index(drop=True))
+    got = (salted_join(rd.from_pandas(fact), rd.from_pandas(dim),
+                       key="k", dim_key="dk", hot={7}, salts=3)
+           .to_pandas()[["k", "v", "label"]]
+           .sort_values(["k", "v", "label"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, expect[["k", "v", "label"]])
