@@ -103,6 +103,24 @@ def _image_feature_near_dups(sf_dir: str):
     return out
 
 
+def _image_increment_dups(sf_dir: str):
+    """Incremental image dedup: a deterministic xxh64(image_id)%2 split of
+    the store plays the roles of 'already-stored corpus' (side 0) and 'new
+    crawl increment' (side 1); output = every new image near-duplicating a
+    stored one at phash Hamming ≤ 6 (multimodal.cross_corpus_phash_dups —
+    side-aware banding, cross-side verification only)."""
+    from crawler_ray.hashing import xxh64_array
+    from crawler_ray.pipelines.multimodal import cross_corpus_phash_dups
+
+    def side_of(b):
+        import numpy as np
+
+        return (xxh64_array(b["image_id"].astype(str).tolist())
+                % np.uint64(2)).astype(np.int8)
+
+    return cross_corpus_phash_dups(_featurized(), side_of)
+
+
 def _image_thumbnails(sf_dir: str):
     """Multimodal resize operator over the image store: decode → box
     downsample to 32-px thumbnails → re-encode PNG (actor pool; pure-numpy
@@ -433,6 +451,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # multimodal (decode/feature/near-dup over the image store)
     out["image_features"] = _image_features
     out["image_phash_dups"] = _phash_dups
+    out["image_increment_dups"] = _image_increment_dups
     out["image_feature_near_dups"] = _image_feature_near_dups
     out["image_thumbnails"] = _image_thumbnails
     out["image_ann_topk"] = _image_ann_topk
@@ -474,6 +493,7 @@ _GOLDEN_CHECKED = (
     "crawl_recrawl_delta", "training_shards",
     "audio_clip_features", "video_frame_sample",
     "audio_near_dups", "video_near_dups", "bpe_tokenize", "embedding_pca",
+    "image_increment_dups",
 )
 
 

@@ -629,20 +629,25 @@ def simhash64(batch: pd.DataFrame) -> pd.DataFrame:
 
 
 def hash_bands(batch: pd.DataFrame, bands: int = 4, id_col: str = "doc_id",
-               hash_col: str = "simhash") -> pd.DataFrame:
+               hash_col: str = "simhash", carry_cols: tuple = ()) -> pd.DataFrame:
     """(id, 64-bit hash) → ``bands`` band rows of 64/bands bits each. By
     pigeonhole, any pair at Hamming ≤ bands−1 collides in ≥1 band — choose
-    ``bands ≥ max_hamming+1`` for a recall guarantee at that radius."""
+    ``bands ≥ max_hamming+1`` for a recall guarantee at that radius.
+    ``carry_cols`` are replicated into every band row (e.g. a corpus-side
+    tag for cross-corpus collision kernels)."""
     width = 64 // bands
     sh = batch[hash_col].to_numpy(np.int64).view(np.uint64)
     mask = np.uint64((1 << width) - 1)
     rows = []
     for band in range(bands):
         chunk = (sh >> np.uint64(width * band)) & mask
-        rows.append(pd.DataFrame({
+        cols = {
             "band": np.int32(band), "band_hash": chunk.astype(np.int64),
             id_col: batch[id_col].to_numpy(),
-            hash_col: batch[hash_col].to_numpy(np.int64)}))
+            hash_col: batch[hash_col].to_numpy(np.int64)}
+        for c in carry_cols:
+            cols[c] = batch[c].to_numpy()
+        rows.append(pd.DataFrame(cols))
     return pd.concat(rows, ignore_index=True)
 
 
@@ -703,6 +708,67 @@ def hamming_collide_block(batch: pd.DataFrame, max_hamming: int = 3,
         return empty
     pieces = [hamming_bucket_pairs(g, max_hamming, id_col, hash_col, a_col, b_col)
               for _, g in hot.groupby(["band", "band_hash"])]
+    out = pd.concat(pieces, ignore_index=True)
+    if len(out) == 0:
+        return empty
+    return out.drop_duplicates([a_col, b_col]).reset_index(drop=True)
+
+
+def cross_hamming_bucket_pairs(group: pd.DataFrame, max_hamming: int,
+                               id_col: str = "image_id",
+                               hash_col: str = "phash",
+                               side_col: str = "side",
+                               a_col: str = "new_id",
+                               b_col: str = "ref_id") -> pd.DataFrame:
+    """One band bucket → CROSS-corpus pairs only: (new-side id, ref-side
+    id) at Hamming ≤ max_hamming. The incremental-dedup primitive — a new
+    crawl wave checks against the existing corpus without paying the
+    ref×ref quadratic term (the dominant cost when |ref| ≫ |new|)."""
+    g = group.drop_duplicates(id_col)
+    new = g.loc[g[side_col] == 1].sort_values(id_col)
+    ref = g.loc[g[side_col] == 0].sort_values(id_col)
+    ids_n = new[id_col].to_numpy()
+    ids_r = ref[id_col].to_numpy()
+    empty = pd.DataFrame({a_col: pd.Series([], dtype=object),
+                          b_col: pd.Series([], dtype=object),
+                          "hamming": pd.Series([], dtype=np.int32)})
+    if len(ids_n) == 0 or len(ids_r) == 0:
+        return empty
+    hn = new[hash_col].to_numpy(np.int64).view(np.uint64)
+    hr = ref[hash_col].to_numpy(np.int64).view(np.uint64)
+    ii, jj = np.meshgrid(np.arange(len(ids_n)), np.arange(len(ids_r)),
+                         indexing="ij")
+    ii, jj = ii.ravel(), jj.ravel()
+    ham = _hamming64(hn[ii] ^ hr[jj])
+    keep = ham <= max_hamming
+    return pd.DataFrame({a_col: ids_n[ii][keep], b_col: ids_r[jj][keep],
+                         "hamming": ham[keep]})
+
+
+def cross_hamming_collide_block(batch: pd.DataFrame, max_hamming: int = 6,
+                                id_col: str = "image_id",
+                                hash_col: str = "phash",
+                                side_col: str = "side",
+                                a_col: str = "new_id",
+                                b_col: str = "ref_id") -> pd.DataFrame:
+    """Per-block kernel after banding: keep only buckets containing BOTH
+    sides (one duplicated() mask over (band, band_hash) plus a per-bucket
+    side check), then emit cross-side Hamming-verified pairs."""
+    empty = pd.DataFrame({a_col: pd.Series([], dtype=object),
+                          b_col: pd.Series([], dtype=object),
+                          "hamming": pd.Series([], dtype=np.int32)})
+    if len(batch) == 0:
+        return empty
+    dup = batch.duplicated(["band", "band_hash"], keep=False)
+    hot = batch.loc[dup]
+    if len(hot) == 0:
+        return empty
+    pieces = [cross_hamming_bucket_pairs(g, max_hamming, id_col, hash_col,
+                                         side_col, a_col, b_col)
+              for _, g in hot.groupby(["band", "band_hash"])
+              if g[side_col].nunique() == 2]
+    if not pieces:
+        return empty
     out = pd.concat(pieces, ignore_index=True)
     if len(out) == 0:
         return empty

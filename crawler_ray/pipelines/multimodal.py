@@ -509,3 +509,48 @@ def video_frames(video_ds, every_n: int = 4, concurrency: int = 2,
     return video_ds.map_batches(
         functools.partial(sample_video_frames, every_n=every_n),
         batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency)
+
+
+def cross_corpus_phash_dups(features_ds, side_of, max_hamming: int = 6,
+                            n_bands: int = 8) -> pd.DataFrame:
+    """Incremental image dedup: which NEW images (side 1) near-duplicate an
+    image already in the REFERENCE corpus (side 0), by phash Hamming ≤
+    ``max_hamming``. The per-wave operation of a continuous crawl — new
+    content checks against 10^10 stored images without the ref×ref
+    quadratic term: banding is the same pigeonhole blocking as
+    ``phash_near_dups`` (8×8-bit bands cover Hamming ≤ 7), the collide
+    kernel only verifies buckets containing BOTH sides, and pairs are
+    new×ref only.
+
+    ``side_of(batch) -> int {0,1} array`` derives the side from the batch
+    (deterministic split in the query; in production, the wave id)."""
+    import functools
+
+    import ray.data as rd
+
+    from crawler_ray.functions.dedup_ops import (
+        banded_candidate_pairs,
+        cross_hamming_collide_block,
+        hash_bands,
+    )
+
+    if isinstance(features_ds, pd.DataFrame):
+        features_ds = rd.from_pandas(features_ds[["image_id", "phash"]])
+
+    def tag_and_band(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.drop_duplicates("image_id").assign(
+            side=np.asarray(side_of(b.drop_duplicates("image_id")), np.int8))
+        return hash_bands(b, bands=n_bands, id_col="image_id",
+                          hash_col="phash", carry_cols=("side",))
+
+    collide_fn = functools.partial(cross_hamming_collide_block,
+                                   max_hamming=max_hamming)
+    bands = features_ds.map_batches(tag_and_band, batch_format="pandas")
+    out = banded_candidate_pairs(bands, collide_fn)
+    out = out.drop_duplicates(["new_id", "ref_id"])
+    if len(out) == 0:
+        return pd.DataFrame({"new_id": pd.Series([], dtype=str),
+                             "ref_id": pd.Series([], dtype=str),
+                             "hamming": pd.Series([], dtype=np.int32)})
+    out["hamming"] = out["hamming"].astype(np.int32)
+    return out.sort_values(["new_id", "ref_id"]).reset_index(drop=True)

@@ -214,6 +214,27 @@ def image_goldens(o, params):
     dups["hamming"] = dups["hamming"].astype(np.int32)
     write("image_phash_dups", dups)
 
+    # cross-corpus increment dedup: xxh64(id)%2 splits ref(0)/new(1);
+    # straight-line double loop over new×ref pairs only
+    sides = {i: int(xxh64(str(i)) % 2) for i in ids}
+    cross = []
+    for i in range(len(ids)):
+        if sides[ids[i]] != 1:
+            continue
+        for j in range(len(ids)):
+            if sides[ids[j]] != 0:
+                continue
+            x = np.uint64(int(ph[i]) ^ int(ph[j]))
+            ham = 0
+            while x:
+                ham += int(x & np.uint64(1))
+                x >>= np.uint64(1)
+            if ham <= 6:
+                cross.append((ids[i], ids[j], np.int32(ham)))
+    xdf = pd.DataFrame(sorted(set(cross)), columns=["new_id", "ref_id", "hamming"])
+    xdf["hamming"] = xdf["hamming"].astype(np.int32)
+    write("image_increment_dups", xdf)
+
     # feature-cosine near-dups: straight-line all-pairs over the SAME
     # loop-computed feature vectors (engine: tile-grid + keyed joins)
     from crawler_ray.pipelines.multimodal import FEATURE_NEAR_DUP_THRESHOLD
@@ -277,8 +298,6 @@ def image_goldens(o, params):
     # engine, one independent float64 all-pairs pass (per-probe GEMV vs
     # the engine's batched GEMM partials — only ID order is compared, and
     # ties happen only between identical vectors, which tie identically)
-    from crawler_ray.hashing import xxh64
-
     u_ids = [fids[i] for i in uidx]
     u_mat = np.stack([fmat[i].astype(np.float64) for i in uidx])
     norms = np.linalg.norm(u_mat, axis=1, keepdims=True)
