@@ -15,6 +15,7 @@ from __future__ import annotations
 import shutil
 from collections.abc import Callable
 from typing import Any
+from crawler_ray.sizing import exchange_width as _W
 
 _CRAWL_CACHE: dict[str, Any] = {}
 
@@ -221,7 +222,7 @@ def _city_image_stats(sf_dir: str):
     paths = ll.fragment_paths(run.root, "store", m["tables"]["store"])
     store = rd.read_parquet(paths, columns=["image_id", "src_url", "w", "h", "phash"])
     pages = _pages_ds(["url", "city"])
-    joined = store.join(pages, join_type="inner", num_partitions=8,
+    joined = store.join(pages, join_type="inner", num_partitions=_W(),
                         on=("src_url",), right_on=("url",))
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
@@ -251,7 +252,7 @@ def _city_image_stats(sf_dir: str):
         pd.DataFrame({"city": pd.Series([], dtype=object),
                       "phash": pd.Series([], dtype=np.int64)}),
         batch_format="pandas")
-    dk = (_keyed(pairs).repartition(8, keys=["city", "phash"])
+    dk = (_keyed(pairs).repartition(_W(), keys=["city", "phash"])
           .map_batches(distinct_count, batch_format="pandas", batch_size=None)
           .materialize())
     dk.context.shuffle_strategy = rd.DataContext.get_current().shuffle_strategy

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+from crawler_ray.sizing import exchange_width as _W
 
 
 def _to_matrix(col) -> np.ndarray:
@@ -370,8 +371,8 @@ def banded_near_dup_pairs(ds, threshold: float = 0.9, bands: int = 96,
     a_side = mat.map_batches(lambda b: pack(b, "doc_a", "emb_a"), batch_format="pandas")
     b_side = mat.map_batches(lambda b: pack(b, "doc_b", "emb_b"), batch_format="pandas")
     joined = (rd.from_pandas(cand)
-              .join(a_side, join_type="inner", num_partitions=4, on=("doc_a",))
-              .join(b_side, join_type="inner", num_partitions=4, on=("doc_b",)))
+              .join(a_side, join_type="inner", num_partitions=_W(), on=("doc_a",))
+              .join(b_side, join_type="inner", num_partitions=_W(), on=("doc_b",)))
     out = joined.map_batches(verify_cosine_joined, fn_kwargs=dict(threshold=threshold),
                              batch_format="pandas").to_pandas()
     return out if len(out) else empty

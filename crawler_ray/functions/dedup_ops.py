@@ -22,6 +22,7 @@ import numpy as np
 import pandas as pd
 
 from crawler_ray.hashing import xxh64, xxh64_array
+from crawler_ray.sizing import exchange_width as _W
 
 def shingle_hashes(text: str, k: int = 5) -> np.ndarray:
     """Sorted unique 64-bit hashes of the k-byte shingles of ``text``,
@@ -298,7 +299,7 @@ def banded_candidate_pairs_ds(bands_ds, collide_block_fn):
         # materialize INSIDE this branch: the keyed repartition must plan
         # under edge_ds's HASH_SHUFFLE context snapshot — unioned lazily it
         # would re-plan under the downstream dataset's (sort-shuffle) context
-        edge_pairs_ds = (edge_ds.repartition(8, keys=["band", "band_hash"])
+        edge_pairs_ds = (edge_ds.repartition(_W(), keys=["band", "band_hash"])
                          .map_batches(collide_block_fn, batch_format="pandas",
                                       batch_size=None).materialize())
     else:

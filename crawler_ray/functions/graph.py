@@ -19,13 +19,16 @@ Two execution modes over an ``edges`` Dataset of (src:int64, dst:int64):
   the driver. Edges NEVER move after the initial distinct — the right
   shape while node count ≪ edge count (the common web case is the
   opposite, hence:)
-- ``join`` (node table is itself distributed): ranks live in a Dataset;
-  each round hash-joins ranks onto the edge list (edges carry their
-  out-degree from the pre-pass), then a node-keyed repartition folds
-  per-destination sums in-block and a left-outer join against the node
-  table re-adds base units to in-degree-0 nodes. Everything stays a lazy
-  Dataset materialized once per round — nothing O(nodes) or O(edges)
-  touches the driver.
+- ``join`` (node table is itself distributed): degree/node state, ranks
+  and every round stay Datasets END-TO-END — degree is one node-keyed
+  exchange, each round hash-joins ranks onto the edge list (edges carry
+  their out-degree from a degree-JOIN pre-pass, never a broadcast dict),
+  a node-keyed repartition folds per-destination sums in-block, and a
+  left-outer join against the degree Dataset re-adds base units to
+  in-degree-0 nodes. Node count comes from ``Dataset.count()``. Nothing
+  O(nodes) or O(edges) ever touches the driver in this mode
+  (``pagerank_units_ds`` returns the ranks Dataset; the DataFrame wrapper
+  gathers only for the small-query API).
 
 A unit test pins both modes bit-identical on a planted graph.
 """
@@ -59,10 +62,14 @@ def _unflip(ds):
     return ds
 
 
-def distinct_edges(ds, num_partitions: int = 8):
+def distinct_edges(ds, num_partitions: int | None = None):
     """Globally-distinct (src, dst) pairs: a keyed repartition co-locates
     duplicates so per-block drop_duplicates is exact; kernels emit typed
     empties because empty hash partitions arrive schema-less."""
+
+    from crawler_ray.sizing import exchange_width
+
+    num_partitions = num_partitions or exchange_width()
 
     def block(b: pd.DataFrame) -> pd.DataFrame:
         if len(b) == 0 or "src" not in b.columns:
@@ -74,35 +81,72 @@ def distinct_edges(ds, num_partitions: int = 8):
     out = (_flip(ds).repartition(num_partitions, keys=["src", "dst"])
            .map_batches(block, batch_format="pandas", batch_size=None)
            .materialize())
-    return _unflip(out)
+    from crawler_ray.blocks import drop_empty_blocks
+
+    return drop_empty_blocks(_unflip(out))
 
 
-def _degrees_and_nodes(edges):
-    """Out-degree per src + the full node set (src ∪ dst), via per-block
-    combiners folded on the driver — O(nodes) rows, never O(edges)."""
+def _degrees_ds(edges, num_partitions: int):
+    """Degree table as a DATASET: one row per node (src ∪ dst), ``d`` = out
+    degree (0 for dangling nodes). Per-block combiners emit O(distinct node
+    per block) partial rows, then ONE node-keyed exchange folds them exactly
+    in-block — the O(nodes) frame never exists on the driver."""
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         d = b.groupby("src", as_index=False).size().rename(
             columns={"src": "node", "size": "d"})
         dst = pd.DataFrame({"node": b["dst"].unique()})
         dst["d"] = np.int64(0)
-        return pd.concat([d, dst], ignore_index=True)
+        return pd.concat([d, dst], ignore_index=True).astype(
+            {"node": np.int64, "d": np.int64})
 
-    p = edges.map_batches(partial, batch_format="pandas").to_pandas()
-    g = p.groupby("node", as_index=False).agg(d=("d", "sum"))
-    g["node"] = g["node"].astype(np.int64)
-    g["d"] = g["d"].astype(np.int64)
-    return g  # one row per node; d == 0 for dangling nodes
+    def fold(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0 or "node" not in b.columns:
+            return pd.DataFrame({"node": pd.Series(dtype=np.int64),
+                                 "d": pd.Series(dtype=np.int64)})
+        out = b.groupby("node", as_index=False).agg(d=("d", "sum"))
+        return out.astype({"node": np.int64, "d": np.int64})
+
+    from crawler_ray.blocks import drop_empty_blocks
+
+    deg = (_flip(edges.map_batches(partial, batch_format="pandas"))
+           .repartition(num_partitions, keys=["node"])
+           .map_batches(fold, batch_format="pandas", batch_size=None)
+           .materialize())
+    return drop_empty_blocks(_unflip(deg))
 
 
 def pagerank_units(edges, n_iters: int = 10, total_units: int = DEFAULT_TOTAL_UNITS,
                    damping_pct: int = 85, mode: str = "auto",
-                   num_partitions: int = 8) -> pd.DataFrame:
+                   num_partitions: int | None = None) -> pd.DataFrame:
     """PageRank over a distinct-edge Dataset; returns (node, rank_units)
-    sorted by node. ``mode``: 'broadcast' | 'join' | 'auto' (broadcast
-    below ``BROADCAST_NODE_LIMIT`` nodes)."""
-    deg = _degrees_and_nodes(edges)
-    n = len(deg)
+    sorted by node. ``mode``: 'inmem' | 'broadcast' | 'join' | 'auto'
+    (inmem below ``INMEM_EDGE_LIMIT`` edges, broadcast below
+    ``BROADCAST_NODE_LIMIT`` nodes, else join). In join mode this wrapper's
+    final ``to_pandas`` is the ONLY driver gather — use
+    :func:`pagerank_units_ds` to keep ranks distributed."""
+    out = pagerank_units_ds(edges, n_iters=n_iters, total_units=total_units,
+                            damping_pct=damping_pct, mode=mode,
+                            num_partitions=num_partitions)
+    if not isinstance(out, pd.DataFrame):
+        out = out.to_pandas()
+    out["node"] = out["node"].astype(np.int64)
+    out["rank_units"] = out["rank_units"].astype(np.int64)
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def pagerank_units_ds(edges, n_iters: int = 10,
+                      total_units: int = DEFAULT_TOTAL_UNITS,
+                      damping_pct: int = 85, mode: str = "auto",
+                      num_partitions: int | None = None):
+    """Like :func:`pagerank_units` but join mode returns the rank table as a
+    Dataset (nothing O(nodes) or O(edges) on the driver); the bounded
+    inmem/broadcast modes return a DataFrame."""
+    from crawler_ray.sizing import exchange_width
+
+    num_partitions = num_partitions or exchange_width()
+    deg_ds = _degrees_ds(edges, num_partitions)
+    n = deg_ds.count()
     base = (total_units * (100 - damping_pct) // 100) // n
     r0 = total_units // n
     if mode == "auto":
@@ -110,18 +154,18 @@ def pagerank_units(edges, n_iters: int = 10, total_units: int = DEFAULT_TOTAL_UN
         mode = ("inmem" if n_edges <= INMEM_EDGE_LIMIT
                 else "broadcast" if n <= BROADCAST_NODE_LIMIT else "join")
     if mode == "inmem":
-        out = _pagerank_inmem(edges.to_pandas(), deg, n_iters, r0, base,
-                              damping_pct)
-    elif mode == "broadcast":
-        out = _pagerank_broadcast(edges, deg, n_iters, r0, base, damping_pct)
-    elif mode == "join":
-        out = _pagerank_join(edges, deg, n_iters, r0, base, damping_pct,
-                             num_partitions)
-    else:
-        raise ValueError(f"unknown mode {mode!r}")
-    out["node"] = out["node"].astype(np.int64)
-    out["rank_units"] = out["rank_units"].astype(np.int64)
-    return out.sort_values("node").reset_index(drop=True)
+        # bounded by INMEM_EDGE_LIMIT: the graph itself fits on the driver
+        deg = deg_ds.to_pandas().sort_values("node").reset_index(drop=True)
+        return _pagerank_inmem(edges.to_pandas(), deg, n_iters, r0, base,
+                               damping_pct)
+    if mode == "broadcast":
+        # bounded by BROADCAST_NODE_LIMIT: the node table fits in one actor
+        deg = deg_ds.to_pandas().sort_values("node").reset_index(drop=True)
+        return _pagerank_broadcast(edges, deg, n_iters, r0, base, damping_pct)
+    if mode == "join":
+        return _pagerank_join(edges, deg_ds, n_iters, r0, base, damping_pct,
+                              num_partitions)
+    raise ValueError(f"unknown mode {mode!r}")
 
 
 def _pagerank_inmem(e: pd.DataFrame, deg: pd.DataFrame, n_iters: int, r0: int,
@@ -170,22 +214,32 @@ def _pagerank_broadcast(edges, deg: pd.DataFrame, n_iters: int, r0: int,
     return pd.DataFrame({"node": list(ranks), "rank_units": list(ranks.values())})
 
 
-def _pagerank_join(edges, deg: pd.DataFrame, n_iters: int, r0: int,
-                   base: int, damping_pct: int, num_partitions: int) -> pd.DataFrame:
-    # pre-pass: pin each edge's out-degree onto the edge row once (broadcast
-    # of the degree column here would defeat the point; at true scale this
-    # attach is itself a join — kept a dict map below ONLY for the planted
-    # unit-test graphs this mode is pinned against, where deg ≪ edges is
-    # not assumed)
-    nodes_df = deg[["node"]].copy()
-    deg_ref = ray.put(dict(zip(deg["node"].tolist(), deg["d"].tolist())))
+def _pagerank_join(edges, deg_ds, n_iters: int, r0: int,
+                   base: int, damping_pct: int, num_partitions: int):
+    """Fully distributed mode: degree, edge, rank and contribution state are
+    ALL Datasets; every per-round step is a hash join or a node-keyed fold.
+    Returns the rank Dataset — no ``.to_pandas()``/``ray.put(big)`` appears
+    anywhere in this function (pinned by a unit that counts driver gathers).
+    """
+    # pre-pass: pin each edge's out-degree onto the edge row once, BY JOIN
+    # (src == node; every src is present in deg with d ≥ 1 by construction)
+    edges_d = (edges.join(deg_ds, join_type="inner",
+                          num_partitions=num_partitions,
+                          on=("src",), right_on=("node",))
+               .map_batches(
+                   lambda b: pd.DataFrame(
+                       {"src": b["src"].to_numpy(np.int64),
+                        "dst": b["dst"].to_numpy(np.int64),
+                        "d": b["d"].to_numpy(np.int64)}),
+                   batch_format="pandas")
+               .materialize())
+    from crawler_ray.blocks import drop_empty_blocks
 
-    def attach_deg(b: pd.DataFrame) -> pd.DataFrame:
-        d = ray.get(deg_ref)
-        return b.assign(d=b["src"].map(d).astype(np.int64))
-
-    edges_d = edges.map_batches(attach_deg, batch_format="pandas").materialize()
-    ranks = rd.from_pandas(nodes_df.assign(u=np.int64(r0))).repartition(num_partitions)
+    edges_d = drop_empty_blocks(edges_d)
+    ranks = (deg_ds.map_batches(
+        lambda b: pd.DataFrame({"node": b["node"].to_numpy(np.int64),
+                                "u": np.full(len(b), r0, np.int64)}),
+        batch_format="pandas").materialize())
 
     def fold_contrib(b: pd.DataFrame) -> pd.DataFrame:
         if len(b) == 0 or "dst" not in b.columns:
@@ -208,14 +262,14 @@ def _pagerank_join(edges, deg: pd.DataFrame, n_iters: int, r0: int,
                    .map_batches(fold_contrib, batch_format="pandas",
                                 batch_size=None).materialize())
         _unflip(contrib)
-        nxt = (rd.from_pandas(nodes_df)
-               .join(contrib, join_type="left_outer",
-                     num_partitions=num_partitions, on=("node",))
+        nxt = (deg_ds.join(contrib, join_type="left_outer",
+                           num_partitions=num_partitions, on=("node",))
                .map_batches(
                    lambda b: pd.DataFrame(
                        {"node": b["node"].to_numpy(np.int64),
                         "u": base + b["c"].fillna(0).to_numpy(np.int64)}),
                    batch_format="pandas"))
         ranks = nxt.materialize()
-    out = ranks.to_pandas().rename(columns={"u": "rank_units"})
-    return out[["node", "rank_units"]]
+    return ranks.map_batches(
+        lambda b: b.rename(columns={"u": "rank_units"})[["node", "rank_units"]],
+        batch_format="pandas")

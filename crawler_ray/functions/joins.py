@@ -268,7 +268,7 @@ def sampled_hot_keys(fact_ds, key: str, *, threshold: int,
 
 
 def salted_join(fact_ds, dim_ds, *, key: str, dim_key: str,
-                hot: set, salts: int = 8, num_partitions: int = 8,
+                hot: set, salts: int = 8, num_partitions: int | None = None,
                 salt_col: str = "__salt"):
     """Inner hash join that breaks hot-key skew by salting: fact rows whose
     key is in ``hot`` get a round-robin salt in [0, salts) so one hot key's
@@ -282,6 +282,10 @@ def salted_join(fact_ds, dim_ds, *, key: str, dim_key: str,
     covers every salt), so no per-row hash is paid on the fact side."""
     hot_ref = None
     import ray
+
+    from crawler_ray.sizing import exchange_width
+
+    num_partitions = num_partitions or exchange_width()
     hot_ref = ray.put(frozenset(hot))
 
     class SaltFact:

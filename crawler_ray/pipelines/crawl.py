@@ -216,7 +216,7 @@ def run_crawl(
     num_seen_shards: int = 4,
     fetch_concurrency: int = 3,
     fetch_batch_size: int = 256,
-    num_partitions: int = 8,
+    num_partitions: int | None = None,
 ) -> CrawlRun:
     """Run (or resume) the crawl over a synthetic web; returns handles to the
     Lance-layout output at ``out_root``.
@@ -241,6 +241,9 @@ def _run_crawl_inner(
     fetch_batch_size: int,
     num_partitions: int,
 ) -> CrawlRun:
+    from crawler_ray.sizing import exchange_width
+
+    num_partitions = num_partitions or exchange_width()
     cfg = cfg or semantics.CrawlConfig(max_retries=params.max_retries)
     # robots flow through the real text path: render each host's rules to
     # robots.txt text and parse it back (T4 parity: 404/error ⇒ allow-all)

@@ -19,6 +19,7 @@ import pandas as pd
 import pyarrow as pa
 
 from crawler_ray.imaging import decode_png, phash64
+from crawler_ray.sizing import exchange_width as _W
 
 
 def _block_mean(gray: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
@@ -185,7 +186,7 @@ def feature_near_dups(features_ds,
                                 "image_id": b["image_id"].astype(str)}),
         batch_format="pandas")
     joined = (rd.from_pandas(long)
-              .join(idmap, join_type="inner", num_partitions=4, on=("vid",))
+              .join(idmap, join_type="inner", num_partitions=_W(), on=("vid",))
               .to_pandas())
     if len(joined) < 2 * n:
         raise RuntimeError("feature_near_dups: id-map join dropped pairs "

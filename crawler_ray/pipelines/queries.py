@@ -27,6 +27,7 @@ import ray
 import ray.data as rd
 from crawler_ray.functions import ann, dedup_ops, scan, textops
 from crawler_ray.hashing import xxh64_array
+from crawler_ray.sizing import exchange_width as _W
 
 
 
@@ -110,7 +111,7 @@ def _attach_dim(ds, sf_dir: str, dim_table: str, dim_key: str, dim_col: str,
 
         return ds.map_batches(Attach, batch_format="pandas", concurrency=(1, 8))
     dim_ds = rd.read_parquet(path, columns=[dim_key, dim_col])
-    return (ds.join(dim_ds, join_type="left_outer", num_partitions=8,
+    return (ds.join(dim_ds, join_type="left_outer", num_partitions=_W(),
                     on=(fact_key,), right_on=(dim_key,))
             .map_batches(lambda b: b.drop(columns=[dim_key], errors="ignore"),
                          batch_format="pandas"))
@@ -317,7 +318,7 @@ def orders_lineitem_join(sf_dir: str):
                              "revenue": b["l_extendedprice"] * (1 - b["l_discount"])})
 
     joined = li.map_batches(rev, batch_format="pandas").join(
-        orders, join_type="inner", num_partitions=8,
+        orders, join_type="inner", num_partitions=_W(),
         on=("l_orderkey",), right_on=("o_orderkey",),
     )
 
@@ -430,7 +431,7 @@ def events_in_windows(sf_dir: str):
 
     joined = (events.map_batches(tag_events, batch_format="pandas")
               .join(orders.map_batches(windows, batch_format="pandas"),
-                    join_type="inner", num_partitions=8,
+                    join_type="inner", num_partitions=_W(),
                     on=("bin",), right_on=("wbin",)))
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
@@ -1101,7 +1102,7 @@ def trailing_event_volume(sf_dir: str):
 
     joined = (events.map_batches(probe, batch_format="pandas")
               .join(events.map_batches(build, batch_format="pandas"),
-                    join_type="inner", num_partitions=8,
+                    join_type="inner", num_partitions=_W(),
                     on=("bin",), right_on=("rbin",)))
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
@@ -1202,7 +1203,7 @@ def _near_dup_pairs_streamed(ds, bands_ds, sets_fn,
     # sets for candidate docs only: inner shuffle join moves the text of
     # candidate docs through the exchange once (never through the driver);
     # seam-duplicate ids (≤1 per block boundary) just recompute one set
-    sets_ds = (ds.join(ids_ds, join_type="inner", num_partitions=4, on=("doc_id",))
+    sets_ds = (ds.join(ids_ds, join_type="inner", num_partitions=_W(), on=("doc_id",))
                .map_batches(sets_fn, batch_format="pandas").materialize())
     out = _join_verify_pairs(sets_ds, pairs_ds, threshold=threshold)
     if len(out) == 0:
@@ -1244,8 +1245,8 @@ def _join_verify_pairs(sets_ds, cand, threshold: float) -> pd.DataFrame:
     b_side = sets_ds.map_batches(lambda b: _pack(b, "doc_b", "sh_b"), batch_format="pandas")
     pairs = rd.from_pandas(cand) if isinstance(cand, pd.DataFrame) else cand
     joined = (pairs
-              .join(a_side, join_type="inner", num_partitions=4, on=("doc_a",))
-              .join(b_side, join_type="inner", num_partitions=4, on=("doc_b",)))
+              .join(a_side, join_type="inner", num_partitions=_W(), on=("doc_a",))
+              .join(b_side, join_type="inner", num_partitions=_W(), on=("doc_b",)))
     return joined.map_batches(dedup_ops.verify_joined_pairs,
                               fn_kwargs=dict(threshold=threshold),
                               batch_format="pandas").to_pandas()
@@ -1600,10 +1601,10 @@ def customers_without_orders(sf_dir: str):
     # materialize while the context snapshot is flipped to HASH_SHUFFLE,
     # then un-flip — the final chain otherwise executes this lineage under
     # the default sort-shuffle context and the keyed exchange refuses
-    dk = (_keyed(okeys).repartition(8, keys=["o_custkey"])
+    dk = (_keyed(okeys).repartition(_W(), keys=["o_custkey"])
           .map_batches(distinct_block, batch_format="pandas").materialize())
     dk.context.shuffle_strategy = rd.DataContext.get_current().shuffle_strategy
-    joined = cust.join(dk, join_type="left_outer", num_partitions=8,
+    joined = cust.join(dk, join_type="left_outer", num_partitions=_W(),
                        on=("c_custkey",), right_on=("o_custkey",))
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
@@ -1814,11 +1815,11 @@ def dup_span_coverage(sf_dir: str):
                              "n_tokens": n, "covered_tokens": covered,
                              "coverage_ppm": covered * 1_000_000 // n})
 
-    hits = (_keyed(rows).repartition(8, keys=["gram"])
+    hits = (_keyed(rows).repartition(_W(), keys=["gram"])
             .map_batches(dup_positions, batch_format="pandas",
                          batch_size=None)
             .materialize())
-    out = (hits.repartition(8, keys=["doc_id"])
+    out = (hits.repartition(_W(), keys=["doc_id"])
            .map_batches(coverage, batch_format="pandas", batch_size=None)
            .materialize())
     out.context.shuffle_strategy = rd.DataContext.get_current().shuffle_strategy
@@ -1942,7 +1943,7 @@ def corpus_build(sf_dir: str):
         return b.loc[~b["text_hash"].duplicated(keep="first")]
 
     dd = (_keyed(f.map_batches(with_hash, batch_format="pandas"))
-          .repartition(8, keys=["text_hash"])
+          .repartition(_W(), keys=["text_hash"])
           .map_batches(first_wins, batch_format="pandas", batch_size=None)
           .materialize())
     dd.context.shuffle_strategy = rd.DataContext.get_current().shuffle_strategy
@@ -2065,7 +2066,7 @@ def semantic_dedup(sf_dir: str):
         out["sim"] = out["sim"].round(6)
         return out[["vec_id", "cluster", "dup_of", "sim"]]
 
-    dk = (_keyed(assigned).repartition(8, keys=["cluster"])
+    dk = (_keyed(assigned).repartition(_W(), keys=["cluster"])
           .map_batches(drops, batch_format="pandas", batch_size=None)
           .materialize())
     dk.context.shuffle_strategy = rd.DataContext.get_current().shuffle_strategy
@@ -2150,7 +2151,7 @@ def bloom_semi_join(sf_dir: str):
 
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag", "l_extendedprice"])
     survivors = li.map_batches(BloomPrune, batch_format="pandas", concurrency=(1, 8))
-    verified = survivors.join(urgent, join_type="inner", num_partitions=8,
+    verified = survivors.join(urgent, join_type="inner", num_partitions=_W(),
                               on=("l_orderkey",), right_on=("o_orderkey",))
 
     def agg_partial(b: pd.DataFrame) -> pd.DataFrame:

@@ -25,6 +25,7 @@ import pyarrow as pa
 import ray.data as rd
 
 from crawler_ray import semantics
+from crawler_ray.sizing import exchange_width as _W
 from crawler_ray.sources import lance_layout as ll
 from crawler_ray.stages.crawl_stages import Fetcher, ImageStage, property_mask
 from crawler_ray.stages.parsers import dispatch_parse
@@ -110,7 +111,7 @@ def run_recrawl(web: dict, params, out_root: str,
     frontier_ds = (_keyed(rd.read_parquet(
         order_paths, columns=["url", "host", "priority", "seq", "scheduled_at"]))
         .map_batches(prep_front, batch_format="pandas")
-        .repartition(4, keys=["url_hash"])
+        .repartition(_W(), keys=["url_hash"])
         # deterministic survivor for URLs with several order rows (cross-wave
         # retries): latest (seq, scheduled_at) wins, matching latest_block's
         # keep="last" convention — hash-shuffled block order is not stable
@@ -132,11 +133,11 @@ def run_recrawl(web: dict, params, out_root: str,
         })
 
     prev_ds = (_keyed(rd.read_parquet(pages_paths, columns=["url_hash", "content_hash", "wave"]))
-               .repartition(4, keys=["url_hash"])
+               .repartition(_W(), keys=["url_hash"])
                .map_batches(latest_block, batch_format="pandas"))
 
     joined = frontier_ds.join(prev_ds, join_type="left_outer",
-                              num_partitions=4, on=("url_hash",))
+                              num_partitions=_W(), on=("url_hash",))
 
     rp = RecrawlProcess(params=params, out_root=out_root,
                         wave=wave, seed=cfg.seed, max_retries=cfg.max_retries)
