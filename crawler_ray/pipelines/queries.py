@@ -1758,17 +1758,26 @@ def dup_span_coverage(sf_dir: str):
     document. Two record-level exchanges, nothing corpus-scale on the
     driver:
 
-    1. gram-keyed repartition → block-local ``nunique(doc_id)`` per gram is
-       the GLOBAL cross-doc frequency (same co-location argument as
-       ``df_prefix_rows``); emit every (doc, pos) occurrence of duplicated
-       grams. A corpus-stopword gram (shared by millions of docs) makes a
-       hot key here; the mitigation at 100 TB is the same hot-bucket
-       frequency cap ``video_near_dups`` applies — a gram frequent enough
-       to be a hot key marks ALL its positions covered anyway, so capping
-       the group and emitting unconditionally is semantics-preserving.
-    2. doc-keyed repartition → per-block vectorized gaps-and-islands union
+    1. HOT-GRAM BYPASS (round-5, VERDICT r04 #3): per input block, a gram
+       already seen in ≥2 distinct docs WITHIN the block is PROVEN
+       duplicated — its positions skip the gram exchange entirely and go
+       straight to stage 2, with one marker row (doc_id=-1, pos=-1) per
+       (block, sure-gram) sent through the exchange so the same gram's
+       single-doc occurrences in OTHER blocks still learn its status. A
+       corpus-stopword gram (millions of docs) is locally provable in
+       every multi-doc block, so the exchange receives O(blocks) marker
+       rows for it instead of O(occurrences) — the hot key disappears
+       exactly where it used to melt a partition. This is EXACT (not a
+       lossy cap): cross-docness ⟺ global min(doc)≠max(doc), and markers
+       force min=-1≠max for proven grams.
+    2. gram-keyed repartition of the residual (single-doc-per-block)
+       occurrences → per-group min≠max is the global cross-doc test
+       (cheaper than the former ``transform('nunique')``); emit the
+       duplicated residual positions.
+    3. doc-keyed repartition → per-block vectorized gaps-and-islands union
        of the [pos, pos+k-1] intervals (sorted positions, one boolean diff
-       — no Python loop), then covered-token sums.
+       — no Python loop), then covered-token sums. Interval union is
+       idempotent, so the bypass/residual split can never double-count.
 
     ``coverage_ppm`` is pure int64 arithmetic (``covered * 1e6 // n``), so
     no float-rounding rule can split engine and oracle. Exact string grams
@@ -1778,6 +1787,40 @@ def dup_span_coverage(sf_dir: str):
     rows = ds.map_batches(_word_grams_pos, fn_kwargs=dict(k=k),
                           batch_format="pandas")
 
+    def split_sure(b: pd.DataFrame) -> pd.DataFrame:
+        """Tag each gram row: sure=True when this BLOCK alone proves the
+        gram cross-doc; sure rows bypass the gram exchange, and one marker
+        row per (block, sure-gram) rides the exchange in their place."""
+        if len(b) == 0:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                                 "pos": pd.Series([], dtype=np.int64),
+                                 "n_tokens": pd.Series([], dtype=np.int64),
+                                 "gram": pd.Series([], dtype="string"),
+                                 "sure": pd.Series([], dtype=bool)})
+        g = b.groupby("gram")["doc_id"]
+        sure = (g.transform("min") != g.transform("max")).to_numpy()
+        out = b.assign(sure=sure)
+        sure_grams = b.loc[sure, "gram"].drop_duplicates()
+        if len(sure_grams):
+            markers = pd.DataFrame({
+                "doc_id": np.full(len(sure_grams), -1, np.int64),
+                "pos": np.full(len(sure_grams), -1, np.int64),
+                "n_tokens": np.zeros(len(sure_grams), np.int64),
+                "gram": sure_grams.to_numpy(),
+                "sure": np.zeros(len(sure_grams), bool),
+            })
+            out = pd.concat([out, markers], ignore_index=True)
+        return out
+
+    tagged = rows.map_batches(split_sure, batch_format="pandas",
+                              batch_size=None).materialize()
+    sure_rows = tagged.map_batches(
+        lambda b: b.loc[b["sure"], ["doc_id", "pos", "n_tokens"]],
+        batch_format="pandas")
+    unsure = tagged.map_batches(
+        lambda b: b.loc[~b["sure"], ["doc_id", "pos", "n_tokens", "gram"]],
+        batch_format="pandas")
+
     def dup_positions(b: pd.DataFrame) -> pd.DataFrame:
         # empty hash-shuffle partitions arrive schema-less (CLAUDE.md);
         # emit the typed shape explicitly
@@ -1785,8 +1828,10 @@ def dup_span_coverage(sf_dir: str):
             return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
                                  "pos": pd.Series([], dtype=np.int64),
                                  "n_tokens": pd.Series([], dtype=np.int64)})
-        nd = b.groupby("gram")["doc_id"].transform("nunique").to_numpy()
-        return (b.loc[nd >= 2, ["doc_id", "pos", "n_tokens"]]
+        g = b.groupby("gram")["doc_id"]
+        dup = (g.transform("min") != g.transform("max")).to_numpy()
+        keep = dup & (b["pos"].to_numpy(np.int64) >= 0)  # markers carry no span
+        return (b.loc[keep, ["doc_id", "pos", "n_tokens"]]
                 .reset_index(drop=True))
 
     def coverage(b: pd.DataFrame) -> pd.DataFrame:
@@ -1815,15 +1860,21 @@ def dup_span_coverage(sf_dir: str):
                              "n_tokens": n, "covered_tokens": covered,
                              "coverage_ppm": covered * 1_000_000 // n})
 
-    hits = (_keyed(rows).repartition(_W(), keys=["gram"])
+    hits = (_keyed(unsure).repartition(_W(), keys=["gram"])
             .map_batches(dup_positions, batch_format="pandas",
                          batch_size=None)
             .materialize())
-    out = (hits.repartition(_W(), keys=["doc_id"])
+    out = (_keyed(hits.union(sure_rows)).repartition(_W(), keys=["doc_id"])
            .map_batches(coverage, batch_format="pandas", batch_size=None)
            .materialize())
     out.context.shuffle_strategy = rd.DataContext.get_current().shuffle_strategy
-    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    res = out.to_pandas()
+    if len(res) == 0:  # nothing duplicated: blocks arrive schema-less
+        return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                             "n_tokens": pd.Series([], dtype=np.int64),
+                             "covered_tokens": pd.Series([], dtype=np.int64),
+                             "coverage_ppm": pd.Series([], dtype=np.int64)})
+    return res.sort_values("doc_id").reset_index(drop=True)
 
 
 def pagerank_users(sf_dir: str):
@@ -2009,14 +2060,27 @@ def semantic_dedup(sf_dir: str):
 
     Scale shape: pairwise search touches only same-cluster co-located
     blocks (one cluster-keyed repartition), so the all-pairs cost is
-    Σ|cluster|² — the published SemDeDup economics, with k grown with the
-    corpus to keep clusters bounded (an oversize cluster would tile like
-    ``ann.tiled_near_dup_pairs``). The k-means pass itself folds O(k·d)
-    integer partials; nothing corpus-scale ever sits on the driver."""
+    Σ|cluster|² — the published SemDeDup economics. Clusters larger than
+    ``GRAFT_SEMDEDUP_TILE_LIMIT`` rows (one hot cluster at corpus scale
+    would otherwise be an O(|cluster|²) single-block matmul) are routed
+    through the distributed tile grid of ``ann.tiled_near_dup_pairs``
+    instead — both paths implement the identical id-order drop rule and
+    are pinned equal on a planted giant cluster in tests. The k-means pass
+    itself folds O(k·d) integer partials; nothing corpus-scale ever sits
+    on the driver."""
+    return semantic_dedup_ds(_read(sf_dir, "embeddings", ["vec_id", "embedding"]))
+
+
+def semantic_dedup_ds(ds, k: int = 8, n_iters: int = 5,
+                      tile_limit: int | None = None) -> pd.DataFrame:
+    """Core SemDeDup over a (vec_id, embedding) Dataset; see
+    :func:`semantic_dedup`. ``tile_limit`` = max cluster rows allowed on the
+    in-block all-pairs path (default env GRAFT_SEMDEDUP_TILE_LIMIT, 20000)."""
     from crawler_ray.functions import cluster as cl
 
-    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    cent, _ = cl.kmeans_quantized(ds, "vec_id", "embedding", k=8, n_iters=5)
+    if tile_limit is None:
+        tile_limit = int(os.environ.get("GRAFT_SEMDEDUP_TILE_LIMIT", "20000"))
+    cent, _ = cl.kmeans_quantized(ds, "vec_id", "embedding", k=k, n_iters=n_iters)
 
     def assign(b: pd.DataFrame, c=cent) -> pa.Table:
         xq = cl.quantize(b["embedding"])
@@ -2029,7 +2093,15 @@ def semantic_dedup(sf_dir: str):
                                   pa.list_(pa.float32())),
         })
 
-    assigned = ds.map_batches(assign, batch_format="pandas")
+    assigned = ds.map_batches(assign, batch_format="pandas").materialize()
+
+    # per-cluster sizes: O(k) rows per block partial, O(k) driver fold
+    sizes = (assigned.map_batches(
+        lambda b: pd.DataFrame({"cluster": b["cluster"].to_numpy(np.int64)})
+        .groupby("cluster", as_index=False).size(),
+        batch_format="pandas").to_pandas()
+        .groupby("cluster")["size"].sum())
+    oversize = sorted(int(c) for c, n in sizes.items() if n > tile_limit)
 
     def drops(b: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"vec_id": pd.Series([], dtype=np.int64),
@@ -2066,11 +2138,36 @@ def semantic_dedup(sf_dir: str):
         out["sim"] = out["sim"].round(6)
         return out[["vec_id", "cluster", "dup_of", "sim"]]
 
-    dk = (_keyed(assigned).repartition(_W(), keys=["cluster"])
+    small = assigned
+    if oversize:
+        ov = frozenset(oversize)
+        small = assigned.map_batches(
+            lambda b: b.loc[~b["cluster"].isin(ov)], batch_format="pandas")
+    dk = (_keyed(small).repartition(_W(), keys=["cluster"])
           .map_batches(drops, batch_format="pandas", batch_size=None)
           .materialize())
     dk.context.shuffle_strategy = rd.DataContext.get_current().shuffle_strategy
-    return dk.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    parts = [dk.to_pandas()]
+    # oversize clusters: the identical id-order drop rule via the
+    # distributed tile grid — each tile task holds two blocks + one tile of
+    # sims, never the O(|cluster|²) matrix (_tile_pairs rounds sims to the
+    # same 6-decimal grid, and selection is by smallest dup_of, so rounding
+    # cannot change which pair is reported)
+    for cid in oversize:
+        sub = assigned.map_batches(
+            lambda b, c=cid: b.loc[b["cluster"].to_numpy(np.int64) == c,
+                                   ["vec_id", "embedding"]],
+            batch_format="pandas")
+        pairs = ann.tiled_near_dup_pairs(sub, SEMANTIC_DEDUP_THRESHOLD)
+        if not len(pairs):
+            continue
+        agg = (pairs.rename(columns={"vid_b": "vec_id", "vid_a": "dup_of"})
+               .sort_values(["vec_id", "dup_of"], kind="mergesort")
+               .groupby("vec_id", as_index=False).first())
+        agg["cluster"] = np.int64(cid)
+        parts.append(agg[["vec_id", "cluster", "dup_of", "sim"]])
+    out = pd.concat(parts, ignore_index=True)
+    return out.sort_values("vec_id").reset_index(drop=True)
 
 
 def _pagerank_oracle(n_iters: int = 10, total_units: int = 10**12,
