@@ -49,6 +49,10 @@ def _flatten(toks: pd.Series) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
 
 
 def _unflatten(flat: np.ndarray, doc: np.ndarray, n_docs: int) -> pd.Series:
+    if n_docs == 0:
+        # np.split of an empty array still yields ONE empty chunk — a
+        # phantom 1-row Series for a 0-doc frame (ADVICE r05)
+        return pd.Series([], dtype=object)
     counts = np.bincount(doc, minlength=n_docs)
     return pd.Series(np.split(flat, np.cumsum(counts)[:-1]))
 
@@ -92,7 +96,9 @@ def encode_batch(b: pd.DataFrame, merges: list[tuple[str, str]],
     toks = b[text_col].astype("string").str.split(" ")
     flat, doc, _ = _flatten(toks)
     flat, doc = apply_merges_flat(flat, doc, merges)
-    return b.assign(**{out_col: _unflatten(flat, doc, len(b))})
+    out = _unflatten(flat, doc, len(b))
+    out.index = b.index  # don't rely on RangeIndex alignment in assign
+    return b.assign(**{out_col: out})
 
 
 def detokenize(flat: np.ndarray) -> np.ndarray:

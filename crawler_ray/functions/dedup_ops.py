@@ -148,7 +148,7 @@ def connected_components(pairs: pd.DataFrame, all_ids=None) -> pd.DataFrame:
 
 
 def connected_components_ds(pairs_ds, max_rounds: int = 64,
-                            num_partitions: int = 8):
+                            num_partitions: int | None = None):
     """Distributed connected components over a PAIRS DATASET — the
     web-scale path (billions of nodes; neither edges nor labels ever fit
     on the driver). Each round is one hash join (labels onto edge peers)
@@ -162,6 +162,8 @@ def connected_components_ds(pairs_ds, max_rounds: int = 64,
     decrease, so an unchanged sum IS the fixpoint. Returns a Dataset of
     (doc_id, cluster_id); only per-round scalar sums touch the driver."""
     from ray.data.context import ShuffleStrategy
+
+    num_partitions = num_partitions or _W()
 
     def both_dirs_self(b: pd.DataFrame) -> pd.DataFrame:
         a = b["doc_a"].to_numpy(np.int64)
@@ -471,7 +473,7 @@ def _pick_df_prefix(b: pd.DataFrame, threshold: float) -> pd.DataFrame:
 
 
 def df_prefix_rows(ds, threshold: float = 0.5, n: int = 3,
-                   num_partitions: int = 8):
+                   num_partitions: int | None = None):
     """DOCUMENT-FREQUENCY-ordered prefix filtering (the PPJoin refinement
     the hash-ordered ``prefix_gram_rows`` docstring anticipates): index each
     doc's RAREST grams first, so prefix collisions — and hence candidates —
@@ -499,6 +501,7 @@ def df_prefix_rows(ds, threshold: float = 0.5, n: int = 3,
         b["df"] = b.groupby("gram")["doc_id"].transform("size").astype(np.int64)
         return b
 
+    num_partitions = num_partitions or _W()
     rows = ds.map_batches(gram_rows_with_size, fn_kwargs=dict(n=n),
                           batch_format="pandas")
     rows.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
@@ -715,6 +718,9 @@ def hamming_collide_block(batch: pd.DataFrame, max_hamming: int = 3,
     return out.drop_duplicates([a_col, b_col]).reset_index(drop=True)
 
 
+CROSS_HAMMING_CHUNK = 4096  # new-side rows per dense Hamming slice
+
+
 def cross_hamming_bucket_pairs(group: pd.DataFrame, max_hamming: int,
                                id_col: str = "image_id",
                                hash_col: str = "phash",
@@ -737,13 +743,23 @@ def cross_hamming_bucket_pairs(group: pd.DataFrame, max_hamming: int,
         return empty
     hn = new[hash_col].to_numpy(np.int64).view(np.uint64)
     hr = ref[hash_col].to_numpy(np.int64).view(np.uint64)
-    ii, jj = np.meshgrid(np.arange(len(ids_n)), np.arange(len(ids_r)),
-                         indexing="ij")
-    ii, jj = ii.ravel(), jj.ravel()
-    ham = _hamming64(hn[ii] ^ hr[jj])
-    keep = ham <= max_hamming
-    return pd.DataFrame({a_col: ids_n[ii][keep], b_col: ids_r[jj][keep],
-                         "hamming": ham[keep]})
+    # chunk the new side against the whole ref array: a degenerate hot
+    # bucket (e.g. constant-color phashes banding together) would otherwise
+    # allocate one dense |new|×|ref| int64 grid; per-slice peak memory is
+    # CROSS_HAMMING_CHUNK×|ref| regardless of bucket size (ADVICE r05)
+    parts = []
+    for lo in range(0, len(ids_n), CROSS_HAMMING_CHUNK):
+        hi = lo + CROSS_HAMMING_CHUNK
+        ham = _hamming64((hn[lo:hi, None] ^ hr[None, :]).ravel())
+        pos = np.flatnonzero(ham <= max_hamming)
+        if len(pos):
+            ii, jj = pos // len(ids_r), pos % len(ids_r)
+            parts.append(pd.DataFrame({a_col: ids_n[lo + ii],
+                                       b_col: ids_r[jj],
+                                       "hamming": ham[pos]}))
+    if not parts:
+        return empty
+    return pd.concat(parts, ignore_index=True)
 
 
 def cross_hamming_collide_block(batch: pd.DataFrame, max_hamming: int = 6,

@@ -10,11 +10,19 @@ hit counter, and an order-deterministic redactor, all pandas/RE2-safe
 ``regexp_extract_all`` / ``regexp_replace(..., 'g')`` oracle computes
 the identical result.
 
-The pattern shapes are mutually exclusive by construction (an email
-never contains a dash-quad, an IPv4 never contains dashes, the 2-3-3-4
-phone grouping cannot embed or be embedded in the 3-2-4 SSN grouping),
-so per-type counts on the ORIGINAL text are order-independent, and the
-sequential redaction passes commute.
+Ordering caveat: the patterns are mutually exclusive for the fixture's
+string shapes (an email there never contains a dash-quad, an IPv4 never
+contains dashes, the 2-3-3-4 phone grouping cannot embed or be embedded
+in the 3-2-4 SSN grouping), so on THIS corpus per-type counts on the
+original text are order-independent and the redaction passes commute.
+That exclusivity is NOT general: an email with an IPv4-shaped domain
+(``a@1.2.3.4.co``) matches both the email and ipv4 patterns, and
+overlapping digit runs can make counts-on-original disagree with what a
+sequential redactor actually replaced. Reusers needing exact accounting
+on arbitrary text should count via the redaction pass itself (apply the
+patterns in ``PII_PATTERNS`` order, counting replacements on the
+ALREADY-partially-redacted text); engine and oracle here stay in
+lockstep regardless because both apply the identical fixed order.
 """
 
 from __future__ import annotations

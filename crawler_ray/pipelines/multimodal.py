@@ -7,9 +7,10 @@ embedding step is a clearly-marked deterministic STUB (no vision models in
 this container) with the Ray-side plumbing — actor pool, batch sizing for
 wide binary rows, schema — fully real and tested.
 
-Audio/video decode are ``NotImplementedError`` stubs documenting the
-intended schema, gated so pipelines can register them without importing
-codecs that don't exist here.
+Audio/video decode are REAL spec-implemented codecs since 07faa57: a
+RIFF/WAVE PCM16 chunk walker and a length-prefixed PNG-frame container
+(sources/synthetic_media.py builds the fixtures; goldens decode with
+independent readers, e.g. stdlib ``wave``).
 """
 
 from __future__ import annotations

@@ -102,3 +102,22 @@ def test_local_and_distributed_trainers_agree(ray_session, monkeypatch):
     monkeypatch.setattr(bpe, "LOCAL_TRAIN_DOCS", 0)
     dist = bpe.train_bpe_ds(ds, 3)   # forced distributed rounds
     assert local == dist and len(local) == 3
+
+
+def test_empty_frame_encodes_to_zero_rows():
+    """ADVICE r05: a 0-doc frame must not grow a phantom 1-row doc
+    (np.split of an empty array yields one empty chunk)."""
+    import numpy as np
+    import pandas as pd
+
+    from crawler_ray.functions import bpe
+
+    empty = pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                          "text": pd.Series([], dtype="string")})
+    out = bpe.encode_batch(empty, [("a", "b")])
+    assert len(out) == 0 and "toks" in out.columns
+    # non-RangeIndex frames must align by position, not by index label
+    b = pd.DataFrame({"text": ["a b c", "a b"]}, index=[7, 3])
+    out2 = bpe.encode_batch(b, [("a", "b")])
+    assert list(out2.loc[7, "toks"]) == ["a\x1fb", "c"]
+    assert list(out2.loc[3, "toks"]) == ["a\x1fb"]

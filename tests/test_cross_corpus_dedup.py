@@ -62,3 +62,31 @@ def test_image_increment_dups_matches_golden(ray_session):
     got = e.queries()["image_increment_dups"]("/root/testdata/sf0.01")
     golden = pq.read_table("/root/repo/golden/image_increment_dups.parquet").to_pandas()
     pd.testing.assert_frame_equal(got.reset_index(drop=True), golden)
+
+
+def test_hot_bucket_chunked_equals_whole(monkeypatch):
+    """ADVICE r05: a degenerate hot bucket must not allocate one dense
+    |new|x|ref| grid — pin that the chunked slices produce exactly the
+    pairs a single-shot meshgrid would (tiny chunk vs. huge chunk)."""
+    import numpy as np
+    import pandas as pd
+
+    from crawler_ray.functions import dedup_ops as d
+
+    rng = np.random.default_rng(5)
+    n = 300
+    base = rng.integers(0, 2**63, n)
+    # many shared phashes across sides -> a genuinely hot bucket
+    g = pd.DataFrame({
+        "image_id": [f"i{j}" for j in range(n)],
+        "phash": np.where(rng.random(n) < 0.4, base[0], base).astype(np.int64),
+        "side": (np.arange(n) % 2).astype(np.int8),
+    })
+    whole = d.cross_hamming_bucket_pairs(g, max_hamming=6)
+    monkeypatch.setattr(d, "CROSS_HAMMING_CHUNK", 7)
+    chunked = d.cross_hamming_bucket_pairs(g, max_hamming=6)
+    key = ["new_id", "ref_id"]
+    pd.testing.assert_frame_equal(
+        whole.sort_values(key).reset_index(drop=True),
+        chunked.sort_values(key).reset_index(drop=True))
+    assert len(whole) > 100

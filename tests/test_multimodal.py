@@ -229,7 +229,9 @@ def test_video_shared_phash_pairs_recut(ray_session):
         n, _, frames = read_video_container(data)
         hs = [int(phash64(decode_png(frames[i]))) for i in range(0, n, 4)]
         sets[k] = set(hs)
-        rows += [{"video_id": k, "phash": np.uint64(h)} for h in hs]
+        # phash64 may come back as a signed int64 scalar; mask to the
+        # uint64 domain (np.uint64(negative) became an error on numpy 2.x)
+        rows += [{"video_id": k, "phash": np.uint64(h & (2**64 - 1))} for h in hs]
     frames_ds = rd.from_pandas(pd.DataFrame(rows)).repartition(3)
     out = multimodal.video_shared_phash_pairs(frames_ds, min_shared=2)
     expect = len(sets["vd"] & sets["vdx"])

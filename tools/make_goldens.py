@@ -876,8 +876,11 @@ def bpe_golden(n_merges: int = 10, seed: int = 97):
 
 
 def pca_golden(k: int = 4, scale: int = 10_000):
-    """Independent PCA: per-row loop quantization + exact Python-int
-    moments + np.linalg.eigh (vs the engine's power iteration)."""
+    """Independent PCA golden: the independence lives in the per-row
+    Python-loop quantization + exact Python-int moment accumulation; the
+    d×d eigensolve is np.linalg.eigh on BOTH sides by design (power
+    iteration was rejected — this fixture's random unit vectors give
+    λ₂/λ₁ ≈ 0.99, see CLAUDE.md)."""
     t = pq.read_table(f"{SF}/embeddings.parquet", columns=["embedding"])
     rows = t["embedding"].to_pylist()
     d = len(rows[0])
