@@ -510,7 +510,7 @@ _GOLDEN_CHECKED = (
     "crawl_recrawl_delta", "training_shards",
     "audio_clip_features", "video_frame_sample",
     "audio_near_dups", "video_near_dups", "bpe_tokenize", "embedding_pca",
-    "image_increment_dups",
+    "image_increment_dups", "corpus_build_neardup",
 )
 
 

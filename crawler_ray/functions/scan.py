@@ -61,12 +61,17 @@ def cumulative_sum_ds(ds, order_cols: list[str], value_col: str,
 
     summaries = s.map_batches(block_summary, batch_format="pandas",
                               batch_size=None).to_pandas()
-    summaries = summaries.sort_values(order_cols, kind="mergesort")
-    sums = summaries["_block_sum"].to_numpy()
-    offsets = np.concatenate([[sums.dtype.type(0)], np.cumsum(sums)[:-1]])
-    carry = {tuple(row): off for row, off in
-             zip(summaries[order_cols].itertuples(index=False, name=None),
-                 offsets)}
+    if len(summaries) == 0:
+        # fully-empty input collects as a 0-row (possibly no-column) frame;
+        # every downstream block is empty too, so no carry is needed
+        carry: dict = {}
+    else:
+        summaries = summaries.sort_values(order_cols, kind="mergesort")
+        sums = summaries["_block_sum"].to_numpy()
+        offsets = np.concatenate([[sums.dtype.type(0)], np.cumsum(sums)[:-1]])
+        carry = {tuple(row): off for row, off in
+                 zip(summaries[order_cols].itertuples(index=False, name=None),
+                     offsets)}
 
     def apply_scan(b: pd.DataFrame, *, carry: dict) -> pd.DataFrame:
         b = b.copy()

@@ -1196,10 +1196,16 @@ def _near_dup_pairs_streamed(ds, bands_ds, sets_fn,
         return pd.DataFrame({"doc_id": np.unique(np.concatenate(
             [b["doc_a"].to_numpy(np.int64), b["doc_b"].to_numpy(np.int64)]))})
 
+    # the trailing repartition is a JOIN-SAFETY normalization, not an
+    # exchange: Ray 2.49's sort emits empty schema-less blocks when ranges
+    # outnumber rows, and a hash-join aggregator that receives them builds
+    # a no-column partition table (acero: "No match ... for key field") —
+    # width-repartition coalesces blocks and restores the schema
     ids_ds = (pairs_ds.map_batches(explode_ids, batch_format="pandas")
               .sort("doc_id")
               .map_batches(lambda b: b.drop_duplicates("doc_id"),
-                           batch_format="pandas", batch_size=None))
+                           batch_format="pandas", batch_size=None)
+              .repartition(_W()))
     # sets for candidate docs only: inner shuffle join moves the text of
     # candidate docs through the exchange once (never through the driver);
     # seam-duplicate ids (≤1 per block boundary) just recompute one set
@@ -1243,7 +1249,12 @@ def _join_verify_pairs(sets_ds, cand, threshold: float) -> pd.DataFrame:
 
     a_side = sets_ds.map_batches(lambda b: _pack(b, "doc_a", "sh_a"), batch_format="pandas")
     b_side = sets_ds.map_batches(lambda b: _pack(b, "doc_b", "sh_b"), batch_format="pandas")
-    pairs = rd.from_pandas(cand) if isinstance(cand, pd.DataFrame) else cand
+    # Dataset candidates arrive from dedup_pairs_sorted (sort lineage):
+    # width-repartition normalizes away the sort's empty schema-less
+    # blocks, which otherwise break the hash-join aggregators (see
+    # _near_dup_pairs_streamed's ids_ds note)
+    pairs = (rd.from_pandas(cand) if isinstance(cand, pd.DataFrame)
+             else cand.repartition(_W()))
     joined = (pairs
               .join(a_side, join_type="inner", num_partitions=_W(), on=("doc_a",))
               .join(b_side, join_type="inner", num_partitions=_W(), on=("doc_b",)))
@@ -1705,7 +1716,10 @@ def benchmark_decontaminate(sf_dir: str):
     bench = (ds.map_batches(lambda b: b.loc[b["doc_id"] % 97 == 0],
                             batch_format="pandas")
              .map_batches(_five_grams, batch_format="pandas").to_pandas())
-    ref = ray.put(frozenset(bench["gram"]))
+    # a corpus whose eval docs are all <5 tokens collects as a no-column
+    # empty frame (all-empty pandas blocks) — guard the column access
+    ref = ray.put(frozenset(bench["gram"]) if "gram" in bench.columns
+                  else frozenset())
 
     class Scan:
         def __init__(self):
@@ -1720,6 +1734,9 @@ def benchmark_decontaminate(sf_dir: str):
 
     out = _fold(ds.map_batches(Scan, batch_format="pandas", concurrency=(1, 8)),
                 ["doc_id"], dict(n_hits=("n_hits", "sum")))
+    if len(out) == 0:  # no overlaps: typed empty, not a no-column frame
+        return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                             "n_hits": pd.Series([], dtype=np.int64)})
     out["n_hits"] = out["n_hits"].astype(np.int64)
     return out.sort_values("doc_id").reset_index(drop=True)
 
@@ -1946,7 +1963,7 @@ def bpe_top_pairs(sf_dir: str, k: int = 20):
 CORPUS_MIN_TOKENS = 20
 
 
-def corpus_build(sf_dir: str):
+def corpus_build(sf_dir: str, near_dedup: bool | None = None):
     """FLAGSHIP COMPOSITE: the end-to-end training-corpus construction
     pipeline the individual operators exist for, composed as one lazy
     Dataset chain —
@@ -1962,9 +1979,23 @@ def corpus_build(sf_dir: str):
        (O(blocks) driver carry) → shard_id = tok_before // budget,
     5. per-shard rollup (combiner + tiny fold).
 
+    With ``near_dedup=True`` (or ``GRAFT_CORPUS_MINHASH=1``) a stage 2b
+    runs between exact dedup and decontamination: MinHash-LSH near-dup
+    removal over the exact-dedup survivors via the streamed candidate
+    path of ``_near_dup_pairs_streamed`` (bands → sort-shuffle bucket
+    collision → distributed pair dedup → candidate semi-join →
+    keyed-join verify — nothing corpus-fraction on the driver), then
+    min-label connected components keep the min-doc_id representative
+    per cluster; the drop set is result-scale by construction (≤ 2×
+    verified pairs) and broadcasts back with the same economics as the
+    stage-3 eval-gram broadcast. Exposed as ``corpus_build_neardup``
+    (golden-checked; the LSH stage is not ANSI-SQL-expressible).
+
     Output: one row per shard (n_docs, n_tokens, first/last doc). The
     DuckDB oracle replicates all five stages as one CTE chain; every
     gate compares in exact int/IEEE-identical arithmetic."""
+    if near_dedup is None:
+        near_dedup = os.environ.get("GRAFT_CORPUS_MINHASH", "0") == "1"
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     empty2 = pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
                            "text": pd.Series([], dtype=object)})
@@ -1999,10 +2030,39 @@ def corpus_build(sf_dir: str):
           .materialize())
     dd.context.shuffle_strategy = rd.DataContext.get_current().shuffle_strategy
 
+    if near_dedup:
+        # stage 2b: MinHash-LSH near-dup removal over the exact-dedup
+        # survivors, streamed end-to-end; only VERIFIED pairs (result-scale)
+        # reach the driver for min-label components + drop-set broadcast.
+        docs2 = dd.map_batches(lambda b: b[["doc_id", "text"]],
+                               batch_format="pandas")
+        bands = docs2.map_batches(dedup_ops.minhash_bands,
+                                  batch_format="pandas")
+        pairs = _near_dup_pairs_streamed(docs2, bands, dedup_ops.doc_shingles,
+                                         threshold=0.5)
+        if len(pairs):
+            cc = dedup_ops.connected_components(pairs[["doc_a", "doc_b"]])
+            drop_ref = ray.put(frozenset(
+                int(d) for d, c in zip(cc["doc_id"], cc["cluster_id"])
+                if int(d) != int(c)))
+
+            class NearDrop:
+                def __init__(self):
+                    self.drop = ray.get(drop_ref)
+
+                def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+                    return b.loc[~b["doc_id"].isin(self.drop)]
+
+            dd = dd.map_batches(NearDrop, batch_format="pandas",
+                                concurrency=(1, 8))
+
     bench = (ds.map_batches(lambda b: b.loc[b["doc_id"] % 97 == 0],
                             batch_format="pandas")
              .map_batches(_five_grams, batch_format="pandas").to_pandas())
-    ref = ray.put(frozenset(bench["gram"]))
+    # a corpus whose eval docs are all <5 tokens collects as a no-column
+    # empty frame (all-empty pandas blocks) — guard the column access
+    ref = ray.put(frozenset(bench["gram"]) if "gram" in bench.columns
+                  else frozenset())
 
     class Scrub:
         def __init__(self):
@@ -2041,6 +2101,10 @@ def corpus_build(sf_dir: str):
                 ["shard_id"],
                 dict(n_docs=("n_docs", "sum"), n_tokens=("n_tokens", "sum"),
                      first_doc=("first_doc", "min"), last_doc=("last_doc", "max")))
+    if len(out) == 0:  # every doc gated: typed empty, not a no-column frame
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in ("shard_id", "n_docs", "n_tokens",
+                                       "first_doc", "last_doc")})
     for c in out.columns:
         out[c] = out[c].astype(np.int64)
     return out.sort_values("shard_id").reset_index(drop=True)
@@ -2520,6 +2584,7 @@ QUERIES = {
     "semantic_dedup": semantic_dedup,
     "bpe_top_pairs": bpe_top_pairs,
     "corpus_build": corpus_build,
+    "corpus_build_neardup": lambda sf_dir: corpus_build(sf_dir, near_dedup=True),
     "minhash_near_dups": minhash_near_dups,
     "ngram_jaccard_dups": ngram_jaccard_dups,
     "simhash_near_dups": simhash_near_dups,

@@ -907,6 +907,92 @@ def pca_golden(k: int = 4, scale: int = 10_000):
         {"comp": np.arange(1, k + 1, dtype=np.int64), "var_ppm": ppm}))
 
 
+def corpus_build_neardup_golden():
+    """``corpus_build`` with the MinHash stage 2b enabled, as one
+    STRAIGHT-LINE single-threaded pass: per-doc Counter gate loop, dict
+    first-wins exact dedup, LSH candidates from the shared band kernel
+    with a per-pair loop verify and UNION-FIND components (independent of
+    the engine's min-label fixpoint), per-doc 5-gram contamination loop,
+    and a running-total packing loop. Shared kernels: minhash_bands /
+    shingle_hashes / jaccard — the same standard as the
+    ``minhash_near_dups`` golden (the banding scheme defines the
+    operator's candidate set; everything downstream is independent)."""
+    from collections import Counter
+
+    df = (pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+          .to_pandas().sort_values("doc_id"))
+    # stage 1: eval holdout + token-length gate + repetition gate
+    surv: list[tuple[int, str]] = []
+    for d, t in zip(df["doc_id"], df["text"]):
+        d, t = int(d), str(t)
+        if d % 97 == 0:
+            continue
+        ws = t.split(" ")
+        if len(ws) < 20:
+            continue
+        c = Counter(ws)
+        if 1.0 - len(c) / len(ws) > 0.75 or max(c.values()) / len(ws) > 0.2:
+            continue
+        surv.append((d, t))
+    # stage 2: exact first-wins dedup
+    first: dict = {}
+    for d, t in surv:
+        first.setdefault(t, d)
+    kept = [(d, t) for d, t in surv if first[t] == d]
+    # stage 2b: shared-kernel LSH candidates, loop verify, union-find with
+    # root-min union (final root of every component = its min doc_id)
+    kdf = pd.DataFrame({"doc_id": np.array([d for d, _ in kept], np.int64),
+                        "text": [t for _, t in kept]})
+    cand = collide_pairs(minhash_bands(kdf))
+    sh = {d: shingle_hashes(t) for d, t in kept}
+    parent: dict = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in sorted(set(zip(cand["doc_a"].astype(int),
+                               cand["doc_b"].astype(int)))):
+        if jaccard(sh[a], sh[b]) >= 0.5:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    kept = [(d, t) for d, t in kept if find(d) == d]
+    # stage 3: 5-gram contamination loop vs the eval holdout
+    grams: set = set()
+    for d, t in zip(df["doc_id"], df["text"]):
+        if int(d) % 97 == 0:
+            ws = str(t).split(" ")
+            for i in range(len(ws) - 4):
+                grams.add(" ".join(ws[i:i + 5]))
+    clean = []
+    for d, t in kept:
+        ws = t.split(" ")
+        if any(" ".join(ws[i:i + 5]) in grams for i in range(len(ws) - 4)):
+            continue
+        clean.append((d, len(ws)))
+    # stages 4+5: exclusive running-token total → 4096-token shard rollup
+    rows: dict = {}
+    tok_before = 0
+    for d, n in clean:  # ascending doc_id ⇒ first/last seen = min/max
+        r = rows.setdefault(tok_before // 4096, [0, 0, d, d])
+        r[0] += 1
+        r[1] += n
+        r[3] = d
+        tok_before += n
+    sids = sorted(rows)
+    write("corpus_build_neardup", pd.DataFrame(
+        {"shard_id": np.array(sids, np.int64),
+         "n_docs": np.array([rows[s][0] for s in sids], np.int64),
+         "n_tokens": np.array([rows[s][1] for s in sids], np.int64),
+         "first_doc": np.array([rows[s][2] for s in sids], np.int64),
+         "last_doc": np.array([rows[s][3] for s in sids], np.int64)}))
+
+
 if __name__ == "__main__":
     os.makedirs(OUT, exist_ok=True)
     o, params = crawl_goldens()
@@ -922,4 +1008,5 @@ if __name__ == "__main__":
     video_near_dup_golden()
     bpe_golden()
     pca_golden()
+    corpus_build_neardup_golden()
     print("done")
