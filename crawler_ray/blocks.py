@@ -8,8 +8,12 @@ table. That is harmless in aggregation chains, but pyarrow's hash join (the
 ``finalize``) builds each partition's left table by concatenating whatever
 shards arrived; a partition fed only schema-less empties yields a zero-column
 table and ``pa.Table.join`` raises ``ArrowInvalid: No match ... FieldRef``.
-Only the LEFT side is affected (measured; a clean left joins fine against a
-dirty right).
+HASH_SHUFFLE-exchange empties were measured to poison only the LEFT side (a
+clean left joins fine against an exchange-dirty right), but SORT-produced
+empties (ranges outnumbering rows) poison the RIGHT side too (round 5,
+reproduced in tests/test_corpus_neardup.py's tiny corpus); queries.py's
+streamed near-dup path neutralizes those with a width ``repartition`` on
+the sort-derived join inputs — either remedy restores the schema.
 
 ``drop_empty_blocks`` removes the poison with O(blocks) driver metadata work
 and ZERO data movement: it walks the materialized Dataset's ref bundles,
