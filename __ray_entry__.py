@@ -444,9 +444,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     # Dict order = the driver's check order; rounds 1-4 show the driver
     # checks a budget-bounded PREFIX (37/44/50/50 rows, always the head of
-    # this dict). The 26 registry queries with no CORRECTNESS_r0{2,3,4} row
+    # this dict). The 27 registry queries with no CORRECTNESS_r0{2,3,4} row
     # (everything from doc_repetition/pii_scan through per_source_cap — the
-    # round-4 training-data wave) therefore go FIRST so CORRECTNESS_r05
+    # round-4/5 training-data wave) therefore go FIRST so CORRECTNESS_r05
     # gives them first-time rows; the crawl/multimodal/export block (all
     # driver-green in r04) follows, then the long-stable rest.
     never_checked = (
@@ -456,7 +456,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "histogram_quantiles", "customers_without_orders", "bm25_search",
         "benchmark_decontaminate", "dup_span_coverage", "pagerank_users",
         "kmeans_embeddings", "semantic_dedup", "bpe_top_pairs",
-        "corpus_build", "bloom_semi_join", "skew_join_brand_revenue",
+        "corpus_build", "corpus_build_neardup", "bloom_semi_join",
+        "skew_join_brand_revenue",
         "cms_heavy_bigrams", "bpe_tokenize", "embedding_covariance",
         "embedding_pca", "per_source_cap",
     )
