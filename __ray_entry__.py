@@ -456,7 +456,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "histogram_quantiles", "customers_without_orders", "bm25_search",
         "benchmark_decontaminate", "dup_span_coverage", "pagerank_users",
         "kmeans_embeddings", "semantic_dedup", "bpe_top_pairs",
-        "corpus_build", "corpus_build_neardup", "bloom_semi_join",
+        "corpus_build", "corpus_build_neardup", "sessionize_events",
+        "bloom_semi_join",
         "skew_join_brand_revenue",
         "cms_heavy_bigrams", "bpe_tokenize", "embedding_covariance",
         "embedding_pca", "per_source_cap",

@@ -162,3 +162,102 @@ def grouped_cumulative_sum_ds(ds, group_col: str, order_cols: list[str],
 
     return s.map_batches(apply_scan, batch_format="pandas", batch_size=None,
                          fn_kwargs={"carry": carry})
+
+
+def sessionize_ds(ds, group_col: str, ts_col: str, id_col: str, gap: int,
+                  out_col: str = "session_id"):
+    """Gap-based sessionization: assign each event a per-group session
+    number, where a new session starts at the group's first event or when
+    the time since the group's PREVIOUS event exceeds ``gap`` (strictly
+    greater; equal-to-gap stays in the session). The classic event-stream
+    operator (web analytics "30-minute inactivity" rule).
+
+    ``ts_col`` must be int64 (convert timestamps to epoch µs upstream so
+    the arithmetic is exact); ``gap`` is in the same units.
+    ``(group_col, ts_col, id_col)`` must be a unique key (same carry-keying
+    rule as the scans above; ``id_col`` is the tiebreaker).
+
+    Distributed shape — identical economics to
+    :func:`grouped_cumulative_sum_ds`: one sort exchange co-locates each
+    group into contiguous block ranges; every in-block new-session flag is
+    computable locally (vectorized diff), and ONLY each block's first-row
+    flag depends on its predecessor block. Pass 1 emits one summary row
+    per block (first/last group, first/last timestamp, in-block start
+    counts for the first and last group); the driver threads
+    (prev_group, prev_ts, running session count) through the O(blocks)
+    summaries and hands each block (boundary_flag, carry_in_sessions).
+    Pass 2 is one vectorized per-group cumsum of the flag vector. Driver
+    memory is O(blocks) at any group/event cardinality; session ids are
+    identical under any block layout.
+    """
+    sort_cols = [group_col, ts_col, id_col]
+    s = ds.sort(sort_cols).materialize()
+
+    def flags_excl0(u: np.ndarray, t: np.ndarray) -> np.ndarray:
+        """New-session flags with the boundary-dependent row 0 left at 0."""
+        f = np.zeros(len(u), np.int64)
+        if len(u) > 1:
+            f[1:] = ((u[1:] != u[:-1]) | ((t[1:] - t[:-1]) > gap)).astype(np.int64)
+        return f
+
+    def block_summary(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            cols = {c: b[c].iloc[:0].reset_index(drop=True) for c in sort_cols}
+            cols["_first_grp"] = b[group_col].iloc[:0].reset_index(drop=True)
+            cols["_last_grp"] = b[group_col].iloc[:0].reset_index(drop=True)
+            for extra in ("_first_ts", "_last_ts", "_starts_first", "_starts_last"):
+                cols[extra] = pd.Series([], dtype=np.int64)
+            return pd.DataFrame(cols)
+        u = b[group_col].to_numpy()
+        t = b[ts_col].to_numpy(np.int64)
+        f = flags_excl0(u, t)
+        cols = {c: [b[c].iloc[0]] for c in sort_cols}
+        cols["_first_grp"] = [u[0]]
+        cols["_last_grp"] = [u[-1]]
+        cols["_first_ts"] = [np.int64(t[0])]
+        cols["_last_ts"] = [np.int64(t[-1])]
+        # starts among the first/last group's rows, row 0 excluded — the
+        # last-group segment's leading row (a group change) IS counted
+        cols["_starts_first"] = [np.int64(f[u == u[0]].sum())]
+        cols["_starts_last"] = [np.int64(f[u == u[-1]].sum())]
+        return pd.DataFrame(cols)
+
+    summaries = (s.map_batches(block_summary, batch_format="pandas",
+                               batch_size=None).to_pandas()
+                 .sort_values(sort_cols, kind="mergesort"))
+    carry: dict[tuple, tuple] = {}
+    prev_grp, prev_ts, run_sessions = None, None, 0
+    for d in summaries.to_dict("records"):
+        key = tuple(d[c] for c in sort_cols)
+        if prev_grp is None or prev_grp != d["_first_grp"]:
+            boundary, carry_in = 1, 0  # group's first event overall
+        else:
+            boundary = 1 if (d["_first_ts"] - prev_ts) > gap else 0
+            carry_in = run_sessions
+        carry[key] = (int(boundary), int(carry_in))
+        if d["_first_grp"] == d["_last_grp"]:
+            # single-group block: extend (or start) the open chain
+            run_sessions = carry_in + boundary + int(d["_starts_first"])
+        else:
+            # last group began inside this block; its leading group-change
+            # flag is inside _starts_last
+            run_sessions = int(d["_starts_last"])
+        prev_grp, prev_ts = d["_last_grp"], d["_last_ts"]
+
+    def apply_sessions(b: pd.DataFrame, *, carry: dict) -> pd.DataFrame:
+        b = b.copy()
+        if len(b) == 0:
+            b[out_col] = pd.Series([], dtype=np.int64)
+            return b
+        u = b[group_col].to_numpy()
+        t = b[ts_col].to_numpy(np.int64)
+        boundary, carry_in = carry[tuple(b[c].iloc[0] for c in sort_cols)]
+        f = flags_excl0(u, t)
+        f[0] = boundary
+        sess = pd.Series(f).groupby(u).cumsum().to_numpy()
+        sess = sess + np.where(u == u[0], np.int64(carry_in), np.int64(0))
+        b[out_col] = sess.astype(np.int64)
+        return b
+
+    return s.map_batches(apply_sessions, batch_format="pandas",
+                         batch_size=None, fn_kwargs={"carry": carry})

@@ -1124,6 +1124,47 @@ def trailing_event_volume(sf_dir: str):
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+# Inactivity gap for sessionize_events: the classic 30-minute rule, in
+# epoch microseconds (exact integer arithmetic end-to-end).
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+def sessionize_events(sf_dir: str):
+    """Gap-based sessionization over the event stream (30-min inactivity
+    rule) — the streaming-window operator every clickstream/telemetry
+    pipeline needs and Ray Data lacks. ``scan.sessionize_ds`` assigns
+    per-user session numbers with O(blocks) driver state (one sort
+    exchange; every in-block flag vectorized; only each block's first row
+    consults the carry), then one per-block partial count rolls sessions
+    up to per-user stats. The gathered partials are session-granularity —
+    O(sessions), the result's own order — never event-granularity.
+    """
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+
+    def to_us(b: pd.DataFrame) -> pd.DataFrame:
+        t = b["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        return pd.DataFrame({"event_id": b["event_id"].to_numpy(np.int64),
+                             "user_id": b["user_id"].to_numpy(np.int64),
+                             "tus": t})
+
+    sess = scan.sessionize_ds(ds.map_batches(to_us, batch_format="pandas"),
+                              "user_id", "tus", "event_id", SESSION_GAP_US)
+    # sessionize output blocks are sorted by (user, ts): each (user,
+    # session) is contiguous, so per-block size partials merge exactly
+    # with one driver groupby-sum over O(sessions + blocks) rows
+    parts = sess.map_batches(
+        lambda b: b.groupby(["user_id", "session_id"], as_index=False)
+                   .size().rename(columns={"size": "n"}),
+        batch_format="pandas", batch_size=None).to_pandas()
+    per_sess = parts.groupby(["user_id", "session_id"], as_index=False)["n"].sum()
+    out = per_sess.groupby("user_id", as_index=False).agg(
+        n_events=("n", "sum"), n_sessions=("n", "size"),
+        max_session_events=("n", "max"))
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 # Token budget per training shard for token_shard_assignment (greedy
 # contiguous packing: a doc never splits; a shard closes when its budget
 # is exhausted by the NEXT doc's arrival).
@@ -2571,6 +2612,7 @@ QUERIES = {
     "running_revenue": running_revenue,
     "customer_running_spend": customer_running_spend,
     "trailing_event_volume": trailing_event_volume,
+    "sessionize_events": sessionize_events,
     "stratified_sample": stratified_sample,
     "token_shard_assignment": token_shard_assignment,
     "rollup_lang_source": rollup_lang_source,
@@ -2719,6 +2761,25 @@ ORACLE_SQL = {
                      EPOCH(ts) - LAG(EPOCH(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
               FROM events)
         GROUP BY user_id""",
+    "sessionize_events": """
+        WITH b AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                             OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                        THEN 1 ELSE 0 END AS brk
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        s AS (
+            SELECT user_id,
+                   SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+            FROM b),
+        p AS (SELECT user_id, session_id, CAST(COUNT(*) AS BIGINT) AS n
+              FROM s GROUP BY 1, 2)
+        SELECT user_id, CAST(SUM(n) AS BIGINT) AS n_events,
+               CAST(COUNT(*) AS BIGINT) AS n_sessions,
+               CAST(MAX(n) AS BIGINT) AS max_session_events
+        FROM p GROUP BY user_id ORDER BY user_id""",
     "distinct_langs": "SELECT DISTINCT lang FROM documents",
     "seeded_sample": """
         SELECT o_orderkey FROM orders

@@ -105,6 +105,71 @@ def test_grouped_cumsum_straddling_and_tiny_groups(ray_session):
         np.testing.assert_array_equal(out["cs"].to_numpy(), exp)
 
 
+def _sessionize_loop(df: pd.DataFrame, gap: int) -> np.ndarray:
+    """Straight-line per-row reference: new session on group change or
+    strict gap excess; ids count per group from 1."""
+    srt = df.sort_values(["g", "t", "i"]).reset_index(drop=True)
+    sid, prev_g, prev_t, cur = [], None, None, 0
+    for g, t in zip(srt["g"], srt["t"]):
+        if prev_g is None or g != prev_g:
+            cur = 1
+        elif t - prev_t > gap:
+            cur += 1
+        sid.append(cur)
+        prev_g, prev_t = g, t
+    return srt, np.asarray(sid, np.int64)
+
+
+def test_sessionize_matches_loop_reference(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(31)
+    n = 12_000
+    for n_groups in (6, 3_000):   # mega-groups straddle blocks; tiny don't
+        df = pd.DataFrame({"g": rng.integers(0, n_groups, n),
+                           "t": rng.integers(0, 500, n).astype(np.int64),
+                           "i": rng.permutation(n)})
+        out = (scan.sessionize_ds(rd.from_pandas(df).repartition(11),
+                                  "g", "t", "i", gap=20)
+               .to_pandas().sort_values(["g", "t", "i"]).reset_index(drop=True))
+        srt, exp = _sessionize_loop(df, 20)
+        assert out["session_id"].dtype == np.int64
+        np.testing.assert_array_equal(out["session_id"].to_numpy(), exp)
+
+
+def test_sessionize_equal_gap_stays_in_session(ray_session):
+    import ray.data as rd
+
+    # deltas exactly == gap must NOT break; delta == gap+1 must
+    df = pd.DataFrame({"g": np.zeros(5, np.int64),
+                       "t": np.array([0, 10, 20, 31, 41], np.int64),
+                       "i": np.arange(5, dtype=np.int64)})
+    out = (scan.sessionize_ds(rd.from_pandas(df).repartition(3),
+                              "g", "t", "i", gap=10)
+           .to_pandas().sort_values("t"))
+    np.testing.assert_array_equal(out["session_id"].to_numpy(),
+                                  [1, 1, 1, 2, 2])
+
+
+def test_sessionize_layout_invariance(ray_session):
+    """Session ids must be identical under any block layout (the carry
+    threading is the only cross-block dependency)."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(37)
+    df = pd.DataFrame({"g": rng.integers(0, 4, 3_000),
+                       "t": rng.integers(0, 200, 3_000).astype(np.int64),
+                       "i": rng.permutation(3_000)})
+    outs = []
+    for parts in (1, 5, 23):
+        o = (scan.sessionize_ds(rd.from_pandas(df).repartition(parts),
+                                "g", "t", "i", gap=7)
+             .to_pandas().sort_values(["g", "t", "i"]).reset_index(drop=True))
+        outs.append(o["session_id"].to_numpy())
+    np.testing.assert_array_equal(outs[0], outs[1])
+    np.testing.assert_array_equal(outs[0], outs[2])
+
+
 def test_grouped_cumsum_exclusive_zero_per_group_head(ray_session):
     import ray.data as rd
 
