@@ -102,7 +102,8 @@ def run_query_bench(sf_dir: str) -> dict:
              "asof_join_quotes", "events_in_windows", "approx_distinct_tokens",
              "dup_span_coverage", "semantic_dedup", "bpe_top_pairs",
              "bm25_search", "pagerank_users", "kmeans_embeddings",
-             "running_revenue", "sessionize_events", "corpus_build",
+             "running_revenue", "sessionize_events", "quality_percentile_cut",
+             "corpus_build",
              "bloom_semi_join", "skew_join_brand_revenue",
              "cms_heavy_bigrams", "bpe_tokenize", "embedding_covariance"]
     out = {}

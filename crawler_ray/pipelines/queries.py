@@ -733,6 +733,150 @@ def text_quality(sf_dir: str):
     return out.sort_values("lang").reset_index(drop=True)
 
 
+# --- global top-p% quality cutoff (exact distributed rank selection) ------
+#
+# keep the top QUALITY_TOP_PPM/1e6 fraction of the corpus by an integer
+# quality score — FineWeb-style percentile gating, computed EXACTLY without
+# a global sort: the selection threshold is found by histogram refinement
+# with O(buckets) driver state per pass.
+QUALITY_TOP_PPM = 100_000           # keep the top 10 %
+_SEL_BUCKETS = 1024                 # doc_id refinement fan-out per pass
+_SEL_COLLECT_LIMIT = 65_536         # gather the tie range once it's this small
+
+
+def _quality_score_ppm(b: pd.DataFrame) -> pd.DataFrame:
+    """Integer quality score in ppm — all-int64 arithmetic so DuckDB's
+    `//` reproduces it bit-exactly (length factor × digit-soup penalty ×
+    punct-soup penalty; see the `quality_percentile_cut` oracle SQL)."""
+    t = b["text"].astype("string")
+    n = b["n_chars"].to_numpy(np.int64)
+    n_dig = t.str.count(r"[0-9]").fillna(0).to_numpy(np.int64)
+    n_punct = t.str.count(r"[.,!?;:]").fillna(0).to_numpy(np.int64)
+    safe = np.maximum(n, 1)
+    len_ppm = np.minimum(n * 5000, 1_000_000)
+    dig_ppm = (1_000_000 * n_dig) // safe
+    punct_ppm = (1_000_000 * n_punct) // safe
+    score = (len_ppm * (1_000_000 - dig_ppm) // 1_000_000
+             * np.maximum(1_000_000 - 2 * punct_ppm, 0) // 1_000_000)
+    return pd.DataFrame({"doc_id": b["doc_id"].to_numpy(np.int64),
+                         "lang": b["lang"].astype(object),
+                         "n_chars": n,
+                         "score_ppm": np.where(n > 0, score, 0).astype(np.int64)})
+
+
+def quality_percentile_cut(sf_dir: str, top_ppm: int = QUALITY_TOP_PPM):
+    """Keep exactly the top ``ceil(N * top_ppm / 1e6)`` documents by
+    (score_ppm DESC, doc_id ASC) — a global percentile quality gate —
+    and roll up the survivors per language.
+
+    Scale design: exact global rank selection WITHOUT ``Dataset.sort``
+    (a top-decile sort at corpus scale is an all-to-all exchange of the
+    whole table). Instead:
+
+    1. one scoring pass materializes the narrow (doc_id, lang, n_chars,
+       score_ppm) projection — ~1-2 %% of corpus bytes; every later pass
+       re-reads blocks from the object store, never the text;
+    2. a per-score histogram (combiner partials + tiny fold) finds the
+       threshold score ``t`` and the residual rank ``r`` inside the tie
+       bucket — driver state = distinct scores (≤ 1e6+1 by construction);
+    3. when the tie bucket is hot (score caps make this the COMMON case:
+       every long clean doc scores exactly 1e6), the r-th smallest doc_id
+       inside it is found by iterative range-bucketed histograms
+       (``_SEL_BUCKETS`` per pass, so ≤ log_1024(id range) ≈ 6 passes,
+       O(buckets) driver state each), gathering only once the live range
+       holds ≤ ``_SEL_COLLECT_LIMIT`` ids;
+    4. a final vectorized filter + per-lang combiner/fold emits the rollup.
+
+    The DuckDB oracle is the straightforward ROW_NUMBER() window over the
+    same integer score — the engine must agree with it on every rank
+    boundary, which is why the score is pure int64 (no float rank ties).
+    """
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "n_chars"])
+    scored = ds.map_batches(_quality_score_ppm, batch_format="pandas").materialize()
+    # "string" dtype (not object) so Ray's block-size estimator never probes
+    # a 0-row object column (np.vectorize noise on empty partials)
+    empty = pd.DataFrame({"lang": pd.Series([], dtype="string"),
+                          "n_kept": pd.Series([], dtype=np.int64),
+                          "sum_chars": pd.Series([], dtype=np.int64)})
+
+    hist = _fold(scored.map_batches(
+        lambda b: b.groupby("score_ppm", as_index=False).size().rename(columns={"size": "cnt"}),
+        batch_format="pandas"), ["score_ppm"], dict(cnt=("cnt", "sum")))
+    if len(hist) == 0:
+        return empty
+    n_total = int(hist["cnt"].sum())
+    k = (n_total * top_ppm + 999_999) // 1_000_000
+    hist = hist.sort_values("score_ppm", ascending=False)
+    cum = hist["cnt"].cumsum().to_numpy(np.int64)
+    idx = int(np.searchsorted(cum, k, side="left"))
+    t = int(hist["score_ppm"].iloc[idx])
+    m = int(cum[idx - 1]) if idx > 0 else 0      # docs strictly above t
+    r = k - m                                     # taken from the t bucket
+    tie_n = int(hist["cnt"].iloc[idx])
+
+    d_star: int | None = None                     # doc_id cutoff inside the tie
+    if 0 < r < tie_n:
+        mm = scored.map_batches(
+            lambda b, t=t: (lambda d: pd.DataFrame(
+                {"lo": d.min(keepdims=True), "hi": d.max(keepdims=True)})
+                if len(d) else pd.DataFrame({"lo": pd.Series([], dtype=np.int64),
+                                             "hi": pd.Series([], dtype=np.int64)}))(
+                b.loc[b["score_ppm"].to_numpy() == t, "doc_id"].to_numpy(np.int64)),
+            batch_format="pandas").to_pandas()
+        lo, hi = int(mm["lo"].min()), int(mm["hi"].max()) + 1
+        remaining, count_in = r, tie_n
+        while count_in > _SEL_COLLECT_LIMIT:
+            width = max(1, -(-(hi - lo) // _SEL_BUCKETS))
+
+            def bucket_hist(b: pd.DataFrame, t=t, lo=lo, hi=hi, width=width) -> pd.DataFrame:
+                d = b["doc_id"].to_numpy(np.int64)
+                d = d[(b["score_ppm"].to_numpy() == t) & (d >= lo) & (d < hi)]
+                if len(d) == 0:
+                    return pd.DataFrame({"bucket": pd.Series([], dtype=np.int64),
+                                         "cnt": pd.Series([], dtype=np.int64)})
+                u, c = np.unique((d - lo) // width, return_counts=True)
+                return pd.DataFrame({"bucket": u.astype(np.int64),
+                                     "cnt": c.astype(np.int64)})
+
+            bh = _fold(scored.map_batches(bucket_hist, batch_format="pandas"),
+                       ["bucket"], dict(cnt=("cnt", "sum"))).sort_values("bucket")
+            cumb = bh["cnt"].cumsum().to_numpy(np.int64)
+            j = int(np.searchsorted(cumb, remaining, side="left"))
+            remaining -= int(cumb[j - 1]) if j > 0 else 0
+            b_id = int(bh["bucket"].iloc[j])
+            count_in = int(bh["cnt"].iloc[j])
+            lo, hi = lo + b_id * width, min(hi, lo + (b_id + 1) * width)
+        ties = scored.map_batches(
+            lambda b, t=t, lo=lo, hi=hi: b.loc[
+                (b["score_ppm"].to_numpy() == t)
+                & (b["doc_id"].to_numpy() >= lo) & (b["doc_id"].to_numpy() < hi),
+                ["doc_id"]],
+            batch_format="pandas").to_pandas()
+        d_star = int(np.sort(ties["doc_id"].to_numpy(np.int64))[remaining - 1])
+
+    def rollup(b: pd.DataFrame, t=t, r=r, tie_n=tie_n, d_star=d_star) -> pd.DataFrame:
+        s = b["score_ppm"].to_numpy(np.int64)
+        if r == 0:
+            keep = s > t
+        elif r == tie_n:
+            keep = s >= t
+        else:
+            keep = (s > t) | ((s == t) & (b["doc_id"].to_numpy(np.int64) <= d_star))
+        kb = b.loc[keep]
+        if len(kb) == 0:
+            return empty
+        return kb.groupby("lang", as_index=False).agg(
+            n_kept=("doc_id", "size"), sum_chars=("n_chars", "sum"))
+
+    out = _fold(scored.map_batches(rollup, batch_format="pandas"), ["lang"],
+                dict(n_kept=("n_kept", "sum"), sum_chars=("sum_chars", "sum")))
+    if len(out) == 0:
+        return empty
+    out["n_kept"] = out["n_kept"].astype(np.int64)
+    out["sum_chars"] = out["sum_chars"].astype(np.int64)
+    return out.sort_values("lang").reset_index(drop=True)
+
+
 def lang_id_confusion(sf_dir: str):
     """[rows-only] Heuristic language ID vs labeled lang: confusion counts."""
     ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
@@ -2613,6 +2757,7 @@ QUERIES = {
     "customer_running_spend": customer_running_spend,
     "trailing_event_volume": trailing_event_volume,
     "sessionize_events": sessionize_events,
+    "quality_percentile_cut": quality_percentile_cut,
     "stratified_sample": stratified_sample,
     "token_shard_assignment": token_shard_assignment,
     "rollup_lang_source": rollup_lang_source,
@@ -2780,6 +2925,22 @@ ORACLE_SQL = {
                CAST(COUNT(*) AS BIGINT) AS n_sessions,
                CAST(MAX(n) AS BIGINT) AS max_session_events
         FROM p GROUP BY user_id ORDER BY user_id""",
+    "quality_percentile_cut": """
+        WITH s AS (
+            SELECT doc_id, lang, n_chars,
+                   CASE WHEN n_chars = 0 THEN 0 ELSE
+                        LEAST(n_chars * 5000, 1000000)
+                        * (1000000 - (1000000 * length(regexp_replace(text, '[^0-9]', '', 'g'))) // n_chars) // 1000000
+                        * GREATEST(1000000 - 2 * ((1000000 * length(regexp_replace(text, '[^.,!?;:]', '', 'g'))) // n_chars), 0) // 1000000
+                   END AS score_ppm
+            FROM documents),
+        r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY score_ppm DESC, doc_id) AS rn,
+                        COUNT(*) OVER () AS n
+              FROM s)
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM r WHERE rn <= (n * 100000 + 999999) // 1000000
+        GROUP BY lang ORDER BY lang""",
     "distinct_langs": "SELECT DISTINCT lang FROM documents",
     "seeded_sample": """
         SELECT o_orderkey FROM orders
