@@ -877,6 +877,118 @@ def quality_percentile_cut(sf_dir: str, top_ppm: int = QUALITY_TOP_PPM):
     return out.sort_values("lang").reset_index(drop=True)
 
 
+def _bigram_frame(b: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized bigram explode: one row per adjacent token pair, with the
+    source batch row label in ``row``. Tokenization = split on a single
+    space, matching DuckDB ``string_split(text, ' ')`` exactly (consecutive
+    spaces yield empty-string tokens on BOTH sides)."""
+    ts = b["text"].astype("string").str.split(" ")
+    ex = ts.explode()
+    w2 = ex.groupby(level=0).shift(-1)
+    m = w2.notna().to_numpy()
+    return pd.DataFrame({"row": ex.index[m],
+                         "w1": ex.to_numpy(object)[m],
+                         "w2": w2.to_numpy(object)[m]})
+
+
+def lm_fluency_score(sf_dir: str):
+    """CCNet-style n-gram LM fluency scoring: train an add-one-smoothed
+    bigram language model on the held-out slice (doc_id %% 97 == 0 — the
+    same slice decontamination treats as the reference set), broadcast it
+    once, and score every remaining document's average bigram probability.
+
+    The classical formulation is perplexity (a sum of logs); libm ``log``
+    is not bit-identical between numpy and DuckDB, so ranks near a
+    threshold could flip between engine and oracle. This variant keeps the
+    probabilities RATIONAL and the score INTEGER — per bigram
+    ``p_ppm = (1e6 * (c12+1)) // (c1 + V)`` and per doc
+    ``score = sum(p_ppm) // n_bigrams`` — exact int64 on both sides, so
+    the oracle check is bit-tight at any scale.
+
+    Scale design: the LM is trained on a fixed SAMPLE (CCNet trains on
+    Wikipedia), so model size is bounded by the sample, not the corpus —
+    two cheap passes build (bigram counts, context counts, |V|) on the
+    driver and ``ray.put`` broadcasts them once; scoring is a zero-shuffle
+    actor-pool pass (explode bigrams, two vectorized hash merges against
+    the model, per-doc groupby-sum, per-lang combiner). Nothing
+    corpus-scale ever leaves the workers."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    empty = pd.DataFrame({"lang": pd.Series([], dtype="string"),
+                          "n_docs": pd.Series([], dtype=np.int64),
+                          "sum_score_ppm": pd.Series([], dtype=np.int64),
+                          "min_score_ppm": pd.Series([], dtype=np.int64),
+                          "max_score_ppm": pd.Series([], dtype=np.int64)})
+
+    def train_partial(b: pd.DataFrame) -> pd.DataFrame:
+        tb = b.loc[b["doc_id"].to_numpy(np.int64) % 97 == 0]
+        e = pd.DataFrame({"w1": pd.Series([], dtype=object),
+                          "w2": pd.Series([], dtype=object),
+                          "c": pd.Series([], dtype=np.int64),
+                          "tok": pd.Series([], dtype=object)})
+        if len(tb) == 0:
+            return e
+        bg = _bigram_frame(tb)
+        toks = tb["text"].astype("string").str.split(" ").explode().dropna().unique()
+        cnt = (bg.groupby(["w1", "w2"], as_index=False).size()
+               .rename(columns={"size": "c"})) if len(bg) else e[["w1", "w2", "c"]]
+        cnt["c"] = cnt["c"].astype(np.int64) if len(cnt) else cnt.get("c")
+        vocab = pd.DataFrame({"w1": pd.Series([None] * len(toks), dtype=object),
+                              "w2": pd.Series([None] * len(toks), dtype=object),
+                              "c": np.zeros(len(toks), np.int64),
+                              "tok": toks.astype(object)})
+        cnt = cnt.assign(tok=pd.Series([None] * len(cnt), dtype=object))
+        return pd.concat([cnt, vocab], ignore_index=True)
+
+    tp = ds.map_batches(train_partial, batch_format="pandas").to_pandas()
+    if len(tp) == 0:
+        return empty
+    vocab_n = int(tp["tok"].dropna().nunique())
+    if vocab_n == 0:
+        return empty
+    pairs = tp.loc[tp["w1"].notna()]
+    c12 = (pairs.groupby(["w1", "w2"], as_index=False)["c"].sum()
+           .rename(columns={"c": "c12"}))
+    c1 = (c12.groupby("w1", as_index=False)["c12"].sum()
+          .rename(columns={"c12": "c1"}))
+    model_ref = ray.put((c12, c1, vocab_n))
+
+    class FluencyScorer:
+        def __init__(self):
+            self.c12, self.c1, self.v = ray.get(model_ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            sb = b.loc[b["doc_id"].to_numpy(np.int64) % 97 != 0]
+            if len(sb) == 0:
+                return empty
+            bg = _bigram_frame(sb)
+            if len(bg) == 0:
+                return empty
+            bg = (bg.merge(self.c12, on=["w1", "w2"], how="left")
+                  .merge(self.c1, on="w1", how="left"))
+            p = ((1_000_000 * (bg["c12"].fillna(0).to_numpy(np.int64) + 1))
+                 // (bg["c1"].fillna(0).to_numpy(np.int64) + self.v))
+            per = (pd.DataFrame({"row": bg["row"].to_numpy(), "p": p})
+                   .groupby("row")["p"].agg(["sum", "size"]))
+            score = (per["sum"] // per["size"]).astype(np.int64)
+            out = pd.DataFrame({"lang": sb["lang"].loc[per.index].to_numpy(object),
+                                "score": score.to_numpy(np.int64)})
+            return out.groupby("lang", as_index=False).agg(
+                n_docs=("score", "size"), sum_score_ppm=("score", "sum"),
+                min_score_ppm=("score", "min"), max_score_ppm=("score", "max"))
+
+    out = _fold(ds.map_batches(FluencyScorer, batch_format="pandas",
+                               concurrency=(1, 8)),
+                ["lang"], dict(n_docs=("n_docs", "sum"),
+                               sum_score_ppm=("sum_score_ppm", "sum"),
+                               min_score_ppm=("min_score_ppm", "min"),
+                               max_score_ppm=("max_score_ppm", "max")))
+    if len(out) == 0:
+        return empty
+    for c in ["n_docs", "sum_score_ppm", "min_score_ppm", "max_score_ppm"]:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("lang").reset_index(drop=True)
+
+
 def lang_id_confusion(sf_dir: str):
     """[rows-only] Heuristic language ID vs labeled lang: confusion counts."""
     ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
@@ -2758,6 +2870,7 @@ QUERIES = {
     "trailing_event_volume": trailing_event_volume,
     "sessionize_events": sessionize_events,
     "quality_percentile_cut": quality_percentile_cut,
+    "lm_fluency_score": lm_fluency_score,
     "stratified_sample": stratified_sample,
     "token_shard_assignment": token_shard_assignment,
     "rollup_lang_source": rollup_lang_source,
@@ -2941,6 +3054,33 @@ ORACLE_SQL = {
                CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         FROM r WHERE rn <= (n * 100000 + 999999) // 1000000
         GROUP BY lang ORDER BY lang""",
+    "lm_fluency_score": """
+        WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS ts
+                   FROM documents),
+        tr AS (SELECT * FROM d WHERE doc_id % 97 = 0),
+        v AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS vn
+              FROM (SELECT unnest(ts) AS tok FROM tr)),
+        tg AS (SELECT ts[i] AS w1, ts[i+1] AS w2
+               FROM tr, UNNEST(range(1, len(ts))) AS t(i)),
+        c12 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+                FROM tg GROUP BY w1, w2),
+        c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1
+               FROM c12 GROUP BY w1),
+        sg AS (SELECT doc_id, lang, ts[i] AS w1, ts[i+1] AS w2
+               FROM d, UNNEST(range(1, len(ts))) AS t(i)
+               WHERE doc_id % 97 <> 0),
+        p AS (SELECT doc_id, lang,
+                     (1000000 * (COALESCE(c12.c12, 0) + 1))
+                     // (COALESCE(c1.c1, 0) + (SELECT vn FROM v)) AS p_ppm
+              FROM sg LEFT JOIN c12 USING (w1, w2) LEFT JOIN c1 USING (w1)),
+        s AS (SELECT doc_id, lang,
+                     CAST(SUM(p_ppm) // COUNT(*) AS BIGINT) AS score
+              FROM p GROUP BY doc_id, lang)
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(score) AS BIGINT) AS sum_score_ppm,
+               CAST(MIN(score) AS BIGINT) AS min_score_ppm,
+               CAST(MAX(score) AS BIGINT) AS max_score_ppm
+        FROM s GROUP BY lang ORDER BY lang""",
     "distinct_langs": "SELECT DISTINCT lang FROM documents",
     "seeded_sample": """
         SELECT o_orderkey FROM orders
