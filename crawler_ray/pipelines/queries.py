@@ -989,6 +989,103 @@ def lm_fluency_score(sf_dir: str):
     return out.sort_values("lang").reset_index(drop=True)
 
 
+def dsir_select(sf_dir: str, target_source: str = "src0"):
+    """DSIR-style data selection (Xie et al., "Data Selection for Language
+    Models via Importance Resampling", NeurIPS 2023): score every raw doc
+    by the likelihood ratio of two add-one-smoothed bag-of-bigram models —
+    a TARGET model trained on the curated source (`src0`, the fixture's
+    Wikipedia analog) and a RAW model trained on a deterministic
+    `doc_id % 13` hash-slice of everything else — then count how many raw
+    docs clear the more-target-than-raw bar per language.
+
+    Integer-exact variant: the true smoothed ratio is
+    ``(ct+1)(R_tot+V) / ((cr+1)(T_tot+V))``; its right factor is a GLOBAL
+    constant (same for every bigram), so it is folded out of the score's
+    units and the per-bigram weight is ``r_ppm = (1e6*(ct+1)) // (cr+1)``
+    with per-doc ``w_ppm = sum(r_ppm) // n_bigrams`` — pure int64 on both
+    engine and oracle, no libm log drift. "Selected" = ``w_ppm > 1e6``
+    (strictly more target-typical than raw-typical in these units).
+
+    Scale design: both models are SAMPLE-bounded — the target corpus is
+    small by definition (DSIR's is Wikipedia) and the raw model sees only
+    the fixed hash-slice (DSIR bounds the same memory by hashing n-grams
+    into fixed buckets); one distributed pass emits both partial count
+    tables at once, the driver folds sample-scale frames, ``ray.put``
+    broadcasts the pair, and scoring is a zero-shuffle actor-pool pass.
+    Nothing corpus-scale ever reaches the driver."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
+    empty = pd.DataFrame({"lang": pd.Series([], dtype="string"),
+                          "n_docs": pd.Series([], dtype=np.int64),
+                          "n_selected": pd.Series([], dtype=np.int64),
+                          "sum_w_ppm": pd.Series([], dtype=np.int64),
+                          "max_w_ppm": pd.Series([], dtype=np.int64)})
+
+    def model_partial(b: pd.DataFrame) -> pd.DataFrame:
+        e = pd.DataFrame({"w1": pd.Series([], dtype=object),
+                          "w2": pd.Series([], dtype=object),
+                          "ct": pd.Series([], dtype=np.int64),
+                          "cr": pd.Series([], dtype=np.int64)})
+        src = b["source"].astype("string")
+        is_t = (src == target_source).to_numpy()
+        is_r = ~is_t & (b["doc_id"].to_numpy(np.int64) % 13 == 0)
+        parts = [e]
+        for mask, col in ((is_t, "ct"), (is_r, "cr")):
+            sub = b.loc[mask]
+            if len(sub) == 0:
+                continue
+            bg = _bigram_frame(sub)
+            if len(bg) == 0:
+                continue
+            cnt = (bg.groupby(["w1", "w2"], as_index=False).size()
+                   .rename(columns={"size": col}))
+            cnt[col] = cnt[col].astype(np.int64)
+            parts.append(cnt)
+        return pd.concat(parts, ignore_index=True)
+
+    mp = ds.map_batches(model_partial, batch_format="pandas").to_pandas()
+    for c in ("ct", "cr"):
+        mp[c] = mp[c].fillna(0).astype(np.int64) if len(mp) else mp.get(c)
+    model = (mp.groupby(["w1", "w2"], as_index=False)[["ct", "cr"]].sum()
+             if len(mp) else mp)
+    model_ref = ray.put(model)
+
+    class DsirScorer:
+        def __init__(self):
+            self.model = ray.get(model_ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            sb = b.loc[(b["source"].astype("string") != target_source).to_numpy()]
+            if len(sb) == 0:
+                return empty
+            bg = _bigram_frame(sb)
+            if len(bg) == 0:
+                return empty
+            bg = bg.merge(self.model, on=["w1", "w2"], how="left")
+            r = ((1_000_000 * (bg["ct"].fillna(0).to_numpy(np.int64) + 1))
+                 // (bg["cr"].fillna(0).to_numpy(np.int64) + 1))
+            per = (pd.DataFrame({"row": bg["row"].to_numpy(), "r": r})
+                   .groupby("row")["r"].agg(["sum", "size"]))
+            w = (per["sum"] // per["size"]).astype(np.int64)
+            out = pd.DataFrame({"lang": sb["lang"].loc[per.index].to_numpy(object),
+                                "w": w.to_numpy(np.int64)})
+            out["sel"] = (out["w"] > 1_000_000).astype(np.int64)
+            return out.groupby("lang", as_index=False).agg(
+                n_docs=("w", "size"), n_selected=("sel", "sum"),
+                sum_w_ppm=("w", "sum"), max_w_ppm=("w", "max"))
+
+    out = _fold(ds.map_batches(DsirScorer, batch_format="pandas",
+                               concurrency=(1, 8)),
+                ["lang"], dict(n_docs=("n_docs", "sum"),
+                               n_selected=("n_selected", "sum"),
+                               sum_w_ppm=("sum_w_ppm", "sum"),
+                               max_w_ppm=("max_w_ppm", "max")))
+    if len(out) == 0:
+        return empty
+    for c in ["n_docs", "n_selected", "sum_w_ppm", "max_w_ppm"]:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("lang").reset_index(drop=True)
+
+
 def lang_id_confusion(sf_dir: str):
     """[rows-only] Heuristic language ID vs labeled lang: confusion counts."""
     ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
@@ -2871,6 +2968,7 @@ QUERIES = {
     "sessionize_events": sessionize_events,
     "quality_percentile_cut": quality_percentile_cut,
     "lm_fluency_score": lm_fluency_score,
+    "dsir_select": dsir_select,
     "stratified_sample": stratified_sample,
     "token_shard_assignment": token_shard_assignment,
     "rollup_lang_source": rollup_lang_source,
@@ -3080,6 +3178,35 @@ ORACLE_SQL = {
                CAST(SUM(score) AS BIGINT) AS sum_score_ppm,
                CAST(MIN(score) AS BIGINT) AS min_score_ppm,
                CAST(MAX(score) AS BIGINT) AS max_score_ppm
+        FROM s GROUP BY lang ORDER BY lang""",
+    "dsir_select": """
+        WITH d AS (SELECT doc_id, lang, source, string_split(text, ' ') AS ts
+                   FROM documents),
+        tg AS (SELECT ts[i] AS w1, ts[i+1] AS w2
+               FROM d, UNNEST(range(1, len(ts))) AS t(i)
+               WHERE source = 'src0'),
+        rg AS (SELECT ts[i] AS w1, ts[i+1] AS w2
+               FROM d, UNNEST(range(1, len(ts))) AS t(i)
+               WHERE source <> 'src0' AND doc_id % 13 = 0),
+        ct AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS ct
+               FROM tg GROUP BY w1, w2),
+        cr AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cr
+               FROM rg GROUP BY w1, w2),
+        sg AS (SELECT doc_id, lang, ts[i] AS w1, ts[i+1] AS w2
+               FROM d, UNNEST(range(1, len(ts))) AS t(i)
+               WHERE source <> 'src0'),
+        p AS (SELECT doc_id, lang,
+                     (1000000 * (COALESCE(ct.ct, 0) + 1))
+                     // (COALESCE(cr.cr, 0) + 1) AS r
+              FROM sg LEFT JOIN ct USING (w1, w2) LEFT JOIN cr USING (w1, w2)),
+        s AS (SELECT doc_id, lang,
+                     CAST(SUM(r) // COUNT(*) AS BIGINT) AS w
+              FROM p GROUP BY doc_id, lang)
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN w > 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_selected,
+               CAST(SUM(w) AS BIGINT) AS sum_w_ppm,
+               CAST(MAX(w) AS BIGINT) AS max_w_ppm
         FROM s GROUP BY lang ORDER BY lang""",
     "distinct_langs": "SELECT DISTINCT lang FROM documents",
     "seeded_sample": """
