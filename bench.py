@@ -103,7 +103,8 @@ def run_query_bench(sf_dir: str) -> dict:
              "dup_span_coverage", "semantic_dedup", "bpe_top_pairs",
              "bm25_search", "pagerank_users", "kmeans_embeddings",
              "running_revenue", "sessionize_events", "quality_percentile_cut",
-             "lm_fluency_score", "dsir_select", "corpus_build",
+             "lm_fluency_score", "dsir_select", "gopher_quality_gate",
+             "corpus_build",
              "bloom_semi_join", "skew_join_brand_revenue",
              "cms_heavy_bigrams", "bpe_tokenize", "embedding_covariance"]
     out = {}

@@ -733,6 +733,72 @@ def text_quality(sf_dir: str):
     return out.sort_values("lang").reset_index(drop=True)
 
 
+# Gopher rule thresholds (Rae et al. 2021, "Scaling Language Models:
+# ... Gopher", Table A1). The required-stopword list is a parameter: the
+# canonical English list is (the, be, to, of, and, that, have, with); the
+# default below is adapted to the synthetic fixture's lexicon so the rule
+# discriminates on the test tables (swap lists, same operator).
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100_000
+GOPHER_STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "on")
+
+
+def gopher_quality_gate(sf_dir: str):
+    """Gopher document-quality rules (Rae et al. 2021) as one vectorized
+    zero-shuffle pass: word-count bounds [50, 100k], mean word length in
+    [3, 10] chars, symbol-to-word ratio (# or ...) <= 0.1, >= 80 % of
+    words containing an alphabetic character, and >= 2 distinct required
+    stopwords. Line-level rules (bullet/ellipsis line fractions) are
+    omitted — the fixture corpus is single-line by construction.
+
+    All ratios are integer ppm with floor division so the DuckDB oracle
+    reproduces every boundary bit-exactly. Per-doc verdicts fold into a
+    per-lang rule-failure profile (a doc can fail several rules at once);
+    nothing corpus-scale leaves the workers."""
+    ds = _read(sf_dir, "documents", ["text", "lang", "n_chars"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        ts = b["text"].astype("string").str.split(" ")
+        n = ts.str.len().to_numpy(np.int64)          # >= 1 ('' -> [''])
+        sum_len = b["n_chars"].to_numpy(np.int64) - (n - 1)
+        ex = ts.explode()
+        alpha = ex.str.contains(r"[a-zA-Z]", regex=True).groupby(level=0).sum()
+        sym = (ex.str.contains("#", regex=False)
+               | ex.str.contains("...", regex=False)).groupby(level=0).sum()
+        stop = ex[ex.isin(GOPHER_STOPWORDS)].groupby(level=0).nunique()
+        idx = ts.index
+        n_alpha = alpha.reindex(idx, fill_value=0).to_numpy(np.int64)
+        n_sym = sym.reindex(idx, fill_value=0).to_numpy(np.int64)
+        n_stop = stop.reindex(idx, fill_value=0).to_numpy(np.int64)
+        mw_ppm = (1_000_000 * sum_len) // n
+        f_words = (n < GOPHER_MIN_WORDS) | (n > GOPHER_MAX_WORDS)
+        f_wordlen = (mw_ppm < 3_000_000) | (mw_ppm > 10_000_000)
+        f_symbol = (1_000_000 * n_sym) // n > 100_000
+        f_alpha = (1_000_000 * n_alpha) // n < 800_000
+        f_stop = n_stop < 2
+        stats = pd.DataFrame({
+            "lang": b["lang"].astype(object),
+            "f_words": f_words.astype(np.int64),
+            "f_wordlen": f_wordlen.astype(np.int64),
+            "f_symbol": f_symbol.astype(np.int64),
+            "f_alpha": f_alpha.astype(np.int64),
+            "f_stop": f_stop.astype(np.int64)})
+        stats["p"] = ((stats[["f_words", "f_wordlen", "f_symbol", "f_alpha",
+                              "f_stop"]].sum(axis=1) == 0)).astype(np.int64)
+        return stats.groupby("lang", as_index=False).agg(
+            n_docs=("p", "size"), n_pass=("p", "sum"),
+            n_fail_words=("f_words", "sum"), n_fail_wordlen=("f_wordlen", "sum"),
+            n_fail_symbol=("f_symbol", "sum"), n_fail_alpha=("f_alpha", "sum"),
+            n_fail_stop=("f_stop", "sum"))
+
+    cols = ["n_docs", "n_pass", "n_fail_words", "n_fail_wordlen",
+            "n_fail_symbol", "n_fail_alpha", "n_fail_stop"]
+    out = _fold(ds.map_batches(partial, batch_format="pandas"),
+                ["lang"], {c: (c, "sum") for c in cols})
+    for c in cols:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("lang").reset_index(drop=True)
+
+
 # --- global top-p% quality cutoff (exact distributed rank selection) ------
 #
 # keep the top QUALITY_TOP_PPM/1e6 fraction of the corpus by an integer
@@ -2969,6 +3035,7 @@ QUERIES = {
     "quality_percentile_cut": quality_percentile_cut,
     "lm_fluency_score": lm_fluency_score,
     "dsir_select": dsir_select,
+    "gopher_quality_gate": gopher_quality_gate,
     "stratified_sample": stratified_sample,
     "token_shard_assignment": token_shard_assignment,
     "rollup_lang_source": rollup_lang_source,
@@ -3208,6 +3275,39 @@ ORACLE_SQL = {
                CAST(SUM(w) AS BIGINT) AS sum_w_ppm,
                CAST(MAX(w) AS BIGINT) AS max_w_ppm
         FROM s GROUP BY lang ORDER BY lang""",
+    "gopher_quality_gate": """
+        WITH d AS (SELECT lang, text, string_split(text, ' ') AS ts
+                   FROM documents),
+        m AS (SELECT lang, len(ts) AS n, len(text) - len(ts) + 1 AS sum_len,
+              len(list_filter(ts, x -> regexp_matches(x, '[a-zA-Z]')))
+                  AS n_alpha,
+              len(list_filter(ts, x -> contains(x, '#')
+                                       OR contains(x, '...'))) AS n_sym,
+              len(list_distinct(list_filter(ts,
+                  x -> x IN ('the','a','of','to','and','in','is','on'))))
+                  AS n_stop
+              FROM d),
+        f AS (SELECT lang,
+              CASE WHEN n < 50 OR n > 100000 THEN 1 ELSE 0 END AS f_words,
+              CASE WHEN (1000000 * sum_len) // n < 3000000
+                     OR (1000000 * sum_len) // n > 10000000
+                   THEN 1 ELSE 0 END AS f_wordlen,
+              CASE WHEN (1000000 * n_sym) // n > 100000
+                   THEN 1 ELSE 0 END AS f_symbol,
+              CASE WHEN (1000000 * n_alpha) // n < 800000
+                   THEN 1 ELSE 0 END AS f_alpha,
+              CASE WHEN n_stop < 2 THEN 1 ELSE 0 END AS f_stop
+              FROM m)
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN f_words + f_wordlen + f_symbol + f_alpha
+                                  + f_stop = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_pass,
+               CAST(SUM(f_words) AS BIGINT) AS n_fail_words,
+               CAST(SUM(f_wordlen) AS BIGINT) AS n_fail_wordlen,
+               CAST(SUM(f_symbol) AS BIGINT) AS n_fail_symbol,
+               CAST(SUM(f_alpha) AS BIGINT) AS n_fail_alpha,
+               CAST(SUM(f_stop) AS BIGINT) AS n_fail_stop
+        FROM f GROUP BY lang ORDER BY lang""",
     "distinct_langs": "SELECT DISTINCT lang FROM documents",
     "seeded_sample": """
         SELECT o_orderkey FROM orders
