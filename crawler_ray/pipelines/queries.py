@@ -1186,6 +1186,62 @@ def top_tokens(sf_dir: str, k: int = 20):
     return out.head(k).reset_index(drop=True)
 
 
+def tfidf_top_terms(sf_dir: str, k: int = 10):
+    """Per-language top-k terms by TF-IDF, EXACT and integer-quantized.
+
+    idf uses the rational form ``(1e6 * n_docs_lang) // df`` (floor ppm)
+    instead of a log so engine and DuckDB agree bit-for-bit (CLAUDE.md's
+    float rule); score = tf × idf_ppm in int64 (overflows only past
+    ~9e18 — at larger corpus scale switch both sides to a shared log grid).
+
+    Distributed shape: per-batch combiner shrinks each batch to its
+    distinct (lang, term) rows carrying (tf, df) partials — df sums across
+    batches because a document never spans blocks — then one sort shuffle
+    on the unbounded term key folds per block, and the driver sees only the
+    vocabulary-sized table (heavy-tail bounded, same contract as
+    top_tokens) to rank per lang. n_docs per lang is a second metadata-thin
+    scan of the lang column only."""
+    ds = _read(sf_dir, "documents", ["text", "lang"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        toks = (b["text"].astype("string").str.lower()
+                .str.findall(r"[a-z0-9_]+"))
+        ex = toks.explode().dropna()
+        t = pd.DataFrame({
+            "lang": b["lang"].reindex(ex.index).to_numpy(),
+            "term": ex.to_numpy(),
+            "doc": ex.index.to_numpy()})
+        return t.groupby(["lang", "term"], as_index=False).agg(
+            tf=("doc", "size"), df=("doc", "nunique"))
+
+    def fold(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby(["lang", "term"], as_index=False).agg(
+            tf=("tf", "sum"), df=("df", "sum"))
+
+    terms = _sorted_fold(ds.map_batches(partial, batch_format="pandas"),
+                         ["lang", "term"], fold)
+
+    nd = _read(sf_dir, "documents", ["lang"])
+
+    def cpart(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("lang", as_index=False).agg(n_docs=("lang", "size"))
+
+    nl = _fold(nd.map_batches(cpart, batch_format="pandas"),
+               ["lang"], {"n_docs": ("n_docs", "sum")})
+
+    out = terms.merge(nl, on="lang")
+    tf_ = out["tf"].to_numpy(np.int64)
+    df_ = out["df"].to_numpy(np.int64)
+    n_ = out["n_docs"].to_numpy(np.int64)
+    out["score_ppm"] = tf_ * ((1_000_000 * n_) // df_)
+    out = out.sort_values(["lang", "score_ppm", "term"],
+                          ascending=[True, False, True], kind="mergesort")
+    out = out.groupby("lang", as_index=False, sort=False).head(k)
+    for c in ("tf", "df", "score_ppm"):
+        out[c] = out[c].astype(np.int64)
+    return out[["lang", "term", "tf", "df", "score_ppm"]].reset_index(drop=True)
+
+
 def approx_distinct_tokens(sf_dir: str):
     """Approximate distinct vocabulary per language via a HyperLogLog
     sketch (functions/sketches.py): each batch folds its token stream into
@@ -3036,6 +3092,7 @@ QUERIES = {
     "lm_fluency_score": lm_fluency_score,
     "dsir_select": dsir_select,
     "gopher_quality_gate": gopher_quality_gate,
+    "tfidf_top_terms": tfidf_top_terms,
     "stratified_sample": stratified_sample,
     "token_shard_assignment": token_shard_assignment,
     "rollup_lang_source": rollup_lang_source,
@@ -3308,6 +3365,24 @@ ORACLE_SQL = {
                CAST(SUM(f_alpha) AS BIGINT) AS n_fail_alpha,
                CAST(SUM(f_stop) AS BIGINT) AS n_fail_stop
         FROM f GROUP BY lang ORDER BY lang""",
+    "tfidf_top_terms": """
+        WITH tok AS (
+          SELECT doc_id, lang,
+                 unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+          FROM documents),
+        tf AS (SELECT lang, term, CAST(COUNT(*) AS BIGINT) AS tf,
+                      CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+               FROM tok GROUP BY lang, term),
+        nl AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+               FROM documents GROUP BY lang),
+        s AS (SELECT t.lang, t.term, t.tf, t.df,
+                     t.tf * ((1000000 * nl.n_docs) // t.df) AS score_ppm
+              FROM tf t JOIN nl USING (lang)),
+        r AS (SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY lang ORDER BY score_ppm DESC, term) AS rk
+              FROM s)
+        SELECT lang, term, tf, df, CAST(score_ppm AS BIGINT) AS score_ppm
+        FROM r WHERE rk <= 10 ORDER BY lang, score_ppm DESC, term""",
     "distinct_langs": "SELECT DISTINCT lang FROM documents",
     "seeded_sample": """
         SELECT o_orderkey FROM orders
