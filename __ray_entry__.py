@@ -94,6 +94,44 @@ def _phash_dups(sf_dir: str):
     return phash_near_dups(_featurized())
 
 
+def _image_dup_clusters(sf_dir: str):
+    """Image duplicate CLUSTERS: banded phash near-dup pairs (Hamming ≤ 6)
+    → connected components (dedup_ops.connected_components — vectorized
+    min-label fixpoint, size-switched to the distributed per-round
+    hash-join path past CC_INMEM_PAIR_LIMIT) → one row per image in a
+    non-singleton cluster, labeled by the cluster's lexicographic-min
+    image_id and the cluster size. String ids enter the integer component
+    solver via xxh64 (collision-asserted) and map back afterwards, so the
+    output is stable under any block layout."""
+    import numpy as np
+    import pandas as pd
+
+    from crawler_ray.functions import dedup_ops
+    from crawler_ray.hashing import xxh64_array
+
+    pairs = _phash_dups(sf_dir)
+    empty = pd.DataFrame({"image_id": pd.Series([], dtype=str),
+                          "rep_image": pd.Series([], dtype=str),
+                          "cluster_size": pd.Series([], dtype=np.int64)})
+    if len(pairs) == 0:
+        return empty
+    ids = pd.unique(pd.concat([pairs["image_a"], pairs["image_b"]],
+                              ignore_index=True))
+    h = (xxh64_array(ids.tolist()).view(np.int64) >> 1).astype(np.int64)
+    assert len(np.unique(h)) == len(ids), "xxh64 id collision"
+    to_int = dict(zip(ids.tolist(), h.tolist()))
+    to_str = dict(zip(h.tolist(), ids.tolist()))
+    lab = dedup_ops.connected_components(pd.DataFrame({
+        "doc_a": pairs["image_a"].map(to_int).to_numpy(np.int64),
+        "doc_b": pairs["image_b"].map(to_int).to_numpy(np.int64)}))
+    lab["image_id"] = lab["doc_id"].map(to_str)
+    g = lab.groupby("cluster_id")["image_id"]
+    lab["rep_image"] = lab["cluster_id"].map(g.min())
+    lab["cluster_size"] = lab["cluster_id"].map(g.size()).astype(np.int64)
+    out = lab[lab["cluster_size"] > 1][["image_id", "rep_image", "cluster_size"]]
+    return out.sort_values("image_id").reset_index(drop=True)
+
+
 def _image_feature_near_dups(sf_dir: str):
     """Embedding-cosine near-dup over the image store's feature vectors
     (distributed tile-grid exact pairs; see multimodal.feature_near_dups)."""
@@ -472,6 +510,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # multimodal (decode/feature/near-dup over the image store)
     out["image_features"] = _image_features
     out["image_phash_dups"] = _phash_dups
+    out["image_dup_clusters"] = _image_dup_clusters
     out["image_increment_dups"] = _image_increment_dups
     out["image_feature_near_dups"] = _image_feature_near_dups
     out["image_thumbnails"] = _image_thumbnails
@@ -503,7 +542,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 _GOLDEN_CHECKED = (
     "crawl_order", "crawl_seen", "crawl_dlq", "crawl_pages",
     "crawl_store_meta", "crawl_header_stats", "image_features",
-    "image_phash_dups", "image_feature_near_dups",
+    "image_phash_dups", "image_dup_clusters", "image_feature_near_dups",
     "minhash_near_dups", "simhash_near_dups",
     "near_dup_clusters", "lang_id_confusion", "doc_fingerprints",
     "approx_distinct_tokens",

@@ -214,6 +214,34 @@ def image_goldens(o, params):
     dups["hamming"] = dups["hamming"].astype(np.int32)
     write("image_phash_dups", dups)
 
+    # image dup clusters: classic path-compressed union-find loop over the
+    # brute-force pair list above (independent of the engine's min-label
+    # propagation); rep = lexicographic-min image_id per component
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b, _ in sorted(set(pairs)):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comps: dict = {}
+    for x in parent:
+        comps.setdefault(find(x), []).append(x)
+    crows = []
+    for members in comps.values():
+        rep = min(members)
+        for m in members:
+            crows.append((m, rep, np.int64(len(members))))
+    cl = pd.DataFrame(sorted(crows),
+                      columns=["image_id", "rep_image", "cluster_size"])
+    cl["cluster_size"] = cl["cluster_size"].astype(np.int64)
+    write("image_dup_clusters", cl)
+
     # cross-corpus increment dedup: xxh64(id)%2 splits ref(0)/new(1);
     # straight-line double loop over new×ref pairs only
     sides = {i: int(xxh64(str(i)) % 2) for i in ids}
