@@ -496,7 +496,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_embeddings", "semantic_dedup", "bpe_top_pairs",
         "corpus_build", "corpus_build_neardup", "sessionize_events",
         "quality_percentile_cut", "lm_fluency_score", "dsir_select",
-        "gopher_quality_gate", "tfidf_top_terms",
+        "gopher_quality_gate", "tfidf_top_terms", "perplexity_buckets",
         "bloom_semi_join",
         "skew_join_brand_revenue",
         "cms_heavy_bigrams", "bpe_tokenize", "embedding_covariance",

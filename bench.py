@@ -104,7 +104,7 @@ def run_query_bench(sf_dir: str) -> dict:
              "bm25_search", "pagerank_users", "kmeans_embeddings",
              "running_revenue", "sessionize_events", "quality_percentile_cut",
              "lm_fluency_score", "dsir_select", "gopher_quality_gate",
-             "tfidf_top_terms",
+             "tfidf_top_terms", "perplexity_buckets",
              "corpus_build",
              "bloom_semi_join", "skew_join_brand_revenue",
              "cms_heavy_bigrams", "bpe_tokenize", "embedding_covariance"]

@@ -984,6 +984,42 @@ def lm_fluency_score(sf_dir: str):
                           "sum_score_ppm": pd.Series([], dtype=np.int64),
                           "min_score_ppm": pd.Series([], dtype=np.int64),
                           "max_score_ppm": pd.Series([], dtype=np.int64)})
+    model = _train_bigram_lm(ds)
+    if model is None:
+        return empty
+    model_ref = ray.put(model)
+
+    class FluencyScorer:
+        def __init__(self):
+            self.model = ray.get(model_ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            per = _fluency_doc_frame(b, *self.model)
+            if len(per) == 0:
+                return empty
+            return per.groupby("lang", as_index=False).agg(
+                n_docs=("score", "size"), sum_score_ppm=("score", "sum"),
+                min_score_ppm=("score", "min"), max_score_ppm=("score", "max"))
+
+    out = _fold(ds.map_batches(FluencyScorer, batch_format="pandas",
+                               concurrency=(1, 8)),
+                ["lang"], dict(n_docs=("n_docs", "sum"),
+                               sum_score_ppm=("sum_score_ppm", "sum"),
+                               min_score_ppm=("min_score_ppm", "min"),
+                               max_score_ppm=("max_score_ppm", "max")))
+    if len(out) == 0:
+        return empty
+    for c in ["n_docs", "sum_score_ppm", "min_score_ppm", "max_score_ppm"]:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+def _train_bigram_lm(ds):
+    """Train the CCNet-style add-one bigram LM on the held-out slice
+    (doc_id % 97 == 0): two cheap combiner passes build (bigram counts c12,
+    context counts c1, |V|) — model size is bounded by the SAMPLE, never
+    the corpus. Returns (c12, c1, vocab_n) or None when the slice is empty
+    (broadcast the result once with ray.put)."""
 
     def train_partial(b: pd.DataFrame) -> pd.DataFrame:
         tb = b.loc[b["doc_id"].to_numpy(np.int64) % 97 == 0]
@@ -1007,52 +1043,115 @@ def lm_fluency_score(sf_dir: str):
 
     tp = ds.map_batches(train_partial, batch_format="pandas").to_pandas()
     if len(tp) == 0:
-        return empty
+        return None
     vocab_n = int(tp["tok"].dropna().nunique())
     if vocab_n == 0:
-        return empty
+        return None
     pairs = tp.loc[tp["w1"].notna()]
     c12 = (pairs.groupby(["w1", "w2"], as_index=False)["c"].sum()
            .rename(columns={"c": "c12"}))
     c1 = (c12.groupby("w1", as_index=False)["c12"].sum()
           .rename(columns={"c12": "c1"}))
-    model_ref = ray.put((c12, c1, vocab_n))
+    return c12, c1, vocab_n
 
-    class FluencyScorer:
+
+def _fluency_doc_frame(b: pd.DataFrame, c12: pd.DataFrame, c1: pd.DataFrame,
+                       vocab_n: int) -> pd.DataFrame:
+    """Per-document integer fluency scores for one batch: drop the training
+    slice (doc_id % 97 == 0) and docs without a bigram, merge the broadcast
+    model, per-bigram ``p_ppm = (1e6*(c12+1)) // (c1+|V|)``, per-doc
+    ``score = sum(p_ppm) // n_bigrams`` — all int64. Returns
+    (doc_id, lang, score) rows."""
+    sb = b.loc[b["doc_id"].to_numpy(np.int64) % 97 != 0]
+    e = pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                      "lang": pd.Series([], dtype="string"),
+                      "score": pd.Series([], dtype=np.int64)})
+    if len(sb) == 0:
+        return e
+    bg = _bigram_frame(sb)
+    if len(bg) == 0:
+        return e
+    bg = (bg.merge(c12, on=["w1", "w2"], how="left")
+          .merge(c1, on="w1", how="left"))
+    p = ((1_000_000 * (bg["c12"].fillna(0).to_numpy(np.int64) + 1))
+         // (bg["c1"].fillna(0).to_numpy(np.int64) + vocab_n))
+    per = (pd.DataFrame({"row": bg["row"].to_numpy(), "p": p})
+           .groupby("row")["p"].agg(["sum", "size"]))
+    score = (per["sum"] // per["size"]).astype(np.int64)
+    return pd.DataFrame({
+        "doc_id": sb["doc_id"].loc[per.index].to_numpy(np.int64),
+        "lang": sb["lang"].loc[per.index].to_numpy(object),
+        "score": score.to_numpy(np.int64)})
+
+
+def perplexity_buckets(sf_dir: str):
+    """CCNet head/middle/tail buckets (Wenzek et al. 2020): per language,
+    rank every scored document by LM fluency (the integer bigram score of
+    ``lm_fluency_score`` — higher = more fluent) and split into NTILE(3)
+    buckets: 1 = head (most fluent), 3 = tail. Emits per (lang, bucket)
+    document counts and score aggregates.
+
+    Scale design — exact NTILE WITHOUT a sort: because every reported
+    aggregate is a function of the SCORE alone, boundary ties (same score,
+    different doc_id) cannot change any output value, so the whole answer
+    derives from the per-(lang, score) HISTOGRAM: one combiner pass + a
+    tiny fold (distinct scores ≤ 1e6+1 per lang by construction — ppm
+    ints), then O(langs × scores) driver arithmetic computes each bucket's
+    slice of the descending score multiset. No corpus-scale shuffle, no
+    per-doc rank materialization."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    empty = pd.DataFrame({"lang": pd.Series([], dtype="string"),
+                          "bucket": pd.Series([], dtype=np.int64),
+                          "n_docs": pd.Series([], dtype=np.int64),
+                          "sum_score_ppm": pd.Series([], dtype=np.int64),
+                          "min_score_ppm": pd.Series([], dtype=np.int64),
+                          "max_score_ppm": pd.Series([], dtype=np.int64)})
+    model = _train_bigram_lm(ds)
+    if model is None:
+        return empty
+    model_ref = ray.put(model)
+
+    class HistScorer:
         def __init__(self):
-            self.c12, self.c1, self.v = ray.get(model_ref)
+            self.model = ray.get(model_ref)
 
         def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-            sb = b.loc[b["doc_id"].to_numpy(np.int64) % 97 != 0]
-            if len(sb) == 0:
-                return empty
-            bg = _bigram_frame(sb)
-            if len(bg) == 0:
-                return empty
-            bg = (bg.merge(self.c12, on=["w1", "w2"], how="left")
-                  .merge(self.c1, on="w1", how="left"))
-            p = ((1_000_000 * (bg["c12"].fillna(0).to_numpy(np.int64) + 1))
-                 // (bg["c1"].fillna(0).to_numpy(np.int64) + self.v))
-            per = (pd.DataFrame({"row": bg["row"].to_numpy(), "p": p})
-                   .groupby("row")["p"].agg(["sum", "size"]))
-            score = (per["sum"] // per["size"]).astype(np.int64)
-            out = pd.DataFrame({"lang": sb["lang"].loc[per.index].to_numpy(object),
-                                "score": score.to_numpy(np.int64)})
-            return out.groupby("lang", as_index=False).agg(
-                n_docs=("score", "size"), sum_score_ppm=("score", "sum"),
-                min_score_ppm=("score", "min"), max_score_ppm=("score", "max"))
+            per = _fluency_doc_frame(b, *self.model)
+            h = per.groupby(["lang", "score"], as_index=False).size()
+            return h.rename(columns={"size": "cnt"})
 
-    out = _fold(ds.map_batches(FluencyScorer, batch_format="pandas",
-                               concurrency=(1, 8)),
-                ["lang"], dict(n_docs=("n_docs", "sum"),
-                               sum_score_ppm=("sum_score_ppm", "sum"),
-                               min_score_ppm=("min_score_ppm", "min"),
-                               max_score_ppm=("max_score_ppm", "max")))
-    if len(out) == 0:
+    hist = _fold(ds.map_batches(HistScorer, batch_format="pandas",
+                                concurrency=(1, 8)),
+                 ["lang", "score"], dict(cnt=("cnt", "sum")))
+    if len(hist) == 0:
         return empty
-    for c in ["n_docs", "sum_score_ppm", "min_score_ppm", "max_score_ppm"]:
+    rows = []
+    for lang, g in hist.groupby("lang"):
+        g = g.sort_values("score", ascending=False)
+        sc = g["score"].to_numpy(np.int64)
+        cnt = g["cnt"].to_numpy(np.int64)
+        n = int(cnt.sum())
+        q, rem = divmod(n, 3)
+        sizes = [q + (1 if i < rem else 0) for i in range(3)]
+        cum = np.concatenate([[0], np.cumsum(cnt)])
+        off = 0
+        for bkt, s_b in enumerate(sizes, start=1):
+            if s_b == 0:
+                continue
+            lo_r, hi_r = off, off + s_b          # rank slice [lo_r, hi_r)
+            i0 = int(np.searchsorted(cum, lo_r, side="right")) - 1
+            i1 = int(np.searchsorted(cum, hi_r, side="left")) - 1
+            take = np.minimum(cum[1:], hi_r) - np.maximum(cum[:-1], lo_r)
+            take = np.clip(take, 0, None)
+            rows.append((lang, bkt, s_b, int((take * sc).sum()),
+                         int(sc[i1]), int(sc[i0])))
+            off = hi_r
+    out = pd.DataFrame(rows, columns=["lang", "bucket", "n_docs",
+                                      "sum_score_ppm", "min_score_ppm",
+                                      "max_score_ppm"])
+    for c in out.columns[1:]:
         out[c] = out[c].astype(np.int64)
-    return out.sort_values("lang").reset_index(drop=True)
+    return out.sort_values(["lang", "bucket"]).reset_index(drop=True)
 
 
 def dsir_select(sf_dir: str, target_source: str = "src0"):
@@ -3093,6 +3192,7 @@ QUERIES = {
     "dsir_select": dsir_select,
     "gopher_quality_gate": gopher_quality_gate,
     "tfidf_top_terms": tfidf_top_terms,
+    "perplexity_buckets": perplexity_buckets,
     "stratified_sample": stratified_sample,
     "token_shard_assignment": token_shard_assignment,
     "rollup_lang_source": rollup_lang_source,
@@ -3303,6 +3403,37 @@ ORACLE_SQL = {
                CAST(MIN(score) AS BIGINT) AS min_score_ppm,
                CAST(MAX(score) AS BIGINT) AS max_score_ppm
         FROM s GROUP BY lang ORDER BY lang""",
+    "perplexity_buckets": """
+        WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS ts
+                   FROM documents),
+        tr AS (SELECT * FROM d WHERE doc_id % 97 = 0),
+        v AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS vn
+              FROM (SELECT unnest(ts) AS tok FROM tr)),
+        tg AS (SELECT ts[i] AS w1, ts[i+1] AS w2
+               FROM tr, UNNEST(range(1, len(ts))) AS t(i)),
+        c12 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+                FROM tg GROUP BY w1, w2),
+        c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1
+               FROM c12 GROUP BY w1),
+        sg AS (SELECT doc_id, lang, ts[i] AS w1, ts[i+1] AS w2
+               FROM d, UNNEST(range(1, len(ts))) AS t(i)
+               WHERE doc_id % 97 <> 0),
+        p AS (SELECT doc_id, lang,
+                     (1000000 * (COALESCE(c12.c12, 0) + 1))
+                     // (COALESCE(c1.c1, 0) + (SELECT vn FROM v)) AS p_ppm
+              FROM sg LEFT JOIN c12 USING (w1, w2) LEFT JOIN c1 USING (w1)),
+        s AS (SELECT doc_id, lang,
+                     CAST(SUM(p_ppm) // COUNT(*) AS BIGINT) AS score
+              FROM p GROUP BY doc_id, lang),
+        b AS (SELECT lang, score, NTILE(3) OVER (
+                  PARTITION BY lang ORDER BY score DESC, doc_id) AS bucket
+              FROM s)
+        SELECT lang, CAST(bucket AS BIGINT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(score) AS BIGINT) AS sum_score_ppm,
+               CAST(MIN(score) AS BIGINT) AS min_score_ppm,
+               CAST(MAX(score) AS BIGINT) AS max_score_ppm
+        FROM b GROUP BY lang, bucket ORDER BY lang, bucket""",
     "dsir_select": """
         WITH d AS (SELECT doc_id, lang, source, string_split(text, ' ') AS ts
                    FROM documents),
