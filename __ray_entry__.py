@@ -132,6 +132,52 @@ def _image_dup_clusters(sf_dir: str):
     return out.sort_values("image_id").reset_index(drop=True)
 
 
+def _image_dedup_keep_best(sf_dir: str):
+    """Duplicate-cluster KEEP POLICY: within every phash dup cluster keep
+    the best image — max pixel count (w×h), image_id ascending on ties —
+    and report what each cluster kept and dropped. The cluster frame is
+    result-scale by construction (dup clusters only), so its id set
+    broadcasts via ray.put and the store is filtered DISTRIBUTED (a
+    vectorized isin per batch — no store-scale driver frame); only
+    cluster-member rows reach the driver for the per-cluster argmax."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    clusters = _image_dup_clusters(sf_dir)
+    if len(clusters) == 0:
+        return pd.DataFrame({"rep_image": pd.Series([], dtype=str),
+                             "kept_image": pd.Series([], dtype=str),
+                             "kept_pixels": pd.Series([], dtype=np.int64),
+                             "n_dropped": pd.Series([], dtype=np.int64)})
+    ref = ray.put(set(clusters["image_id"]))
+
+    class MemberMeta:
+        def __init__(self):
+            self.ids = ray.get(ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            m = b["image_id"].isin(self.ids)
+            out = b.loc[m, ["image_id", "w", "h"]]
+            # "string" dtype so Ray's size estimator never probes an empty
+            # object column (np.vectorize noise on filtered-out batches)
+            return out.assign(image_id=out["image_id"].astype("string"))
+
+    meta = (_featurized().map_batches(MemberMeta, batch_format="pandas",
+                                      concurrency=(1, 4)).to_pandas())
+    j = clusters.merge(meta, on="image_id")
+    j["pixels"] = (j["w"].astype(np.int64) * j["h"].astype(np.int64))
+    j = j.sort_values(["rep_image", "pixels", "image_id"],
+                      ascending=[True, False, True], kind="mergesort")
+    best = j.groupby("rep_image", as_index=False).first()
+    out = pd.DataFrame({
+        "rep_image": best["rep_image"],
+        "kept_image": best["image_id"],
+        "kept_pixels": best["pixels"].astype(np.int64),
+        "n_dropped": (best["cluster_size"] - 1).astype(np.int64)})
+    return out.sort_values("rep_image").reset_index(drop=True)
+
+
 def _image_feature_near_dups(sf_dir: str):
     """Embedding-cosine near-dup over the image store's feature vectors
     (distributed tile-grid exact pairs; see multimodal.feature_near_dups)."""
@@ -511,6 +557,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["image_features"] = _image_features
     out["image_phash_dups"] = _phash_dups
     out["image_dup_clusters"] = _image_dup_clusters
+    out["image_dedup_keep_best"] = _image_dedup_keep_best
     out["image_increment_dups"] = _image_increment_dups
     out["image_feature_near_dups"] = _image_feature_near_dups
     out["image_thumbnails"] = _image_thumbnails
@@ -542,7 +589,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 _GOLDEN_CHECKED = (
     "crawl_order", "crawl_seen", "crawl_dlq", "crawl_pages",
     "crawl_store_meta", "crawl_header_stats", "image_features",
-    "image_phash_dups", "image_dup_clusters", "image_feature_near_dups",
+    "image_phash_dups", "image_dup_clusters", "image_dedup_keep_best",
+    "image_feature_near_dups",
     "minhash_near_dups", "simhash_near_dups",
     "near_dup_clusters", "lang_id_confusion", "doc_fingerprints",
     "approx_distinct_tokens",

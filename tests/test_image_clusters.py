@@ -35,6 +35,35 @@ def test_transitive_chain_and_singletons(ray_session, monkeypatch):
     pd.testing.assert_frame_equal(out, exp)
 
 
+def test_keep_best_matches_golden(ray_session):
+    got = e.queries()["image_dedup_keep_best"]("/root/testdata/sf0.01")
+    golden = pq.read_table("/root/repo/golden/image_dedup_keep_best.parquet").to_pandas()
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), golden)
+
+
+def test_keep_best_pixel_argmax_and_ties(ray_session, monkeypatch):
+    """Max w*h wins; equal pixel counts fall back to min image_id."""
+    import ray.data as rd
+
+    pairs = pd.DataFrame({
+        "image_a": ["a1", "a1", "t1"],
+        "image_b": ["a2", "a3", "t2"],
+        "hamming": np.array([1, 1, 1], np.int32)})
+    feats = pd.DataFrame({
+        "image_id": ["a1", "a2", "a3", "t1", "t2", "solo"],
+        "w": np.array([10, 50, 20, 8, 4, 999], np.int32),
+        "h": np.array([10, 40, 20, 2, 4, 999], np.int32)})
+    monkeypatch.setattr(e, "_phash_dups", lambda sf: pairs)
+    monkeypatch.setattr(e, "_featurized", lambda: rd.from_pandas(feats))
+    out = e._image_dedup_keep_best("unused")
+    exp = pd.DataFrame({
+        "rep_image": ["a1", "t1"],
+        "kept_image": ["a2", "t1"],     # a2: 2000 px max; t1 == t2 px, min id
+        "kept_pixels": np.array([2000, 16], np.int64),
+        "n_dropped": np.array([2, 1], np.int64)})
+    pd.testing.assert_frame_equal(out, exp)
+
+
 def test_empty_pairs(ray_session, monkeypatch):
     empty = pd.DataFrame({"image_a": pd.Series([], dtype=str),
                           "image_b": pd.Series([], dtype=str),

@@ -242,6 +242,24 @@ def image_goldens(o, params):
     cl["cluster_size"] = cl["cluster_size"].astype(np.int64)
     write("image_dup_clusters", cl)
 
+    # keep-best policy: per component, keep max w*h then min image_id —
+    # straight-line loop over the same union-find components
+    dims = {r.image_id: (int(r.w), int(r.h)) for r in uniq.itertuples(index=False)}
+    krows = []
+    for members in comps.values():
+        rep = min(members)
+        ranked = sorted(members,
+                        key=lambda m: (-dims[m][0] * dims[m][1], m))
+        kept = ranked[0]
+        krows.append((rep, kept, np.int64(dims[kept][0] * dims[kept][1]),
+                      np.int64(len(members) - 1)))
+    kb = pd.DataFrame(sorted(krows),
+                      columns=["rep_image", "kept_image", "kept_pixels",
+                               "n_dropped"])
+    for c in ("kept_pixels", "n_dropped"):
+        kb[c] = kb[c].astype(np.int64)
+    write("image_dedup_keep_best", kb)
+
     # cross-corpus increment dedup: xxh64(id)%2 splits ref(0)/new(1);
     # straight-line double loop over new×ref pairs only
     sides = {i: int(xxh64(str(i)) % 2) for i in ids}
