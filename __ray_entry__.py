@@ -503,6 +503,27 @@ def _recrawl_delta(sf_dir: str):
     return _CRAWL_CACHE["recrawl_delta"]
 
 
+def _training_shards_jsonl(sf_dir: str):
+    """JSONL sidecar export (pipelines/export.py export_jsonl_shards): the
+    text/metadata interchange view of the training shards — one canonical
+    JSON object per deduped pair, digest = xxh64 of the exact file bytes,
+    so the golden pins the serialized byte stream. Also asserts the
+    roundtrip: read_jsonl_shards row count == manifest total, and that a
+    re-run is a manifest no-op."""
+    import shutil
+
+    run = _crawl_run("queries")
+    out = "/tmp/crawler_ray_entry_export_jsonl"
+    shutil.rmtree(out, ignore_errors=True)
+    from crawler_ray.pipelines.export import export_jsonl_shards, read_jsonl_shards
+
+    first = export_jsonl_shards(run.root, out, n_shards=8)
+    again = export_jsonl_shards(run.root, out, n_shards=8)  # resume = no-op
+    assert first.equals(again), "jsonl re-export must be a manifest no-op"
+    assert read_jsonl_shards(out).count() == int(first["n_rows"].sum())
+    return first
+
+
 def _training_shards(sf_dir: str):
     """Resumable training-shard export over the image+caption store
     (pipelines/export.py): write-time shard bucketing by mixed phash (exact
@@ -565,6 +586,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["city_image_stats"] = _city_image_stats
     out["crawl_recrawl_delta"] = _recrawl_delta
     out["training_shards"] = _training_shards
+    out["training_shards_jsonl"] = _training_shards_jsonl
     out["crawl_order"] = _crawl_table("order")
     out["crawl_seen"] = _crawl_table("seen")
     out["crawl_pages"] = _crawl_table("pages")
@@ -598,7 +620,7 @@ _GOLDEN_CHECKED = (
     "crawl_page_lookup", "crawl_city_pages",
     "crawl_city_locations", "crawl_similar_nearby", "image_thumbnails",
     "image_ann_topk", "city_image_stats",
-    "crawl_recrawl_delta", "training_shards",
+    "crawl_recrawl_delta", "training_shards", "training_shards_jsonl",
     "audio_clip_features", "video_frame_sample",
     "audio_near_dups", "video_near_dups", "bpe_tokenize", "embedding_pca",
     "image_increment_dups", "corpus_build_neardup",

@@ -153,6 +153,108 @@ def read_training_shards(out: str, shards: list[int] | None = None):
     return parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
 
 
+JSONL_COLS = ["caption", "fmt", "h", "image_id", "phash", "w"]  # key order
+
+
+def _jsonl_payload(df: pd.DataFrame) -> bytes:
+    """Canonical JSONL bytes for one shard: keys in fixed sorted order,
+    compact separators, ensure_ascii — stdlib json on both the engine and
+    the golden, so the byte stream (and thus the digest) is reproducible
+    anywhere. Per-record serialization is inherently row-wise; it runs at
+    shard-finalize granularity (one bounded shard per task), the same
+    memory/cpu envelope as the parquet finalize's sort."""
+    import json as _json
+
+    recs = df[JSONL_COLS].to_dict("records")
+    return ("".join(_json.dumps(r, sort_keys=True, separators=(",", ":"),
+                                ensure_ascii=True) + "\n" for r in recs)
+            ).encode("utf-8")
+
+
+def _jsonl_one(shard: int, out: str) -> pd.DataFrame:
+    from crawler_ray.hashing import xxh64
+
+    b = pq.read_table(os.path.join(out, f"shard-{shard}.parquet"),
+                      columns=[c for c in SHARD_COLS if c != "bytes"]).to_pandas()
+    for c in ("w", "h"):
+        b[c] = b[c].astype(int)
+    b["phash"] = b["phash"].astype(np.int64)
+    payload = _jsonl_payload(b)
+    tmp = os.path.join(out, "_tmp")
+    os.makedirs(tmp, exist_ok=True)
+    tp = os.path.join(tmp, f"shard-{shard}.jsonl")
+    with open(tp, "wb") as f:
+        f.write(payload)
+    os.replace(tp, os.path.join(out, f"shard-{shard}.jsonl"))
+    return pd.DataFrame({"shard": [np.int64(shard)],
+                         "n_rows": [np.int64(len(b))],
+                         "digest": [f"{xxh64(payload):016x}"]})
+
+
+def export_jsonl_shards(store_root: str, out: str, n_shards: int = 8) -> pd.DataFrame:
+    """JSONL interchange sink LAYERED on the parquet export: parquet shards
+    are the storage layer (bytes included); this emits the text/metadata
+    view trainers and data loaders ingest as `shard-K.jsonl` — one JSON
+    object per kept (deduped) pair, rows in image_id order, image bytes by
+    reference (they stay in the parquet shard; the WebDataset/img2dataset
+    sidecar convention). Runs `export_training_shards` first (idempotent —
+    a finished parquet export is a manifest no-op), then one Ray task per
+    pending shard serializes + atomically renames its file; a `_jsonl`
+    section in its own manifest makes re-runs skip finished files, so a
+    failed export resumes by writing ONLY the missing shards."""
+    pq_manifest = export_training_shards(store_root, out, n_shards)
+    jm_path = os.path.join(out, "_jsonl_manifest.json")
+    done: dict[str, dict] = {}
+    if os.path.exists(jm_path):
+        with open(jm_path) as f:
+            prev = json.load(f)
+        if prev.get("n_shards") != n_shards:
+            raise ValueError(
+                f"jsonl export at {out} was built with "
+                f"n_shards={prev.get('n_shards')}; got {n_shards}")
+        done = {s: m for s, m in prev.get("shards", {}).items()
+                if os.path.exists(os.path.join(out, f"shard-{s}.jsonl"))}
+    pending = [s for s in range(n_shards) if str(s) not in done]
+    if pending:
+        stats = (rd.from_pandas(pd.DataFrame({"shard": np.array(pending, np.int64)}))
+                 .repartition(len(pending))
+                 .map_batches(
+                     lambda r, out=out: pd.concat(
+                         [_jsonl_one(int(s), out) for s in r["shard"]],
+                         ignore_index=True),
+                     batch_format="pandas", batch_size=None)
+                 .to_pandas())
+        for r in stats.itertuples(index=False):
+            done[str(int(r.shard))] = {"n_rows": int(r.n_rows), "digest": r.digest}
+        tmp = jm_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"n_shards": n_shards, "shards": done}, f, sort_keys=True)
+        os.replace(tmp, jm_path)
+    rows = [{"shard": np.int64(int(s)), "n_rows": np.int64(m["n_rows"]),
+             "digest": m["digest"]} for s, m in done.items()]
+    out_df = pd.DataFrame(rows, columns=["shard", "n_rows", "digest"])
+    for c in ("shard", "n_rows"):
+        out_df[c] = out_df[c].astype(np.int64)
+    assert len(out_df) == len(pq_manifest)
+    return out_df.sort_values("shard").reset_index(drop=True)
+
+
+def read_jsonl_shards(out: str, shards: list[int] | None = None):
+    """Source side of the JSONL sink: the finished jsonl shards as a lazy
+    Dataset (ray.data.read_json), one co-located block per shard, manifest-
+    validated like read_training_shards."""
+    with open(os.path.join(out, "_jsonl_manifest.json")) as f:
+        m = json.load(f)
+    want = sorted(m["shards"], key=int) if shards is None else [str(s) for s in shards]
+    missing = [s for s in want if s not in m["shards"]]
+    if missing:
+        raise ValueError(f"jsonl shards not in manifest: {missing}")
+    paths = [os.path.join(out, f"shard-{s}.jsonl") for s in want
+             if m["shards"][s]["n_rows"] > 0]  # read_json rejects 0-byte files
+    parts = [rd.read_json(p, override_num_blocks=1) for p in paths]
+    return parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
+
+
 def export_training_shards(store_root: str, out: str, n_shards: int = 8) -> pd.DataFrame:
     """Export the crawl store at ``store_root`` into ``n_shards`` final
     parquet shards under ``out``; returns the per-shard manifest frame.

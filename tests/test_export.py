@@ -104,3 +104,40 @@ def test_read_training_shards_roundtrip(ray_session, store_root, tmp_path):
     assert back.loc[back["image_id"] == "d0", "bytes"].iloc[0] == b"dup\x00"
     with pytest.raises(ValueError, match="not in manifest"):
         read_training_shards(out, shards=[N_SHARDS + 3])
+
+
+def test_jsonl_export_resume_and_roundtrip(ray_session, store_root, tmp_path):
+    from crawler_ray.pipelines.export import export_jsonl_shards, read_jsonl_shards
+
+    root, _ = store_root
+    out = str(tmp_path / "export")
+    first = export_jsonl_shards(root, out, n_shards=N_SHARDS)
+    assert list(first.columns) == ["shard", "n_rows", "digest"]
+    assert int(first["n_rows"].sum()) == 42
+
+    # each line is canonical json with the fixed key order, no bytes column
+    with open(os.path.join(out, "shard-0.jsonl"), "rb") as f:
+        line = json.loads(f.readline())
+    assert sorted(line) == ["caption", "fmt", "h", "image_id", "phash", "w"]
+
+    # full re-run = manifest no-op; killing one file rebuilds only it
+    inodes = {s: os.stat(os.path.join(out, f"shard-{s}.jsonl")).st_ino
+              for s in range(N_SHARDS)}
+    again = export_jsonl_shards(root, out, n_shards=N_SHARDS)
+    assert again.equals(first)
+    os.remove(os.path.join(out, "shard-1.jsonl"))
+    resumed = export_jsonl_shards(root, out, n_shards=N_SHARDS)
+    assert resumed.equals(first)
+    for s in range(N_SHARDS):
+        same = os.stat(os.path.join(out, f"shard-{s}.jsonl")).st_ino == inodes[s]
+        assert same == (s != 1)
+
+    back = read_jsonl_shards(out).to_pandas()
+    assert len(back) == 42
+    assert set(back.columns) == {"caption", "fmt", "h", "image_id", "phash", "w"}
+    # the deduped winner appears exactly once with its signed phash intact
+    d0 = back.loc[back["image_id"] == "d0"]
+    assert len(d0) == 1 and int(back.loc[back["image_id"] == "e0", "phash"].iloc[0]) == -5
+
+    with pytest.raises(ValueError, match="n_shards"):
+        export_jsonl_shards(root, out, n_shards=N_SHARDS * 2)

@@ -698,6 +698,27 @@ def export_golden(o):
         out[c] = out[c].astype(np.int64)
     write("training_shards", out.sort_values("shard").reset_index(drop=True))
 
+    # jsonl sidecar: canonical stdlib-json lines over the same kept rows,
+    # digest = xxh64 of the exact file bytes (independent per-row loop)
+    import json as _json
+    jrows = []
+    for s in range(n_shards):
+        kept = sorted(by_shard.get(s, {}).values(), key=lambda r: r["image_id"])
+        payload = "".join(
+            _json.dumps({"caption": r["caption"], "fmt": r["fmt"],
+                         "h": int(r["h"]), "image_id": r["image_id"],
+                         "phash": int(r["phash"]),
+                         "w": int(r["w"])},
+                        sort_keys=True, separators=(",", ":"),
+                        ensure_ascii=True) + "\n"
+            for r in kept).encode("utf-8")
+        jrows.append({"shard": np.int64(s), "n_rows": np.int64(len(kept)),
+                      "digest": f"{xxh64(payload):016x}"})
+    jout = pd.DataFrame(jrows, columns=["shard", "n_rows", "digest"])
+    for c in ("shard", "n_rows"):
+        jout[c] = jout[c].astype(np.int64)
+    write("training_shards_jsonl", jout.sort_values("shard").reset_index(drop=True))
+
 
 def audio_golden():
     """Independent audio decoder: the STDLIB `wave` module parses the same
