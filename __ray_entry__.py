@@ -564,6 +564,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_build", "corpus_build_neardup", "sessionize_events",
         "quality_percentile_cut", "lm_fluency_score", "dsir_select",
         "gopher_quality_gate", "tfidf_top_terms", "perplexity_buckets",
+        "ann_pq_topk",
         "bloom_semi_join",
         "skew_join_brand_revenue",
         "cms_heavy_bigrams", "bpe_tokenize", "embedding_covariance",
@@ -616,7 +617,8 @@ _GOLDEN_CHECKED = (
     "minhash_near_dups", "simhash_near_dups",
     "near_dup_clusters", "lang_id_confusion", "doc_fingerprints",
     "approx_distinct_tokens",
-    "ann_lsh_topk", "ann_ivf_topk", "kmeans_embeddings", "semantic_dedup",
+    "ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk", "kmeans_embeddings",
+    "semantic_dedup",
     "crawl_page_lookup", "crawl_city_pages",
     "crawl_city_locations", "crawl_similar_nearby", "image_thumbnails",
     "image_ann_topk", "city_image_stats",

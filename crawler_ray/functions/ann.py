@@ -423,3 +423,139 @@ def lsh_topk(ds, queries: dict, k: int = 10, bits: int = 12, seed: int = 11, d: 
     )
     qref = ray.put(queries)
     return brute_force_topk(cand, qref, k)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou, Douze & Schmid 2011, "Product Quantization
+# for Nearest Neighbor Search" — public). INTEGER-EXACT variant: vectors
+# quantize to the same int64 grid cluster.py uses, per-subspace Lloyd runs
+# with integer sums/floor means, and ADC scores are integer dot products —
+# so codebooks, codes and rankings are bit-identical on any block layout
+# and reproducible by a straight-line golden loop.
+# ---------------------------------------------------------------------------
+
+PQ_SCALE = 10**6
+
+
+def pq_subspace_bounds(d: int, m_sub: int) -> np.ndarray:
+    """Contiguous subspace boundaries (m_sub+1 ints); near-equal widths."""
+    return np.linspace(0, d, m_sub + 1).astype(int)
+
+
+def train_pq_codebooks(sample_mat: np.ndarray, m_sub: int = 8,
+                       ksub: int = 16, iters: int = 10,
+                       scale: int = PQ_SCALE) -> list[np.ndarray]:
+    """Train one integer codebook per subspace on a DRIVER-SIDE sample
+    (the codebooks are m·ksub·dsub ints — tiny, broadcast once; corpus
+    encoding stays distributed). Same determinism rules as
+    cluster.kmeans_quantized: init = first ksub sample rows (caller fixes
+    sample order), integer squared-L2 assignment with ties → lowest index,
+    centroid = coordinate-wise ``sum // count``, emptied clusters keep
+    their centroid."""
+    from crawler_ray.functions.cluster import assign_ids, quantize
+
+    x = quantize(sample_mat, scale)
+    d = x.shape[1]
+    bounds = pq_subspace_bounds(d, m_sub)
+    books: list[np.ndarray] = []
+    for m in range(m_sub):
+        xs = x[:, bounds[m]:bounds[m + 1]]
+        k = min(ksub, len(xs))
+        c = xs[:k].copy()
+        for _ in range(iters):
+            a = assign_ids(xs, c)
+            sums = np.zeros_like(c)
+            np.add.at(sums, a, xs)
+            cnt = np.bincount(a, minlength=k).astype(np.int64)
+            c = np.where((cnt == 0)[:, None], c,
+                         sums // np.maximum(cnt, 1)[:, None])
+        books.append(c)
+    return books
+
+
+def pq_encode(mat_int: np.ndarray, books: list[np.ndarray],
+              bounds: np.ndarray) -> np.ndarray:
+    """(n, d) grid vectors → (n, m) uint8 codes (nearest centroid per
+    subspace, integer L2, ties → lowest index)."""
+    from crawler_ray.functions.cluster import assign_ids
+
+    return np.stack([
+        assign_ids(mat_int[:, bounds[m]:bounds[m + 1]], books[m])
+        for m in range(len(books))], axis=1).astype(np.uint8)
+
+
+class PQScorer:
+    """map_batches kernel: encode a corpus batch and emit its local ADC
+    top-k per query — the PQ twin of BruteForceTopK. The (m, ksub) lookup
+    tables are integer dot products of each query subvector with each
+    centroid, built once per actor; a batch's score is m table lookups
+    summed, never a d-dim matmul."""
+
+    def __init__(self, model_ref, k: int = 10):
+        import ray
+
+        from crawler_ray.functions.cluster import quantize
+
+        books, bounds, q = ray.get(model_ref)
+        self.books, self.bounds, self.k = books, bounds, k
+        self.qids = q["qid"]
+        qi = quantize(q["mat"], PQ_SCALE)
+        # luts[m]: (nq, ksub) int64
+        self.luts = [qi[:, bounds[m]:bounds[m + 1]] @ books[m].T
+                     for m in range(len(books))]
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"qid": pd.Series([], dtype=np.int64),
+                              "vid": pd.Series([], dtype=np.int64),
+                              "score": pd.Series([], dtype=np.int64)})
+        if len(batch) == 0:
+            return empty
+        from crawler_ray.functions.cluster import quantize
+
+        codes = pq_encode(quantize(batch["embedding"], PQ_SCALE),
+                          self.books, self.bounds)
+        nq = len(self.qids)
+        scores = np.zeros((len(batch), nq), np.int64)
+        for m, lut in enumerate(self.luts):
+            scores += lut[:, codes[:, m]].T        # (batch, nq)
+        vids = batch["vec_id"].to_numpy(np.int64)
+        k = min(self.k, len(batch))
+        out_q, out_v, out_s = [], [], []
+        for j in range(nq):
+            col = scores[:, j]
+            idx = np.argpartition(-col, k - 1)[:k]
+            idx = idx[np.lexsort((vids[idx], -col[idx]))]
+            out_q.append(np.full(k, self.qids[j], np.int64))
+            out_v.append(vids[idx])
+            out_s.append(col[idx])
+        return pd.DataFrame({"qid": np.concatenate(out_q),
+                             "vid": np.concatenate(out_v),
+                             "score": np.concatenate(out_s)})
+
+
+def pq_topk(ds, train_ds, queries: dict, k: int = 10, m_sub: int = 8,
+            ksub: int = 16, iters: int = 10):
+    """Approximate top-k via ADC over PQ codes: train codebooks on the
+    driver-side ``train_ds`` sample (caller bounds it — e.g. a vec_id
+    range so the sample is layout-independent), broadcast (books, bounds,
+    queries) once, scan the corpus with PQScorer (local integer top-k per
+    batch), and merge per qid. Memory per vector is m bytes of codes —
+    the 100-TB story is the 8-byte-per-vector scan; the corpus embedding
+    column never shuffles."""
+    import ray
+
+    sample = train_ds.to_pandas().sort_values("vec_id")
+    books = train_pq_codebooks(_to_matrix(sample["embedding"]),
+                               m_sub=m_sub, ksub=ksub, iters=iters)
+    bounds = pq_subspace_bounds(sum(b.shape[1] for b in books), m_sub)
+    model_ref = ray.put((books, bounds, queries))
+    partial = ds.map_batches(
+        PQScorer, fn_constructor_kwargs=dict(model_ref=model_ref, k=k),
+        batch_format="pandas", concurrency=2)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", "vid"], ascending=[False, True],
+                          kind="mergesort")
+        return g.head(k)
+
+    return partial.groupby("qid").map_groups(merge, batch_format="pandas")

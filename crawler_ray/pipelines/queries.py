@@ -1987,6 +1987,30 @@ def ann_ivf_topk(sf_dir: str):
     return out.sort_values(["qid", "vid"]).reset_index(drop=True)
 
 
+PQ_TRAIN_MAX_VID = 261   # codebooks train on vec_id ∈ [5, 261) — a fixed id
+                         # range, so the sample is layout-independent
+
+
+def ann_pq_topk(sf_dir: str):
+    """[golden] Product-quantization ADC top-10 (Jégou et al. 2011) — the
+    memory-bound scale path of the ANN family: corpus vectors compress to
+    m=8 one-byte codes, queries scan codes with integer lookup-table adds
+    (never a d-dim matmul), and only per-batch top-k partials reach the
+    merge. Codebooks are INTEGER k-means per subspace (functions/ann.py
+    train_pq_codebooks), so codes, scores and the ranking are bit-exact on
+    any block layout — the golden is a straight-line per-row loop."""
+    queries_d = _load_queries(sf_dir)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"],
+               filter=pc.field("vec_id") >= 5)
+    train = _read(sf_dir, "embeddings", ["vec_id", "embedding"],
+                  filter=(pc.field("vec_id") >= 5)
+                  & (pc.field("vec_id") < PQ_TRAIN_MAX_VID))
+    out = ann.pq_topk(ds, train, queries_d, k=10).to_pandas()
+    for c in ("qid", "vid", "score"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["qid", "vid"]).reset_index(drop=True)
+
+
 def embedding_near_dups(sf_dir: str, threshold: float = 0.45):
     """Embedding-cosine near-dup pairs (cosine ≥ threshold), EXACT, as a
     distributed tile grid (ann.tiled_near_dup_pairs): each Ray task holds
@@ -3214,6 +3238,7 @@ QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
+    "ann_pq_topk": ann_pq_topk,
     "embedding_near_dups": embedding_near_dups,
     "embedding_norm_stats": embedding_norm_stats,
     "bloom_semi_join": bloom_semi_join,

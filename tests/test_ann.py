@@ -198,3 +198,51 @@ def test_ivf_recall_at_default_nprobe_100k(ray_session):
               for q, g in got.groupby("qid"))
     recall = hit / (10 * n_q)
     assert recall >= 0.95, f"recall@10 = {recall}"
+
+
+def test_pq_planted_duplicates_rank_first(ray_session):
+    """Queries planted verbatim in the corpus must come back at rank 1:
+    the duplicate's codes equal the query's own encoding, so its ADC score
+    is the maximum any vector with those codes can reach."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(9)
+    d = 32
+    base = rng.standard_normal((300, d))
+    qmat = rng.standard_normal((4, d))
+    mat = np.vstack([base, qmat])            # plant the 4 queries at the end
+    planted = np.arange(len(base), len(mat)) + 100  # vids 400..403
+    ds = rd.from_pandas(pd.DataFrame({
+        "vec_id": np.arange(len(mat), dtype=np.int64) + 100,
+        "embedding": [v for v in mat]})).repartition(5)
+    train = rd.from_pandas(pd.DataFrame({
+        "vec_id": np.arange(128, dtype=np.int64) + 100,
+        "embedding": [v for v in mat[:128]]}))
+    queries = {"qid": np.arange(4, dtype=np.int64), "mat": qmat}
+    got = ann.pq_topk(ds, train, queries, k=5).to_pandas()
+    top1 = (got.sort_values(["qid", "score", "vid"],
+                            ascending=[True, False, True])
+            .groupby("qid").first())
+    for qid in range(4):
+        assert int(top1.loc[qid, "vid"]) == int(planted[qid])
+
+
+def test_pq_bit_identical_across_layouts(ray_session):
+    """Integer codebooks/codes/scores ⇒ the full result frame is identical
+    for any corpus block layout."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(13)
+    df = pd.DataFrame({
+        "vec_id": np.arange(250, dtype=np.int64),
+        "embedding": [v for v in rng.standard_normal((250, 24))]})
+    train = rd.from_pandas(df.head(64))
+    queries = {"qid": np.array([0, 1], np.int64),
+               "mat": rng.standard_normal((2, 24))}
+
+    def run(nblocks):
+        ds = rd.from_pandas(df).repartition(nblocks)
+        out = ann.pq_topk(ds, train, queries, k=10).to_pandas()
+        return out.sort_values(["qid", "vid"]).reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(run(2), run(11))

@@ -580,6 +580,75 @@ def ann_golden():
     write("ann_lsh_topk", out)
 
 
+def pq_golden(m_sub: int = 8, ksub: int = 16, iters: int = 10,
+              scale: int = 10**6, train_max_vid: int = 261):
+    """ann_pq_topk golden: straight-line per-row PQ — loop Lloyd per
+    subspace on the vec_id∈[5,train_max_vid) sample, loop-encode every
+    corpus vector, loop-ADC each (query, vector) score. All-integer, so
+    it must equal the distributed engine bit-for-bit."""
+    t = pq.read_table(f"{SF}/embeddings.parquet",
+                      columns=["vec_id", "embedding"]).to_pandas()
+    t = t.sort_values("vec_id").reset_index(drop=True)
+    grid = {int(r.vec_id): np.rint(np.asarray(r.embedding, np.float64)
+                                   * scale).astype(np.int64)
+            for r in t.itertuples(index=False)}
+    qids = [v for v in sorted(grid) if v < 5]
+    cids = [v for v in sorted(grid) if v >= 5]
+    tids = [v for v in cids if v < train_max_vid]
+    d = len(grid[qids[0]])
+    # the subspace partitioning is a shared PARAMETER of the scheme (like k
+    # or scale), not part of the algorithm under test
+    bnd = list(np.linspace(0, d, m_sub + 1).astype(int))
+    books = []
+    for m in range(m_sub):
+        xs = [grid[v][bnd[m]:bnd[m + 1]] for v in tids]
+        k = min(ksub, len(xs))
+        cent = [xs[i].copy() for i in range(k)]
+        for _ in range(iters):
+            sums = [np.zeros_like(cent[0]) for _ in range(k)]
+            cnts = [0] * k
+            for x in xs:
+                best, bd = 0, None
+                for j in range(k):
+                    dd = int(((x - cent[j]) ** 2).sum())
+                    if bd is None or dd < bd:
+                        best, bd = j, dd
+                sums[best] += x
+                cnts[best] += 1
+            cent = [cent[j] if cnts[j] == 0 else sums[j] // cnts[j]
+                    for j in range(k)]
+        books.append(cent)
+    codes = {}
+    for v in cids:
+        cv = []
+        for m in range(m_sub):
+            x = grid[v][bnd[m]:bnd[m + 1]]
+            best, bd = 0, None
+            for j, c in enumerate(books[m]):
+                dd = int(((x - c) ** 2).sum())
+                if bd is None or dd < bd:
+                    best, bd = j, dd
+            cv.append(best)
+        codes[v] = cv
+    rows = []
+    for q in qids:
+        scored = []
+        for v in cids:
+            s = 0
+            for m in range(m_sub):
+                qs = grid[q][bnd[m]:bnd[m + 1]]
+                s += int(qs @ books[m][codes[v][m]])
+            scored.append((v, s))
+        scored.sort(key=lambda t: (-t[1], t[0]))
+        for v, s in scored[:10]:
+            rows.append((q, v, s))
+    out = pd.DataFrame(rows, columns=["qid", "vid", "score"]).sort_values(
+        ["qid", "vid"]).reset_index(drop=True)
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    write("ann_pq_topk", out)
+
+
 def kmeans_golden(k: int = 8, n_iters: int = 5, scale: int = 10**6):
     """kmeans_embeddings golden: a per-row Python loop over the quantized
     grid — integer distances and floor-of-mean centroids are exact, so this
@@ -1068,6 +1137,7 @@ if __name__ == "__main__":
     text_goldens()
     ann_golden()
     ann_ivf_golden()
+    pq_golden()
     kmeans_golden()
     audio_golden()
     video_golden()
