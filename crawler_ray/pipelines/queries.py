@@ -799,6 +799,57 @@ def gopher_quality_gate(sf_dir: str):
     return out.sort_values("lang").reset_index(drop=True)
 
 
+def temperature_mix_sample(sf_dir: str):
+    """UNIMAX / XLM-R style temperature sampling (α = 0.5) across
+    languages: per-doc keep probability ∝ n_lang^(α−1) = 1/√n_lang,
+    normalized so the SMALLEST language keeps everything —
+    ``rate_ppm(lang) = (1e6 · isqrt(min_n)) // isqrt(n_lang)``. isqrt is
+    ``math.isqrt`` engine-side and ``FLOOR(SQRT(…))`` in DuckDB —
+    identical for every n < 2^52 because IEEE sqrt is correctly rounded.
+    The per-doc draw is the same DuckDB-``hash()``-compatible murmur
+    Bernoulli as ``seeded_sample``, so the selection is layout-independent
+    and fully oracle-checkable.
+
+    Scale shape: language counts = one lang-only combiner pass; the tiny
+    rate dict rides in the filter closure; the keep pass is zero-shuffle.
+    Emits per lang (n_docs, rate_ppm, n_kept)."""
+    import math
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    cnt = _fold(ds.map_batches(
+        lambda b: b.groupby("lang", as_index=False).agg(n_docs=("doc_id", "size")),
+        batch_format="pandas"), ["lang"], dict(n_docs=("n_docs", "sum")))
+    empty = pd.DataFrame({"lang": pd.Series([], dtype="string"),
+                          "n_docs": pd.Series([], dtype=np.int64),
+                          "rate_ppm": pd.Series([], dtype=np.int64),
+                          "n_kept": pd.Series([], dtype=np.int64)})
+    if len(cnt) == 0:
+        return empty
+    min_n = int(cnt["n_docs"].min())
+    cnt["rate_ppm"] = np.array(
+        [(1_000_000 * math.isqrt(min_n)) // math.isqrt(int(n))
+         for n in cnt["n_docs"]], np.int64)
+    rates = dict(zip(cnt["lang"], cnt["rate_ppm"].astype(int)))
+
+    def keep_partial(b: pd.DataFrame) -> pd.DataFrame:
+        h = (_murmur64(b["doc_id"].to_numpy(np.int64).view(np.uint64))
+             % np.uint64(1_000_000)).astype(np.int64)
+        r = b["lang"].map(rates).to_numpy(np.int64)
+        kb = b.loc[h < r]
+        if len(kb) == 0:
+            return pd.DataFrame({"lang": pd.Series([], dtype="string"),
+                                 "n_kept": pd.Series([], dtype=np.int64)})
+        return kb.groupby("lang", as_index=False).agg(n_kept=("doc_id", "size"))
+
+    kept = _fold(ds.map_batches(keep_partial, batch_format="pandas"),
+                 ["lang"], dict(n_kept=("n_kept", "sum")))
+    out = cnt.merge(kept, on="lang", how="left")
+    out["n_kept"] = out["n_kept"].fillna(0)
+    for c in ("n_docs", "rate_ppm", "n_kept"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("lang").reset_index(drop=True)
+
+
 # --- global top-p% quality cutoff (exact distributed rank selection) ------
 #
 # keep the top QUALITY_TOP_PPM/1e6 fraction of the corpus by an integer
@@ -3217,6 +3268,7 @@ QUERIES = {
     "gopher_quality_gate": gopher_quality_gate,
     "tfidf_top_terms": tfidf_top_terms,
     "perplexity_buckets": perplexity_buckets,
+    "temperature_mix_sample": temperature_mix_sample,
     "stratified_sample": stratified_sample,
     "token_shard_assignment": token_shard_assignment,
     "rollup_lang_source": rollup_lang_source,
@@ -3521,6 +3573,22 @@ ORACLE_SQL = {
                CAST(SUM(f_alpha) AS BIGINT) AS n_fail_alpha,
                CAST(SUM(f_stop) AS BIGINT) AS n_fail_stop
         FROM f GROUP BY lang ORDER BY lang""",
+    "temperature_mix_sample": """
+        WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+                   FROM documents GROUP BY lang),
+        m AS (SELECT MIN(n_docs) AS mn FROM c),
+        r AS (SELECT lang, n_docs,
+                     (1000000 * CAST(FLOOR(SQRT(CAST((SELECT mn FROM m) AS DOUBLE))) AS BIGINT))
+                     // CAST(FLOOR(SQRT(CAST(n_docs AS DOUBLE))) AS BIGINT)
+                         AS rate_ppm
+              FROM c),
+        k AS (SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_kept
+              FROM documents d JOIN r USING (lang)
+              WHERE hash(CAST(d.doc_id AS BIGINT)) % 1000000 < r.rate_ppm
+              GROUP BY d.lang)
+        SELECT r.lang, r.n_docs, CAST(r.rate_ppm AS BIGINT) AS rate_ppm,
+               CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
+        FROM r LEFT JOIN k USING (lang) ORDER BY lang""",
     "tfidf_top_terms": """
         WITH tok AS (
           SELECT doc_id, lang,
