@@ -94,6 +94,54 @@ def _phash_dups(sf_dir: str):
     return phash_near_dups(_featurized())
 
 
+IMG_MIN_SIDE = 64      # LAION-style pre-filters: drop tiny images and
+IMG_MAX_ASPECT = 3     # extreme aspect ratios (integer cross-multiplied)
+
+
+def _image_quality_gate(sf_dir: str):
+    """Image pre-filter stats (the LAION/img2dataset-style resolution and
+    aspect gates a multimodal corpus applies before featurizing): per
+    format, how many stored images pass ``min(w,h) >= IMG_MIN_SIDE`` and
+    ``max(w,h) <= IMG_MAX_ASPECT * min(w,h)`` (pure integer comparisons —
+    no float aspect). One vectorized zero-shuffle combiner pass over the
+    store metadata columns; image bytes are never read."""
+    import numpy as np
+    import pandas as pd
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        w = b["w"].to_numpy(np.int64)
+        h = b["h"].to_numpy(np.int64)
+        lo = np.minimum(w, h)
+        hi = np.maximum(w, h)
+        f_small = lo < IMG_MIN_SIDE
+        f_aspect = hi > IMG_MAX_ASPECT * lo
+        s = pd.DataFrame({"fmt": b["fmt"].astype(object),
+                          "f_small": f_small.astype(np.int64),
+                          "f_aspect": f_aspect.astype(np.int64),
+                          "p": (~(f_small | f_aspect)).astype(np.int64)})
+        return s.groupby("fmt", as_index=False).agg(
+            n_images=("p", "size"), n_pass=("p", "sum"),
+            n_fail_small=("f_small", "sum"), n_fail_aspect=("f_aspect", "sum"))
+
+    import ray.data as rd
+
+    from crawler_ray.pipelines.queries import _fold
+    from crawler_ray.sources import lance_layout as ll
+
+    run = _crawl_run("queries")
+    m = ll.latest_manifest(run.root)
+    paths = ll.fragment_paths(run.root, "store", m["tables"]["store"])
+    meta = rd.read_parquet(paths, columns=["fmt", "w", "h"])
+    out = _fold(meta.map_batches(partial, batch_format="pandas"),
+                ["fmt"], dict(n_images=("n_images", "sum"),
+                              n_pass=("n_pass", "sum"),
+                              n_fail_small=("n_fail_small", "sum"),
+                              n_fail_aspect=("n_fail_aspect", "sum")))
+    for c in out.columns[1:]:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("fmt").reset_index(drop=True)
+
+
 def _image_dup_clusters(sf_dir: str):
     """Image duplicate CLUSTERS: banded phash near-dup pairs (Hamming ≤ 6)
     → connected components (dedup_ops.connected_components — vectorized
@@ -578,6 +626,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # multimodal (decode/feature/near-dup over the image store)
     out["image_features"] = _image_features
     out["image_phash_dups"] = _phash_dups
+    out["image_quality_gate"] = _image_quality_gate
     out["image_dup_clusters"] = _image_dup_clusters
     out["image_dedup_keep_best"] = _image_dedup_keep_best
     out["image_increment_dups"] = _image_increment_dups
@@ -612,7 +661,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 _GOLDEN_CHECKED = (
     "crawl_order", "crawl_seen", "crawl_dlq", "crawl_pages",
     "crawl_store_meta", "crawl_header_stats", "image_features",
-    "image_phash_dups", "image_dup_clusters", "image_dedup_keep_best",
+    "image_phash_dups", "image_quality_gate", "image_dup_clusters",
+    "image_dedup_keep_best",
     "image_feature_near_dups",
     "minhash_near_dups", "simhash_near_dups",
     "near_dup_clusters", "lang_id_confusion", "doc_fingerprints",

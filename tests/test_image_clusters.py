@@ -72,3 +72,11 @@ def test_empty_pairs(ray_session, monkeypatch):
     out = e._image_dup_clusters("unused")
     assert len(out) == 0
     assert list(out.columns) == ["image_id", "rep_image", "cluster_size"]
+
+
+def test_image_quality_gate_matches_golden(ray_session):
+    got = e.queries()["image_quality_gate"]("/root/testdata/sf0.01")
+    golden = pq.read_table("/root/repo/golden/image_quality_gate.parquet").to_pandas()
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), golden)
+    # the gate discriminates on the fixture (some images fail)
+    assert int(got["n_pass"].sum()) < int(got["n_images"].sum())

@@ -214,6 +214,25 @@ def image_goldens(o, params):
     dups["hamming"] = dups["hamming"].astype(np.int32)
     write("image_phash_dups", dups)
 
+    # resolution/aspect gate: straight per-row loop over the oracle store
+    gstats: dict[str, list[int]] = {}
+    for r in o["store"]:
+        w, h = int(r["w"]), int(r["h"])
+        lo, hi = min(w, h), max(w, h)
+        small = 1 if lo < 64 else 0
+        aspect = 1 if hi > 3 * lo else 0
+        s = gstats.setdefault(r["fmt"], [0, 0, 0, 0])
+        s[0] += 1
+        s[1] += 1 if (small == 0 and aspect == 0) else 0
+        s[2] += small
+        s[3] += aspect
+    gq = pd.DataFrame(
+        [(f, *v) for f, v in sorted(gstats.items())],
+        columns=["fmt", "n_images", "n_pass", "n_fail_small", "n_fail_aspect"])
+    for c in gq.columns[1:]:
+        gq[c] = gq[c].astype(np.int64)
+    write("image_quality_gate", gq)
+
     # image dup clusters: classic path-compressed union-find loop over the
     # brute-force pair list above (independent of the engine's min-label
     # propagation); rep = lexicographic-min image_id per component
