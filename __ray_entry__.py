@@ -226,6 +226,113 @@ def _image_dedup_keep_best(sf_dir: str):
     return out.sort_values("rep_image").reset_index(drop=True)
 
 
+IMG_MIN_CAPTION_WORDS = 3   # caption gate of the multimodal composite
+
+
+def _image_corpus_build(sf_dir: str):
+    """FLAGSHIP MULTIMODAL COMPOSITE — the image-side twin of
+    ``corpus_build``: one chain turning the raw crawl store into training
+    shards. Stages: (1) LAION-style resolution/aspect gate + caption word
+    gate (zero-shuffle vectorized pass over metadata columns, bytes never
+    read); (2) phash near-dup clusters over the SURVIVORS (banded pairs →
+    connected components) with the keep-best policy (max w×h, min id) —
+    the result-scale loser set broadcasts via ray.put and survivors filter
+    distributed; (3) shard assignment by mixed phash (export.shard_of — the
+    same write-time bucketing the real export uses) + per-shard rollup of
+    pair counts and caption tokens. Golden = a straight-line loop over the
+    oracle store implementing the identical stage chain."""
+    import numpy as np
+    import pandas as pd
+    import ray
+    import ray.data as rd
+
+    from crawler_ray.functions import dedup_ops
+    from crawler_ray.hashing import xxh64_array
+    from crawler_ray.pipelines.multimodal import phash_near_dups
+    from crawler_ray.pipelines.export import shard_of
+    from crawler_ray.pipelines.queries import _fold
+    from crawler_ray.sources import lance_layout as ll
+
+    run = _crawl_run("queries")
+    m = ll.latest_manifest(run.root)
+    paths = ll.fragment_paths(run.root, "store", m["tables"]["store"])
+    meta = rd.read_parquet(paths,
+                           columns=["image_id", "w", "h", "caption", "phash"])
+
+    def gate(b: pd.DataFrame) -> pd.DataFrame:
+        w = b["w"].to_numpy(np.int64)
+        h = b["h"].to_numpy(np.int64)
+        lo, hi = np.minimum(w, h), np.maximum(w, h)
+        nw = (b["caption"].astype("string").str.count(" ") + 1).to_numpy(np.int64)
+        nw = np.where(b["caption"].astype("string").str.len().to_numpy() == 0, 0, nw)
+        keep = ((lo >= IMG_MIN_SIDE) & (hi <= IMG_MAX_ASPECT * lo)
+                & (nw >= IMG_MIN_CAPTION_WORDS))
+        out = b.loc[keep].assign(cap_tokens=nw[keep])
+        return out.assign(image_id=out["image_id"].astype("string"),
+                          caption=out["caption"].astype("string"))
+
+    gated = meta.map_batches(gate, batch_format="pandas").materialize()
+
+    # stage 2: clusters over survivors; losers (non-best members) broadcast
+    pairs = phash_near_dups(gated)
+    losers: set = set()
+    if len(pairs):
+        ids = pd.unique(pd.concat([pairs["image_a"], pairs["image_b"]],
+                                  ignore_index=True))
+        hsh = (xxh64_array(ids.tolist()).view(np.int64) >> 1).astype(np.int64)
+        assert len(np.unique(hsh)) == len(ids), "xxh64 id collision"
+        to_int = dict(zip(ids.tolist(), hsh.tolist()))
+        to_str = dict(zip(hsh.tolist(), ids.tolist()))
+        lab = dedup_ops.connected_components(pd.DataFrame({
+            "doc_a": pairs["image_a"].map(to_int).to_numpy(np.int64),
+            "doc_b": pairs["image_b"].map(to_int).to_numpy(np.int64)}))
+        lab["image_id"] = lab["doc_id"].map(to_str)
+        mref = ray.put(set(lab["image_id"]))
+
+        class Members:
+            def __init__(self):
+                self.ids = ray.get(mref)
+
+            def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+                kb = b.loc[b["image_id"].isin(self.ids),
+                           ["image_id", "w", "h"]]
+                return kb.assign(image_id=kb["image_id"].astype("string"))
+
+        mm = (gated.map_batches(Members, batch_format="pandas",
+                                concurrency=(1, 4)).to_pandas())
+        j = lab.merge(mm, on="image_id")
+        j["pixels"] = j["w"].astype(np.int64) * j["h"].astype(np.int64)
+        j = j.sort_values(["cluster_id", "pixels", "image_id"],
+                          ascending=[True, False, True], kind="mergesort")
+        best = j.groupby("cluster_id", as_index=False).first()
+        losers = set(j["image_id"]) - set(best["image_id"])
+    lref = ray.put(losers)
+
+    class Rollup:
+        def __init__(self):
+            self.losers = ray.get(lref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            kb = b.loc[~b["image_id"].isin(self.losers)]
+            if len(kb) == 0:
+                return pd.DataFrame({"shard": pd.Series([], dtype=np.int64),
+                                     "n_pairs": pd.Series([], dtype=np.int64),
+                                     "sum_caption_tokens": pd.Series([], dtype=np.int64)})
+            s = pd.DataFrame({
+                "shard": shard_of(kb["phash"].to_numpy(np.int64), 8),
+                "t": kb["cap_tokens"].to_numpy(np.int64)})
+            return s.groupby("shard", as_index=False).agg(
+                n_pairs=("t", "size"), sum_caption_tokens=("t", "sum"))
+
+    out = _fold(gated.map_batches(Rollup, batch_format="pandas",
+                                  concurrency=(1, 4)),
+                ["shard"], dict(n_pairs=("n_pairs", "sum"),
+                                sum_caption_tokens=("sum_caption_tokens", "sum")))
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("shard").reset_index(drop=True)
+
+
 def _image_feature_near_dups(sf_dir: str):
     """Embedding-cosine near-dup over the image store's feature vectors
     (distributed tile-grid exact pairs; see multimodal.feature_near_dups)."""
@@ -629,6 +736,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["image_quality_gate"] = _image_quality_gate
     out["image_dup_clusters"] = _image_dup_clusters
     out["image_dedup_keep_best"] = _image_dedup_keep_best
+    out["image_corpus_build"] = _image_corpus_build
     out["image_increment_dups"] = _image_increment_dups
     out["image_feature_near_dups"] = _image_feature_near_dups
     out["image_thumbnails"] = _image_thumbnails
@@ -662,7 +770,7 @@ _GOLDEN_CHECKED = (
     "crawl_order", "crawl_seen", "crawl_dlq", "crawl_pages",
     "crawl_store_meta", "crawl_header_stats", "image_features",
     "image_phash_dups", "image_quality_gate", "image_dup_clusters",
-    "image_dedup_keep_best",
+    "image_dedup_keep_best", "image_corpus_build",
     "image_feature_near_dups",
     "minhash_near_dups", "simhash_near_dups",
     "near_dup_clusters", "lang_id_confusion", "doc_fingerprints",

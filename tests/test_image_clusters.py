@@ -80,3 +80,14 @@ def test_image_quality_gate_matches_golden(ray_session):
     pd.testing.assert_frame_equal(got.reset_index(drop=True), golden)
     # the gate discriminates on the fixture (some images fail)
     assert int(got["n_pass"].sum()) < int(got["n_images"].sum())
+
+
+def test_image_corpus_build_matches_golden(ray_session):
+    got = e.queries()["image_corpus_build"]("/root/testdata/sf0.01")
+    golden = pq.read_table("/root/repo/golden/image_corpus_build.parquet").to_pandas()
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), golden)
+    # the chain actually filters: kept pairs < store size, and caption
+    # tokens are consistent with the 16-word fixture captions
+    feats = e.queries()["image_features"]("/root/testdata/sf0.01")
+    assert int(got["n_pairs"].sum()) < len(feats)
+    assert (got["sum_caption_tokens"] == 16 * got["n_pairs"]).all()

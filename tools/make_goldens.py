@@ -233,6 +233,71 @@ def image_goldens(o, params):
         gq[c] = gq[c].astype(np.int64)
     write("image_quality_gate", gq)
 
+    # multimodal composite golden: gate → caption gate → union-find over
+    # brute-force pairs among SURVIVORS → keep-best → mixed-phash shard
+    # rollup — a straight-line replication of _image_corpus_build's chain
+    MASK64 = (1 << 64) - 1
+
+    def mix64i(x: int) -> int:
+        x &= MASK64
+        x ^= x >> 33
+        x = (x * 0xFF51AFD7ED558CCD) & MASK64
+        x ^= x >> 33
+        x = (x * 0xC4CEB9FE1A85EC53) & MASK64
+        x ^= x >> 33
+        return x
+
+    surv = []
+    for r in sorted(o["store"], key=lambda r: r["image_id"]):
+        w, h = int(r["w"]), int(r["h"])
+        lo2, hi2 = min(w, h), max(w, h)
+        cap = r["caption"]
+        nw = 0 if cap == "" else cap.count(" ") + 1
+        if lo2 >= 64 and hi2 <= 3 * lo2 and nw >= 3:
+            surv.append((r, nw))
+    sids = [r["image_id"] for r, _ in surv]
+    sph = np.array([int(r["phash"]) for r, _ in surv], np.int64).view(np.uint64)
+    spairs = []
+    for i in range(len(sids)):
+        for j in range(i + 1, len(sids)):
+            x = int(sph[i] ^ sph[j])
+            hamm = bin(x).count("1")
+            if hamm <= 6:
+                spairs.append((sids[i], sids[j]))
+    par2: dict = {}
+
+    def find2(x):
+        while par2.setdefault(x, x) != x:
+            par2[x] = par2[par2[x]]
+            x = par2[x]
+        return x
+
+    for a, b in spairs:
+        ra, rb = find2(a), find2(b)
+        if ra != rb:
+            par2[max(ra, rb)] = min(ra, rb)
+    comp2: dict = {}
+    for x in par2:
+        comp2.setdefault(find2(x), []).append(x)
+    sdims = {r["image_id"]: (int(r["w"]), int(r["h"])) for r, _ in surv}
+    losers: set = set()
+    for members in comp2.values():
+        ranked = sorted(members, key=lambda m: (-sdims[m][0] * sdims[m][1], m))
+        losers.update(ranked[1:])
+    roll: dict[int, list[int]] = {}
+    for r, nw in surv:
+        if r["image_id"] in losers:
+            continue
+        s = mix64i(int(r["phash"]) & MASK64) % 8
+        e2 = roll.setdefault(s, [0, 0])
+        e2[0] += 1
+        e2[1] += nw
+    cb = pd.DataFrame([(s, v[0], v[1]) for s, v in sorted(roll.items())],
+                      columns=["shard", "n_pairs", "sum_caption_tokens"])
+    for c in cb.columns:
+        cb[c] = cb[c].astype(np.int64)
+    write("image_corpus_build", cb)
+
     # image dup clusters: classic path-compressed union-find loop over the
     # brute-force pair list above (independent of the engine's min-label
     # propagation); rep = lexicographic-min image_id per component
