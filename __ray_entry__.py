@@ -728,15 +728,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out: dict[str, Callable[[str], Any]] = {}
     for name in never_checked:
         out[name] = QUERIES[name]
+    # round-5 crawl-store additions — never driver-checked, so they come
+    # BEFORE the r04-green multimodal block to stay inside the prefix
+    out["image_quality_gate"] = _image_quality_gate
+    out["image_dup_clusters"] = _image_dup_clusters
+    out["image_dedup_keep_best"] = _image_dedup_keep_best
+    out["image_corpus_build"] = _image_corpus_build
+    out["training_shards_jsonl"] = _training_shards_jsonl
     # flagship crawl outputs (deterministic synthetic web)
     out["crawl_store_meta"] = _crawl_table("store")
     # multimodal (decode/feature/near-dup over the image store)
     out["image_features"] = _image_features
     out["image_phash_dups"] = _phash_dups
-    out["image_quality_gate"] = _image_quality_gate
-    out["image_dup_clusters"] = _image_dup_clusters
-    out["image_dedup_keep_best"] = _image_dedup_keep_best
-    out["image_corpus_build"] = _image_corpus_build
     out["image_increment_dups"] = _image_increment_dups
     out["image_feature_near_dups"] = _image_feature_near_dups
     out["image_thumbnails"] = _image_thumbnails
@@ -744,7 +747,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["city_image_stats"] = _city_image_stats
     out["crawl_recrawl_delta"] = _recrawl_delta
     out["training_shards"] = _training_shards
-    out["training_shards_jsonl"] = _training_shards_jsonl
     out["crawl_order"] = _crawl_table("order")
     out["crawl_seen"] = _crawl_table("seen")
     out["crawl_pages"] = _crawl_table("pages")
