@@ -719,7 +719,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_build", "corpus_build_neardup", "sessionize_events",
         "quality_percentile_cut", "lm_fluency_score", "dsir_select",
         "gopher_quality_gate", "tfidf_top_terms", "perplexity_buckets",
-        "ann_pq_topk", "temperature_mix_sample",
+        "ann_pq_topk", "temperature_mix_sample", "triangle_count",
         "bloom_semi_join",
         "skew_join_brand_revenue",
         "cms_heavy_bigrams", "bpe_tokenize", "embedding_covariance",

@@ -273,3 +273,170 @@ def _pagerank_join(edges, deg_ds, n_iters: int, r0: int,
     return ranks.map_batches(
         lambda b: b.rename(columns={"u": "rank_units"})[["node", "rank_units"]],
         batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting (Suri & Vassilvitskii 2011 "Counting Triangles and the
+# Curse of the Last Reducer" — public). Degree-ordered orientation bounds
+# per-node wedge fan-out by the oriented out-degree (O(√m) on any graph),
+# so a celebrity node never generates deg² wedges.
+# ---------------------------------------------------------------------------
+
+def triangle_stats(edges, num_partitions: int | None = None) -> pd.DataFrame:
+    """Exact triangle statistics over a directed edge Dataset (symmetrized
+    and canonicalized internally). Returns ONE row:
+    (n_nodes, n_edges, n_wedges, n_triangles) — n_wedges is the undirected
+    path-of-2 count Σ C(deg, 2), n_triangles counts each triangle once.
+
+    Dataflow: canonical distinct a<b edges (one keyed exchange) → degree
+    Dataset (one keyed exchange) → degree attach on both endpoints
+    (broadcast dict below BROADCAST_NODE_LIMIT, else two hash joins) →
+    per-src wedge expansion after a src-keyed exchange (vectorized offset
+    arithmetic, no Python pair loops) → close-check by UNIONING tagged
+    wedge and edge rows and counting matches per co-located (v, w) block —
+    one exchange, no Dataset.join. Only scalar sums reach the driver."""
+    from crawler_ray.blocks import drop_empty_blocks
+    from crawler_ray.sizing import exchange_width
+
+    W = num_partitions or exchange_width()
+
+    def canon(b: pd.DataFrame) -> pd.DataFrame:
+        s = b["src"].to_numpy(np.int64)
+        d = b["dst"].to_numpy(np.int64)
+        m = s != d
+        return pd.DataFrame({"src": np.minimum(s[m], d[m]),
+                             "dst": np.maximum(s[m], d[m])})
+
+    und = distinct_edges(edges.map_batches(canon, batch_format="pandas"), W)
+    n_edges = und.count()
+    if n_edges == 0:
+        return pd.DataFrame({"n_nodes": [np.int64(0)], "n_edges": [np.int64(0)],
+                             "n_wedges": [np.int64(0)],
+                             "n_triangles": [np.int64(0)]})
+
+    def dpart(b: pd.DataFrame) -> pd.DataFrame:
+        both = np.concatenate([b["src"].to_numpy(np.int64),
+                               b["dst"].to_numpy(np.int64)])
+        u, c = np.unique(both, return_counts=True)
+        return pd.DataFrame({"node": u.astype(np.int64),
+                             "d": c.astype(np.int64)})
+
+    def dfold(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0 or "node" not in b.columns:
+            return pd.DataFrame({"node": pd.Series(dtype=np.int64),
+                                 "d": pd.Series(dtype=np.int64)})
+        return (b.groupby("node", as_index=False).agg(d=("d", "sum"))
+                .astype({"node": np.int64, "d": np.int64}))
+
+    deg = (_flip(und.map_batches(dpart, batch_format="pandas"))
+           .repartition(W, keys=["node"])
+           .map_batches(dfold, batch_format="pandas", batch_size=None)
+           .materialize())
+    deg = drop_empty_blocks(_unflip(deg))
+    n_nodes = deg.count()
+    n_wedges = int(deg.map_batches(
+        lambda b: pd.DataFrame({"w": np.array(
+            [(b["d"].to_numpy(np.int64) * (b["d"].to_numpy(np.int64) - 1) // 2).sum()],
+            np.int64)}), batch_format="pandas").sum("w"))
+
+    # degree attach on both endpoints, then orient u→v iff (d_u,u)<(d_v,v)
+    if n_nodes <= BROADCAST_NODE_LIMIT:
+        dd = deg.to_pandas()
+        dref = ray.put(dict(zip(dd["node"].astype(int), dd["d"].astype(int))))
+
+        class Attach:
+            def __init__(self):
+                self.m = ray.get(dref)
+
+            def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+                out = b.copy()
+                out["d_src"] = b["src"].map(self.m).astype(np.int64)
+                out["d_dst"] = b["dst"].map(self.m).astype(np.int64)
+                return out
+
+        att = und.map_batches(Attach, batch_format="pandas",
+                              concurrency=(1, 8))
+    else:
+        ds1 = und.join(deg.map_batches(
+            lambda b: b.rename(columns={"node": "src", "d": "d_src"}),
+            batch_format="pandas"), join_type="inner",
+            num_partitions=W, on=("src",))
+        att = ds1.join(deg.map_batches(
+            lambda b: b.rename(columns={"node": "dst", "d": "d_dst"}),
+            batch_format="pandas"), join_type="inner",
+            num_partitions=W, on=("dst",))
+
+    def orient(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0 or "src" not in b.columns:
+            return pd.DataFrame({c: pd.Series(dtype=np.int64)
+                                 for c in ("u", "v", "d_v")})
+        s = b["src"].to_numpy(np.int64)
+        d = b["dst"].to_numpy(np.int64)
+        ds_ = b["d_src"].to_numpy(np.int64)
+        dd_ = b["d_dst"].to_numpy(np.int64)
+        fwd = (ds_ < dd_) | ((ds_ == dd_) & (s < d))
+        return pd.DataFrame({
+            "u": np.where(fwd, s, d), "v": np.where(fwd, d, s),
+            "d_v": np.where(fwd, dd_, ds_)}).astype(np.int64)
+
+    oriented = (_flip(att.map_batches(orient, batch_format="pandas"))
+                .repartition(W, keys=["u"])
+                .materialize())
+    oriented = drop_empty_blocks(_unflip(oriented))
+
+    def wedges(b: pd.DataFrame) -> pd.DataFrame:
+        e = pd.DataFrame({c: pd.Series(dtype=np.int64) for c in ("v", "w", "t")})
+        if len(b) == 0 or "u" not in b.columns:
+            return e
+        # neighbors of each u sorted by orientation order (d, id): ordered
+        # pairs (v before w) are exactly the wedges whose closing edge, if
+        # present, is oriented v→w
+        b = b.sort_values(["u", "d_v", "v"], kind="mergesort")
+        u = b["u"].to_numpy(np.int64)
+        v = b["v"].to_numpy(np.int64)
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        sizes = np.diff(np.r_[starts, len(u)])
+        if not (sizes > 1).any():
+            return e
+        # fully vectorized ordered-pair expansion: element i (local index
+        # j in its group) is the RIGHT of j pairs whose lefts are the j
+        # group members before it — no per-group Python loop
+        grp_start = np.repeat(starts, sizes)          # per element
+        loc = np.arange(len(u)) - grp_start           # local index = j
+        right_idx = np.repeat(np.arange(len(u)), loc)
+        csum = np.concatenate([[0], np.cumsum(loc)[:-1]])
+        within = np.arange(int(loc.sum())) - np.repeat(csum, loc)
+        left_idx = np.repeat(grp_start, loc) + within
+        return pd.DataFrame({"v": v[left_idx], "w": v[right_idx]}).assign(
+            t=np.int64(0)).astype(np.int64)
+
+    wedge_ds = oriented.map_batches(wedges, batch_format="pandas",
+                                    batch_size=None)
+    edge_tagged = oriented.map_batches(
+        lambda b: (pd.DataFrame({"v": b["u"].to_numpy(np.int64),
+                                 "w": b["v"].to_numpy(np.int64),
+                                 "t": np.ones(len(b), np.int64)})
+                   if len(b) and "u" in b.columns else
+                   pd.DataFrame({c: pd.Series(dtype=np.int64)
+                                 for c in ("v", "w", "t")})),
+        batch_format="pandas")
+
+    def close_count(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0 or "v" not in b.columns:
+            return pd.DataFrame({"n": pd.Series(dtype=np.int64)})
+        is_edge = b["t"].to_numpy(np.int64) == 1
+        key = pd.MultiIndex.from_arrays([b["v"], b["w"]])
+        closed = pd.Index(key[is_edge])
+        n = int(pd.Index(key[~is_edge]).isin(closed).sum())
+        return pd.DataFrame({"n": np.array([n], np.int64)})
+
+    both = (_flip(wedge_ds.union(edge_tagged))
+            .repartition(W, keys=["v", "w"])
+            .map_batches(close_count, batch_format="pandas", batch_size=None)
+            .materialize())
+    both = drop_empty_blocks(_unflip(both))
+    n_tri = int(both.sum("n") or 0)
+    return pd.DataFrame({"n_nodes": [np.int64(n_nodes)],
+                         "n_edges": [np.int64(n_edges)],
+                         "n_wedges": [np.int64(n_wedges)],
+                         "n_triangles": [np.int64(n_tri)]})

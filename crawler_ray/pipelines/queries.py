@@ -2584,6 +2584,22 @@ def dup_span_coverage(sf_dir: str):
     return res.sort_values("doc_id").reset_index(drop=True)
 
 
+def triangle_count(sf_dir: str):
+    """Exact triangle statistics (Suri & Vassilvitskii 2011 degree-ordered
+    orientation — see functions/graph.py triangle_stats) over the same
+    derived interaction graph pagerank_users uses. Emits one row
+    (n_nodes, n_edges, n_wedges, n_triangles); all-integer, so the
+    three-way-join DuckDB oracle matches bit-for-bit."""
+    from crawler_ray.functions import graph
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id"])
+    edges = ds.map_batches(
+        lambda b: pd.DataFrame({"src": b["user_id"].to_numpy(np.int64),
+                                "dst": b["event_id"].to_numpy(np.int64) % 150}),
+        batch_format="pandas")
+    return graph.triangle_stats(edges)
+
+
 def pagerank_users(sf_dir: str):
     """Iterative distributed PageRank (Brin & Page 1998) over a derived
     interaction graph (src = user_id, dst = event_id % 150, distinct) in
@@ -3278,6 +3294,7 @@ QUERIES = {
     "benchmark_decontaminate": benchmark_decontaminate,
     "dup_span_coverage": dup_span_coverage,
     "pagerank_users": pagerank_users,
+    "triangle_count": triangle_count,
     "kmeans_embeddings": kmeans_embeddings,
     "semantic_dedup": semantic_dedup,
     "bpe_top_pairs": bpe_top_pairs,
@@ -3919,6 +3936,25 @@ def _bm25_oracle() -> str:
 
 ORACLE_SQL["bm25_search"] = _bm25_oracle()
 ORACLE_SQL["pagerank_users"] = _pagerank_oracle()
+
+ORACLE_SQL["triangle_count"] = """
+    WITH raw AS (SELECT DISTINCT user_id AS u, event_id % 150 AS v
+                 FROM events),
+    und AS (SELECT DISTINCT LEAST(u, v) AS a, GREATEST(u, v) AS b
+            FROM raw WHERE u <> v),
+    d AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+          FROM (SELECT a AS node FROM und
+                UNION ALL SELECT b AS node FROM und)
+          GROUP BY node),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tri
+          FROM und e1
+          JOIN und e2 ON e2.a = e1.b
+          JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM d)   AS n_nodes,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM und) AS n_edges,
+           (SELECT CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) FROM d)
+               AS n_wedges,
+           (SELECT n_tri FROM t) AS n_triangles"""
 
 ORACLE_SQL["bloom_semi_join"] = """
     SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_items,

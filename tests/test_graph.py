@@ -107,3 +107,59 @@ def test_sink_keeps_base_only():
     base = (total * 15 // 100) // n
     assert out.loc[out["node"] == 0, "rank_units"].iloc[0] == base
     assert out["rank_units"].sum() < total  # floor + sink losses only shrink
+
+
+def test_triangle_stats_vs_loop_reference(ray_session):
+    """Random graph + a hub (degree skew) + a planted K4 (exactly 4 extra
+    triangles among the planted clique nodes), vs itertools/loop counts."""
+    import itertools
+
+    import ray.data as rd
+
+    from crawler_ray.functions.graph import triangle_stats
+
+    rng = np.random.default_rng(17)
+    edges = set()
+    for _ in range(300):
+        a, b = int(rng.integers(0, 60)), int(rng.integers(0, 60))
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    for x in range(1, 60):           # hub: node 0 connects to everyone
+        edges.add((0, x))
+    for a, b in itertools.combinations([100, 101, 102, 103], 2):  # K4
+        edges.add((a, b))
+
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    n_tri = sum(1 for a, b in edges for c in (adj[a] & adj[b]) if c > b)
+    n_wedges = sum(len(v) * (len(v) - 1) // 2 for v in adj.values())
+
+    e = pd.DataFrame(sorted(edges), columns=["src", "dst"])
+    # feed DIRECTED duplicates + reversed copies: canonicalization must cope
+    e = pd.concat([e, e.rename(columns={"src": "dst", "dst": "src"})])
+    got = triangle_stats(rd.from_pandas(e).repartition(7))
+    assert int(got["n_nodes"].iloc[0]) == len(adj)
+    assert int(got["n_edges"].iloc[0]) == len(edges)
+    assert int(got["n_wedges"].iloc[0]) == n_wedges
+    assert int(got["n_triangles"].iloc[0]) == n_tri
+    assert n_tri >= 4  # the planted K4 alone guarantees triangles exist
+
+
+def test_triangle_stats_empty_and_triangle_free(ray_session):
+    import ray.data as rd
+
+    from crawler_ray.functions.graph import triangle_stats
+
+    empty = rd.from_pandas(pd.DataFrame({"src": pd.Series([], dtype=np.int64),
+                                         "dst": pd.Series([], dtype=np.int64)}))
+    g0 = triangle_stats(empty)
+    assert int(g0["n_triangles"].iloc[0]) == 0 and int(g0["n_nodes"].iloc[0]) == 0
+
+    # a star is triangle-free but wedge-rich
+    star = rd.from_pandas(pd.DataFrame({"src": np.zeros(20, np.int64),
+                                        "dst": np.arange(1, 21, dtype=np.int64)}))
+    g1 = triangle_stats(star)
+    assert int(g1["n_triangles"].iloc[0]) == 0
+    assert int(g1["n_wedges"].iloc[0]) == 20 * 19 // 2
