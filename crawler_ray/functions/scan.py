@@ -261,3 +261,75 @@ def sessionize_ds(ds, group_col: str, ts_col: str, id_col: str, gap: int,
 
     return s.map_batches(apply_sessions, batch_format="pandas",
                          batch_size=None, fn_kwargs={"carry": carry})
+
+
+NEG_INF_I64 = np.iinfo(np.int64).min
+
+
+def grouped_cumulative_max_ds(ds, group_col: str, order_cols: list[str],
+                              value_col: str, out_col: str = "prev_max"):
+    """``MAX(value) OVER (PARTITION BY group ORDER BY order_cols ROWS
+    UNBOUNDED PRECEDING AND 1 PRECEDING)`` — the EXCLUSIVE grouped running
+    maximum, i.e. the per-stream WATERMARK each event is compared against
+    in late-arrival accounting. int64 values only; rows with no
+    predecessor get ``NEG_INF_I64``.
+
+    Same O(blocks) carry discipline as :func:`grouped_cumulative_sum_ds`:
+    the sort co-locates groups, each block emits (first-group max,
+    last-group max), the driver threads a running max through same-group
+    block chains, and pass 2 is one vectorized in-block grouped cummax
+    shifted by a row."""
+    sort_cols = [group_col] + list(order_cols)
+    s = ds.sort(sort_cols).materialize()
+
+    def block_summary(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            cols = {c: b[c].iloc[:0].reset_index(drop=True) for c in sort_cols}
+            cols["_first_grp"] = b[group_col].iloc[:0].reset_index(drop=True)
+            cols["_last_grp"] = b[group_col].iloc[:0].reset_index(drop=True)
+            cols["_first_max"] = pd.Series([], dtype=np.int64)
+            cols["_last_max"] = pd.Series([], dtype=np.int64)
+            return pd.DataFrame(cols)
+        g = b[group_col].to_numpy()
+        v = b[value_col].to_numpy(np.int64)
+        cols = {c: [b[c].iloc[0]] for c in sort_cols}
+        cols["_first_grp"] = [g[0]]
+        cols["_last_grp"] = [g[-1]]
+        cols["_first_max"] = [np.int64(v[g == g[0]].max())]
+        cols["_last_max"] = [np.int64(v[g == g[-1]].max())]
+        return pd.DataFrame(cols)
+
+    summaries = (s.map_batches(block_summary, batch_format="pandas",
+                               batch_size=None).to_pandas()
+                 .sort_values(sort_cols, kind="mergesort"))
+    carry: dict[tuple, int] = {}
+    run_grp, run_max = None, NEG_INF_I64
+    for d in summaries.to_dict("records"):
+        key = tuple(d[c] for c in sort_cols)
+        same = run_grp is not None and run_grp == d["_first_grp"]
+        carry[key] = int(run_max) if same else NEG_INF_I64
+        if d["_first_grp"] == d["_last_grp"]:
+            base = carry[key]
+            run_grp, run_max = d["_last_grp"], max(base, int(d["_last_max"]))
+        else:
+            run_grp, run_max = d["_last_grp"], int(d["_last_max"])
+
+    def apply_scan(b: pd.DataFrame, *, carry: dict) -> pd.DataFrame:
+        b = b.copy()
+        if len(b) == 0:
+            b[out_col] = pd.Series([], dtype=np.int64)
+            return b
+        key = tuple(b[c].iloc[0] for c in sort_cols)
+        g = b[group_col].to_numpy()
+        v = b[value_col].to_numpy(np.int64)
+        cm = pd.Series(v).groupby(g).cummax().to_numpy(np.int64)
+        base = np.concatenate([[NEG_INF_I64], cm[:-1]])
+        first_of_group = np.r_[True, g[1:] != g[:-1]]
+        base[first_of_group] = NEG_INF_I64
+        in_first = g == g[0]
+        c0 = carry[key]
+        b[out_col] = np.where(in_first, np.maximum(base, c0), base).astype(np.int64)
+        return b
+
+    return s.map_batches(apply_scan, batch_format="pandas", batch_size=None,
+                         fn_kwargs={"carry": carry})

@@ -1754,6 +1754,52 @@ def trailing_event_volume(sf_dir: str):
 SESSION_GAP_US = 30 * 60 * 1_000_000
 
 
+def late_event_stats(sf_dir: str):
+    """Watermark late-arrival accounting (the streaming-ingest health
+    metric): treating ``event_id`` as ARRIVAL order, an event is LATE when
+    its event time is older than its user stream's running-max event time
+    (the per-key watermark). Per event type: event count, late count, and
+    max/total lateness in µs — all int64, exact.
+
+    The watermark is ``scan.grouped_cumulative_max_ds`` — the exclusive
+    grouped running max with O(blocks) driver carry, the same analytic-scan
+    discipline as the running-sum family; the rollup is a zero-shuffle
+    combiner + tiny fold."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def to_us(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_id": b["event_id"].to_numpy(np.int64),
+            "user_id": b["user_id"].to_numpy(np.int64),
+            "event_type": b["event_type"].astype("string"),
+            "t": b["ts"].to_numpy("datetime64[us]").view(np.int64)})
+
+    w = scan.grouped_cumulative_max_ds(
+        ds.map_batches(to_us, batch_format="pandas"),
+        "user_id", ["event_id"], "t", out_col="pm")
+
+    def rollup(b: pd.DataFrame) -> pd.DataFrame:
+        pm = b["pm"].to_numpy(np.int64)
+        t = b["t"].to_numpy(np.int64)
+        late = (pm != scan.NEG_INF_I64) & (t < pm)
+        lateness = np.where(late, pm - t, 0).astype(np.int64)
+        s = pd.DataFrame({"event_type": b["event_type"].astype(object),
+                          "late": late.astype(np.int64),
+                          "lateness": lateness})
+        return s.groupby("event_type", as_index=False).agg(
+            n_events=("late", "size"), n_late=("late", "sum"),
+            max_late_us=("lateness", "max"), sum_late_us=("lateness", "sum"))
+
+    out = _fold(w.map_batches(rollup, batch_format="pandas"),
+                ["event_type"],
+                dict(n_events=("n_events", "sum"), n_late=("n_late", "sum"),
+                     max_late_us=("max_late_us", "max"),
+                     sum_late_us=("sum_late_us", "sum")))
+    for c in out.columns[1:]:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 def sessionize_events(sf_dir: str):
     """Gap-based sessionization over the event stream (30-min inactivity
     rule) — the streaming-window operator every clickstream/telemetry
@@ -3295,6 +3341,7 @@ QUERIES = {
     "dup_span_coverage": dup_span_coverage,
     "pagerank_users": pagerank_users,
     "triangle_count": triangle_count,
+    "late_event_stats": late_event_stats,
     "kmeans_embeddings": kmeans_embeddings,
     "semantic_dedup": semantic_dedup,
     "bpe_top_pairs": bpe_top_pairs,
@@ -3936,6 +3983,23 @@ def _bm25_oracle() -> str:
 
 ORACLE_SQL["bm25_search"] = _bm25_oracle()
 ORACLE_SQL["pagerank_users"] = _pagerank_oracle()
+
+ORACLE_SQL["late_event_stats"] = """
+    WITH w AS (SELECT event_type, epoch_us(ts) AS t,
+                      MAX(epoch_us(ts)) OVER (
+                          PARTITION BY user_id ORDER BY event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                          AS pm
+               FROM events)
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN pm IS NOT NULL AND t < pm
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+           CAST(COALESCE(MAX(CASE WHEN pm IS NOT NULL AND t < pm
+                                  THEN pm - t END), 0) AS BIGINT)
+               AS max_late_us,
+           CAST(SUM(CASE WHEN pm IS NOT NULL AND t < pm
+                         THEN pm - t ELSE 0 END) AS BIGINT) AS sum_late_us
+    FROM w GROUP BY event_type ORDER BY event_type"""
 
 ORACLE_SQL["triangle_count"] = """
     WITH raw AS (SELECT DISTINCT user_id AS u, event_id % 150 AS v
