@@ -719,7 +719,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_build", "corpus_build_neardup", "sessionize_events",
         "quality_percentile_cut", "lm_fluency_score", "dsir_select",
         "gopher_quality_gate", "tfidf_top_terms", "perplexity_buckets",
-        "ann_pq_topk", "temperature_mix_sample", "triangle_count",
+        "ann_pq_topk", "ann_pq_rerank_topk", "temperature_mix_sample", "triangle_count",
         "late_event_stats",
         "bloom_semi_join",
         "skew_join_brand_revenue",
@@ -778,7 +778,8 @@ _GOLDEN_CHECKED = (
     "minhash_near_dups", "simhash_near_dups",
     "near_dup_clusters", "lang_id_confusion", "doc_fingerprints",
     "approx_distinct_tokens",
-    "ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk", "kmeans_embeddings",
+    "ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk", "ann_pq_rerank_topk",
+    "kmeans_embeddings",
     "semantic_dedup",
     "crawl_page_lookup", "crawl_city_pages",
     "crawl_city_locations", "crawl_similar_nearby", "image_thumbnails",

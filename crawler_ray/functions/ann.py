@@ -442,19 +442,31 @@ def pq_subspace_bounds(d: int, m_sub: int) -> np.ndarray:
     return np.linspace(0, d, m_sub + 1).astype(int)
 
 
+def pq_grid(mat, scale: int = PQ_SCALE) -> np.ndarray:
+    """L2-normalize (float64, per-row — deterministic on any layout) then
+    quantize to the int64 grid: integer dot products on this grid rank by
+    COSINE, matching the brute-force baseline's order."""
+    from crawler_ray.functions.cluster import quantize
+
+    m = np.stack([np.asarray(v, np.float64) for v in mat]) \
+        if not isinstance(mat, np.ndarray) else np.asarray(mat, np.float64)
+    return quantize(_normalize(m), scale)
+
+
 def train_pq_codebooks(sample_mat: np.ndarray, m_sub: int = 8,
-                       ksub: int = 16, iters: int = 10,
+                       ksub: int = 256, iters: int = 10,
                        scale: int = PQ_SCALE) -> list[np.ndarray]:
     """Train one integer codebook per subspace on a DRIVER-SIDE sample
     (the codebooks are m·ksub·dsub ints — tiny, broadcast once; corpus
-    encoding stays distributed). Same determinism rules as
-    cluster.kmeans_quantized: init = first ksub sample rows (caller fixes
-    sample order), integer squared-L2 assignment with ties → lowest index,
-    centroid = coordinate-wise ``sum // count``, emptied clusters keep
-    their centroid."""
-    from crawler_ray.functions.cluster import assign_ids, quantize
+    encoding stays distributed). Vectors normalize to the unit sphere
+    before gridding (pq_grid) so ADC ranks by cosine. Same determinism
+    rules as cluster.kmeans_quantized: init = first ksub sample rows
+    (caller fixes sample order), integer squared-L2 assignment with
+    ties → lowest index, centroid = coordinate-wise ``sum // count``,
+    emptied clusters keep their centroid."""
+    from crawler_ray.functions.cluster import assign_ids
 
-    x = quantize(sample_mat, scale)
+    x = pq_grid(sample_mat, scale)
     d = x.shape[1]
     bounds = pq_subspace_bounds(d, m_sub)
     books: list[np.ndarray] = []
@@ -494,12 +506,10 @@ class PQScorer:
     def __init__(self, model_ref, k: int = 10):
         import ray
 
-        from crawler_ray.functions.cluster import quantize
-
         books, bounds, q = ray.get(model_ref)
         self.books, self.bounds, self.k = books, bounds, k
         self.qids = q["qid"]
-        qi = quantize(q["mat"], PQ_SCALE)
+        qi = pq_grid(q["mat"])
         # luts[m]: (nq, ksub) int64
         self.luts = [qi[:, bounds[m]:bounds[m + 1]] @ books[m].T
                      for m in range(len(books))]
@@ -510,9 +520,7 @@ class PQScorer:
                               "score": pd.Series([], dtype=np.int64)})
         if len(batch) == 0:
             return empty
-        from crawler_ray.functions.cluster import quantize
-
-        codes = pq_encode(quantize(batch["embedding"], PQ_SCALE),
+        codes = pq_encode(pq_grid(batch["embedding"]),
                           self.books, self.bounds)
         nq = len(self.qids)
         scores = np.zeros((len(batch), nq), np.int64)
@@ -523,8 +531,11 @@ class PQScorer:
         out_q, out_v, out_s = [], [], []
         for j in range(nq):
             col = scores[:, j]
-            idx = np.argpartition(-col, k - 1)[:k]
-            idx = idx[np.lexsort((vids[idx], -col[idx]))]
+            # integer ADC scores TIE heavily (identical codes ⇒ identical
+            # scores), so the local top-k must be the k smallest under the
+            # FULL (score desc, vid asc) order — an argpartition on score
+            # alone would keep a layout-dependent subset of a tie run
+            idx = np.lexsort((vids, -col))[:k]
             out_q.append(np.full(k, self.qids[j], np.int64))
             out_v.append(vids[idx])
             out_s.append(col[idx])
@@ -534,7 +545,7 @@ class PQScorer:
 
 
 def pq_topk(ds, train_ds, queries: dict, k: int = 10, m_sub: int = 8,
-            ksub: int = 16, iters: int = 10):
+            ksub: int = 256, iters: int = 10):
     """Approximate top-k via ADC over PQ codes: train codebooks on the
     driver-side ``train_ds`` sample (caller bounds it — e.g. a vec_id
     range so the sample is layout-independent), broadcast (books, bounds,
@@ -559,3 +570,30 @@ def pq_topk(ds, train_ds, queries: dict, k: int = 10, m_sub: int = 8,
         return g.head(k)
 
     return partial.groupby("qid").map_groups(merge, batch_format="pandas")
+
+
+def pq_topk_rerank(ds, train_ds, queries: dict, k: int = 10, r: int = 200,
+                   m_sub: int = 8, ksub: int = 256, iters: int = 10):
+    """The classic two-stage PQ pipeline (Jégou et al. 2011 §V-B): ADC
+    candidate generation — top-``r`` per query over the 8-byte codes —
+    followed by an EXACT cosine rerank of only the candidate union (a
+    result-scale id set broadcast via ray.put; the second pass touches
+    float vectors for candidates alone). The code scan stays memory-bound;
+    recall is set by ``r``; the final order is exact cosine. Returns
+    (qid, vid, sim) rows like brute_force_topk."""
+    import ray
+
+    cand = pq_topk(ds, train_ds, queries, k=r, m_sub=m_sub, ksub=ksub,
+                   iters=iters).to_pandas()
+    idref = ray.put(set(cand["vid"].astype(int)))
+
+    class CandidateFilter:
+        def __init__(self):
+            self.ids = ray.get(idref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            return b.loc[b["vec_id"].isin(self.ids)]
+
+    filtered = ds.map_batches(CandidateFilter, batch_format="pandas",
+                              concurrency=(1, 4))
+    return brute_force_topk(filtered, ray.put(queries), k)

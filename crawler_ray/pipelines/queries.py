@@ -2108,6 +2108,26 @@ def ann_pq_topk(sf_dir: str):
     return out.sort_values(["qid", "vid"]).reset_index(drop=True)
 
 
+def ann_pq_rerank_topk(sf_dir: str):
+    """[golden] Two-stage PQ retrieval (ann.pq_topk_rerank): ADC top-100
+    candidates per query over the 8-byte codes, exact cosine rerank of the
+    candidate union only. Deterministic end-to-end (integer candidate set,
+    float64 rerank with the vid tiebreak), so the golden is a loop
+    replication of the identical two stages."""
+    queries_d = _load_queries(sf_dir)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"],
+               filter=pc.field("vec_id") >= 5)
+    train = _read(sf_dir, "embeddings", ["vec_id", "embedding"],
+                  filter=(pc.field("vec_id") >= 5)
+                  & (pc.field("vec_id") < PQ_TRAIN_MAX_VID))
+    out = ann.pq_topk_rerank(ds, train, queries_d, k=10, r=100).to_pandas()
+    out = out[["qid", "vid", "sim"]]
+    out["sim"] = out["sim"].round(6)
+    for c in ("qid", "vid"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["qid", "vid"]).reset_index(drop=True)
+
+
 def embedding_near_dups(sf_dir: str, threshold: float = 0.45):
     """Embedding-cosine near-dup pairs (cosine ≥ threshold), EXACT, as a
     distributed tile grid (ann.tiled_near_dup_pairs): each Ray task holds
@@ -3355,6 +3375,7 @@ QUERIES = {
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_pq_topk": ann_pq_topk,
+    "ann_pq_rerank_topk": ann_pq_rerank_topk,
     "embedding_near_dups": embedding_near_dups,
     "embedding_norm_stats": embedding_norm_stats,
     "bloom_semi_join": bloom_semi_join,

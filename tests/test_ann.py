@@ -246,3 +246,31 @@ def test_pq_bit_identical_across_layouts(ray_session):
         return out.sort_values(["qid", "vid"]).reset_index(drop=True)
 
     pd.testing.assert_frame_equal(run(2), run(11))
+
+
+def test_pq_rerank_exact_on_planted(ray_session):
+    """After the exact rerank stage, a planted duplicate must be rank 1
+    with sim == 1.0, and every reported sim must equal the true cosine."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(29)
+    d = 32
+    base = rng.standard_normal((400, d))
+    qmat = rng.standard_normal((3, d))
+    mat = np.vstack([base, qmat])
+    ds = rd.from_pandas(pd.DataFrame({
+        "vec_id": np.arange(len(mat), dtype=np.int64),
+        "embedding": [v for v in mat]})).repartition(6)
+    train = rd.from_pandas(pd.DataFrame({
+        "vec_id": np.arange(128, dtype=np.int64),
+        "embedding": [v for v in mat[:128]]}))
+    queries = {"qid": np.arange(3, dtype=np.int64), "mat": qmat}
+    got = ann.pq_topk_rerank(ds, train, queries, k=5, r=50).to_pandas()
+    unit = lambda x: x / np.linalg.norm(x)
+    for qid in range(3):
+        g = got[got["qid"] == qid].sort_values("sim", ascending=False)
+        assert int(g["vid"].iloc[0]) == 400 + qid       # planted dup first
+        assert abs(float(g["sim"].iloc[0]) - 1.0) < 1e-12
+        for r in g.itertuples(index=False):             # sims are EXACT
+            true = float(unit(mat[int(r.vid)]) @ unit(qmat[qid]))
+            assert abs(float(r.sim) - true) < 1e-12

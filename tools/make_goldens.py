@@ -664,7 +664,7 @@ def ann_golden():
     write("ann_lsh_topk", out)
 
 
-def pq_golden(m_sub: int = 8, ksub: int = 16, iters: int = 10,
+def pq_golden(m_sub: int = 8, ksub: int = 256, iters: int = 10,
               scale: int = 10**6, train_max_vid: int = 261):
     """ann_pq_topk golden: straight-line per-row PQ — loop Lloyd per
     subspace on the vec_id∈[5,train_max_vid) sample, loop-encode every
@@ -673,8 +673,14 @@ def pq_golden(m_sub: int = 8, ksub: int = 16, iters: int = 10,
     t = pq.read_table(f"{SF}/embeddings.parquet",
                       columns=["vec_id", "embedding"]).to_pandas()
     t = t.sort_values("vec_id").reset_index(drop=True)
-    grid = {int(r.vec_id): np.rint(np.asarray(r.embedding, np.float64)
-                                   * scale).astype(np.int64)
+    def to_grid(v):
+        x = np.asarray(v, np.float64)
+        nrm = np.linalg.norm(x)
+        if nrm:
+            x = x / nrm
+        return np.rint(x * scale).astype(np.int64)
+
+    grid = {int(r.vec_id): to_grid(r.embedding)
             for r in t.itertuples(index=False)}
     qids = [v for v in sorted(grid) if v < 5]
     cids = [v for v in sorted(grid) if v >= 5]
@@ -731,6 +737,40 @@ def pq_golden(m_sub: int = 8, ksub: int = 16, iters: int = 10,
     for c in out.columns:
         out[c] = out[c].astype(np.int64)
     write("ann_pq_topk", out)
+
+    # two-stage rerank golden: ADC top-100 per query (same loop scores) →
+    # exact cosine over the candidate UNION, float64 with vid tiebreak
+    cand_union: set = set()
+    for q in qids:
+        scored = []
+        for v in cids:
+            s = 0
+            for m in range(m_sub):
+                qs = grid[q][bnd[m]:bnd[m + 1]]
+                s += int(qs @ books[m][codes[v][m]])
+            scored.append((v, s))
+        scored.sort(key=lambda t: (-t[1], t[0]))
+        cand_union.update(v for v, _ in scored[:100])
+    raw = {int(r.vec_id): np.asarray(r.embedding, np.float64)
+           for r in t.itertuples(index=False)}
+
+    def unit(x):
+        n = np.linalg.norm(x)
+        return x / n if n else x
+
+    rrows = []
+    cands = sorted(cand_union)
+    for q in qids:
+        qv = unit(raw[q])
+        sims = sorted(((v, float(unit(raw[v]) @ qv)) for v in cands),
+                      key=lambda t: (-t[1], t[0]))[:10]
+        for v, s in sims:
+            rrows.append((q, v, round(s, 6)))
+    rr = pd.DataFrame(rrows, columns=["qid", "vid", "sim"]).sort_values(
+        ["qid", "vid"]).reset_index(drop=True)
+    rr["qid"] = rr["qid"].astype(np.int64)
+    rr["vid"] = rr["vid"].astype(np.int64)
+    write("ann_pq_rerank_topk", rr)
 
 
 def kmeans_golden(k: int = 8, n_iters: int = 5, scale: int = 10**6):
