@@ -2458,6 +2458,55 @@ def _five_grams(b: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"doc_id": doc[m], "gram": g.to_numpy()[m]})
 
 
+def ngram_novelty(sf_dir: str):
+    """Cross-batch n-gram NOVELTY — the corpus-growth curve a curation
+    team tracks while ingesting ("how much of batch k is new text?"):
+    with shard = doc_id % 10 standing in for arrival order, a word 5-gram
+    is NOVEL in the first shard that contains it. Per shard: distinct
+    grams present, novel grams, novelty in ppm (floor — both sides int).
+
+    Distributed shape: per-batch combiner emits distinct (gram, shard)
+    pairs, ONE gram-keyed repartition co-locates each gram's rows, and the
+    per-block kernel computes min-shard + per-shard partial counts — the
+    driver folds O(blocks × 10) rows; the vocabulary never leaves the
+    workers (contrast top_tokens, whose CONTRACT is vocabulary-sized
+    output)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = _five_grams(b)
+        g["shard"] = (g["doc_id"] % 10).astype(np.int64)
+        out = g[["gram", "shard"]].drop_duplicates()
+        return pd.DataFrame({"gram": out["gram"].astype("string"),
+                             "shard": out["shard"].to_numpy(np.int64)})
+
+    def block_fold(b: pd.DataFrame) -> pd.DataFrame:
+        e = pd.DataFrame({"shard": pd.Series([], dtype=np.int64),
+                          "n_distinct": pd.Series([], dtype=np.int64),
+                          "n_novel": pd.Series([], dtype=np.int64)})
+        if len(b) == 0 or "gram" not in b.columns:
+            return e
+        b = b.drop_duplicates(["gram", "shard"])
+        mn = b.groupby("gram")["shard"].transform("min")
+        s = pd.DataFrame({"shard": b["shard"].to_numpy(np.int64),
+                          "novel": (b["shard"].to_numpy(np.int64)
+                                    == mn.to_numpy(np.int64)).astype(np.int64)})
+        return (s.groupby("shard", as_index=False)
+                .agg(n_distinct=("novel", "size"), n_novel=("novel", "sum"))
+                .astype(np.int64))
+
+    pairs = ds.map_batches(partial, batch_format="pandas")
+    co = (_keyed(pairs).repartition(_W(), keys=["gram"])
+          .map_batches(block_fold, batch_format="pandas", batch_size=None))
+    out = _fold(co, ["shard"], dict(n_distinct=("n_distinct", "sum"),
+                                    n_novel=("n_novel", "sum")))
+    out["novelty_ppm"] = ((1_000_000 * out["n_novel"].to_numpy(np.int64))
+                          // out["n_distinct"].to_numpy(np.int64))
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("shard").reset_index(drop=True)
+
+
 def benchmark_decontaminate(sf_dir: str):
     """Training-data decontamination: flag corpus docs sharing any word
     5-gram with a benchmark/eval set (docs with doc_id % 97 == 0 stand in
@@ -3362,6 +3411,7 @@ QUERIES = {
     "pagerank_users": pagerank_users,
     "triangle_count": triangle_count,
     "late_event_stats": late_event_stats,
+    "ngram_novelty": ngram_novelty,
     "kmeans_embeddings": kmeans_embeddings,
     "semantic_dedup": semantic_dedup,
     "bpe_top_pairs": bpe_top_pairs,
@@ -3850,6 +3900,22 @@ ORACLE_SQL = {
                           WHERE o.o_custkey = c.c_custkey
                             AND o.o_orderstatus = 'P')
         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "ngram_novelty": """
+        WITH d AS (SELECT doc_id, string_split(text, ' ') AS ts
+                   FROM documents),
+        g AS (SELECT DISTINCT doc_id % 10 AS shard,
+                     array_to_string(ts[i:i+4], ' ') AS gram
+              FROM d, UNNEST(range(1, len(ts) - 3)) AS t(i)
+              WHERE len(ts) >= 5),
+        f AS (SELECT gram, MIN(shard) AS first_shard FROM g GROUP BY gram)
+        SELECT g.shard, CAST(COUNT(*) AS BIGINT) AS n_distinct,
+               CAST(SUM(CASE WHEN f.first_shard = g.shard
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+               CAST((1000000 * SUM(CASE WHEN f.first_shard = g.shard
+                                        THEN 1 ELSE 0 END)) // COUNT(*)
+                    AS BIGINT) AS novelty_ppm
+        FROM g JOIN f USING (gram)
+        GROUP BY g.shard ORDER BY g.shard""",
     "benchmark_decontaminate": """
         WITH d AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
         g AS (SELECT doc_id, array_to_string(ts[i:i+4], ' ') AS gram
