@@ -720,7 +720,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_percentile_cut", "lm_fluency_score", "dsir_select",
         "gopher_quality_gate", "tfidf_top_terms", "perplexity_buckets",
         "ann_pq_topk", "ann_pq_rerank_topk", "temperature_mix_sample", "triangle_count",
-        "late_event_stats", "ngram_novelty",
+        "late_event_stats", "ngram_novelty", "doc_chunk_stats",
         "bloom_semi_join",
         "skew_join_brand_revenue",
         "cms_heavy_bigrams", "bpe_tokenize", "embedding_covariance",

@@ -2458,6 +2458,47 @@ def _five_grams(b: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"doc_id": doc[m], "gram": g.to_numpy()[m]})
 
 
+CHUNK_LEN, CHUNK_STRIDE = 64, 48      # tokens per window / window stride
+
+
+def doc_chunk_stats(sf_dir: str):
+    """Long-document CHUNKING accounting (the fixed-window + stride split
+    every context-bounded trainer applies): a doc of n tokens yields
+    ``1 + ceil(max(n - L, 0) / S)`` windows of length ≤ L at stride S; the
+    overlap tokens are re-tokenized ``(chunks-1)·(L-S)`` times (capped by
+    doc length at the tail). Per lang: docs, tokens, chunks, and the
+    duplication overhead ppm — pure int64 arithmetic in one zero-shuffle
+    combiner pass, so the DuckDB oracle is bit-exact."""
+    ds = _read(sf_dir, "documents", ["text", "lang"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        t = b["text"].astype("string")
+        n = (t.str.count(" ") + 1).to_numpy(np.int64)
+        extra = np.maximum(n - CHUNK_LEN, 0)
+        chunks = 1 + (extra + CHUNK_STRIDE - 1) // CHUNK_STRIDE
+        # tokens emitted across all windows (tail window may be short):
+        # full windows cover L each; the last starts at (chunks-1)*S
+        emitted = np.where(chunks == 1, n,
+                           (chunks - 1) * CHUNK_LEN
+                           + (n - (chunks - 1) * CHUNK_STRIDE))
+        s = pd.DataFrame({"lang": b["lang"].astype(object),
+                          "n": n, "chunks": chunks, "emitted": emitted})
+        return s.groupby("lang", as_index=False).agg(
+            n_docs=("n", "size"), n_tokens=("n", "sum"),
+            n_chunks=("chunks", "sum"), n_emitted=("emitted", "sum"))
+
+    out = _fold(ds.map_batches(partial, batch_format="pandas"),
+                ["lang"], dict(n_docs=("n_docs", "sum"),
+                               n_tokens=("n_tokens", "sum"),
+                               n_chunks=("n_chunks", "sum"),
+                               n_emitted=("n_emitted", "sum")))
+    out["overhead_ppm"] = (1_000_000 * (out["n_emitted"] - out["n_tokens"])
+                           // out["n_tokens"])
+    for c in out.columns[1:]:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("lang").reset_index(drop=True)
+
+
 def ngram_novelty(sf_dir: str):
     """Cross-batch n-gram NOVELTY — the corpus-growth curve a curation
     team tracks while ingesting ("how much of batch k is new text?"):
@@ -3412,6 +3453,7 @@ QUERIES = {
     "triangle_count": triangle_count,
     "late_event_stats": late_event_stats,
     "ngram_novelty": ngram_novelty,
+    "doc_chunk_stats": doc_chunk_stats,
     "kmeans_embeddings": kmeans_embeddings,
     "semantic_dedup": semantic_dedup,
     "bpe_top_pairs": bpe_top_pairs,
@@ -3900,6 +3942,25 @@ ORACLE_SQL = {
                           WHERE o.o_custkey = c.c_custkey
                             AND o.o_orderstatus = 'P')
         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "doc_chunk_stats": """
+        WITH m AS (SELECT lang,
+                          len(string_split(text, ' ')) AS n
+                   FROM documents),
+        c AS (SELECT lang, n,
+                     1 + (GREATEST(n - 64, 0) + 47) // 48 AS chunks
+              FROM m),
+        e AS (SELECT lang, n, chunks,
+                     CASE WHEN chunks = 1 THEN n
+                          ELSE (chunks - 1) * 64 + (n - (chunks - 1) * 48)
+                     END AS emitted
+              FROM c)
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n) AS BIGINT) AS n_tokens,
+               CAST(SUM(chunks) AS BIGINT) AS n_chunks,
+               CAST(SUM(emitted) AS BIGINT) AS n_emitted,
+               CAST((1000000 * (SUM(emitted) - SUM(n))) // SUM(n) AS BIGINT)
+                   AS overhead_ppm
+        FROM e GROUP BY lang ORDER BY lang""",
     "ngram_novelty": """
         WITH d AS (SELECT doc_id, string_split(text, ' ') AS ts
                    FROM documents),
