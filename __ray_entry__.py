@@ -142,6 +142,128 @@ def _image_quality_gate(sf_dir: str):
     return out.sort_values("fmt").reset_index(drop=True)
 
 
+def _image_patch_tokens(sf_dir: str):
+    """VLM training-cost accounting (the budgeting pass a vision-language
+    corpus runs before packing): per format, how many ViT-L/14 patch tokens
+    the stored images cost — ``ceil(w/14)·ceil(h/14)`` each — plus how many
+    images blow the MAX_PATCH_TOKENS budget and would need a downscale.
+    Integer-exact, one vectorized zero-shuffle combiner pass over store
+    metadata; image bytes never leave storage."""
+    import numpy as np
+    import pandas as pd
+
+    from crawler_ray.pipelines.multimodal import MAX_PATCH_TOKENS, patch_tokens
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        tok = patch_tokens(b["w"].to_numpy(np.int64), b["h"].to_numpy(np.int64))
+        s = pd.DataFrame({"fmt": b["fmt"].astype(object), "tok": tok,
+                          "over": (tok > MAX_PATCH_TOKENS).astype(np.int64)})
+        return s.groupby("fmt", as_index=False).agg(
+            n_images=("tok", "size"), total_tokens=("tok", "sum"),
+            max_tokens=("tok", "max"), n_over_budget=("over", "sum"))
+
+    import ray.data as rd
+
+    from crawler_ray.pipelines.queries import _fold
+    from crawler_ray.sources import lance_layout as ll
+
+    run = _crawl_run("queries")
+    m = ll.latest_manifest(run.root)
+    paths = ll.fragment_paths(run.root, "store", m["tables"]["store"])
+    meta = rd.read_parquet(paths, columns=["fmt", "w", "h"])
+    out = _fold(meta.map_batches(partial, batch_format="pandas"),
+                ["fmt"], dict(n_images=("n_images", "sum"),
+                              total_tokens=("total_tokens", "sum"),
+                              max_tokens=("max_tokens", "max"),
+                              n_over_budget=("n_over_budget", "sum")))
+    for c in out.columns[1:]:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("fmt").reset_index(drop=True)
+
+
+def _image_aspect_buckets(sf_dir: str):
+    """SDXL-style aspect-ratio bucketing (resolution-bucketed training):
+    every stored image is assigned to the nearest fixed (bucket_w,
+    bucket_h) aspect class in log-aspect space — integer cross-multiplied,
+    no float log, so assignment is exact (multimodal.aspect_bucket_ids) —
+    and the query reports per-bucket membership and source pixel volume.
+    One zero-shuffle combiner pass over (w, h) metadata."""
+    import numpy as np
+    import pandas as pd
+
+    from crawler_ray.pipelines.multimodal import ASPECT_BUCKETS, aspect_bucket_ids
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        w = b["w"].to_numpy(np.int64)
+        h = b["h"].to_numpy(np.int64)
+        s = pd.DataFrame({"bucket": aspect_bucket_ids(w, h), "px": w * h})
+        return s.groupby("bucket", as_index=False).agg(
+            n_images=("px", "size"), total_pixels=("px", "sum"))
+
+    import ray.data as rd
+
+    from crawler_ray.pipelines.queries import _fold
+    from crawler_ray.sources import lance_layout as ll
+
+    run = _crawl_run("queries")
+    m = ll.latest_manifest(run.root)
+    paths = ll.fragment_paths(run.root, "store", m["tables"]["store"])
+    meta = rd.read_parquet(paths, columns=["w", "h"])
+    out = _fold(meta.map_batches(partial, batch_format="pandas"),
+                ["bucket"], dict(n_images=("n_images", "sum"),
+                                 total_pixels=("total_pixels", "sum")))
+    bw = {i: b[0] for i, b in enumerate(ASPECT_BUCKETS)}
+    bh = {i: b[1] for i, b in enumerate(ASPECT_BUCKETS)}
+    out["bucket_w"] = out["bucket"].map(bw).astype(np.int64)
+    out["bucket_h"] = out["bucket"].map(bh).astype(np.int64)
+    out = out[["bucket_w", "bucket_h", "n_images", "total_pixels"]]
+    for c in ("n_images", "total_pixels"):
+        out[c] = out[c].astype(np.int64)
+    return (out.sort_values(["bucket_w", "bucket_h"])
+            .reset_index(drop=True))
+
+
+ALIGN_MIN_Q = 400_000  # keep images whose caption alignment ≥ 0.4 (ppm grid;
+#                        the fixture median — a threshold that actually splits)
+
+
+def _image_caption_align(sf_dir: str):
+    """CLIP-filter-shaped caption↔image alignment gate (the LAION pipeline
+    step that drops weakly-captioned pairs before training): an actor-pool
+    stage decodes each image, embeds both towers (deterministic stubs —
+    multimodal.CaptionAlignStage), and emits an int64 ppm-quantized cosine;
+    the query rolls up per host how many pairs pass ALIGN_MIN_Q plus the
+    exact quantized-alignment average (integer division — layout-exact).
+    Bytes flow once through the actor pool; the rollup is a zero-shuffle
+    combiner + driver fold."""
+    import numpy as np
+    import pandas as pd
+
+    from crawler_ray.pipelines.multimodal import CaptionAlignStage
+    from crawler_ray.pipelines.queries import _fold
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        s = pd.DataFrame({"host": b["host"].astype(object),
+                          "q": b["align_q"].to_numpy(np.int64),
+                          "p": (b["align_q"].to_numpy(np.int64) >= ALIGN_MIN_Q
+                                ).astype(np.int64)})
+        return s.groupby("host", as_index=False).agg(
+            n_images=("q", "size"), n_pass=("p", "sum"), sum_q=("q", "sum"))
+
+    aligned = _store_ds().map_batches(
+        CaptionAlignStage, batch_format="pyarrow", batch_size=64,
+        concurrency=2)
+    out = _fold(aligned.map_batches(partial, batch_format="pandas"),
+                ["host"], dict(n_images=("n_images", "sum"),
+                               n_pass=("n_pass", "sum"),
+                               sum_q=("sum_q", "sum")))
+    out["avg_align_q"] = out["sum_q"] // out["n_images"]
+    out = out[["host", "n_images", "n_pass", "avg_align_q"]]
+    for c in out.columns[1:]:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("host").reset_index(drop=True)
+
+
 def _image_dup_clusters(sf_dir: str):
     """Image duplicate CLUSTERS: banded phash near-dup pairs (Hamming ≤ 6)
     → connected components (dedup_ops.connected_components — vectorized
@@ -732,6 +854,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # round-5 crawl-store additions — never driver-checked, so they come
     # BEFORE the r04-green multimodal block to stay inside the prefix
     out["image_quality_gate"] = _image_quality_gate
+    out["image_patch_tokens"] = _image_patch_tokens
+    out["image_aspect_buckets"] = _image_aspect_buckets
+    out["image_caption_align"] = _image_caption_align
     out["image_dup_clusters"] = _image_dup_clusters
     out["image_dedup_keep_best"] = _image_dedup_keep_best
     out["image_corpus_build"] = _image_corpus_build
@@ -772,7 +897,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 _GOLDEN_CHECKED = (
     "crawl_order", "crawl_seen", "crawl_dlq", "crawl_pages",
     "crawl_store_meta", "crawl_header_stats", "image_features",
-    "image_phash_dups", "image_quality_gate", "image_dup_clusters",
+    "image_phash_dups", "image_quality_gate", "image_patch_tokens",
+    "image_aspect_buckets", "image_caption_align", "image_dup_clusters",
     "image_dedup_keep_best", "image_corpus_build",
     "image_feature_near_dups",
     "minhash_near_dups", "simhash_near_dups",

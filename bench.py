@@ -105,6 +105,8 @@ def run_query_bench(sf_dir: str) -> dict:
              "running_revenue", "sessionize_events", "quality_percentile_cut",
              "lm_fluency_score", "dsir_select", "gopher_quality_gate",
              "tfidf_top_terms", "perplexity_buckets",
+             "temperature_mix_sample", "triangle_count", "late_event_stats",
+             "ngram_novelty", "doc_chunk_stats", "ann_pq_topk",
              "corpus_build",
              "bloom_semi_join", "skew_join_brand_revenue",
              "cms_heavy_bigrams", "bpe_tokenize", "embedding_covariance"]

@@ -35,6 +35,15 @@ def _block_mean(gray: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     return sums / areas
 
 
+def embed_rgb(rgb: np.ndarray) -> np.ndarray:
+    """8×8 block-mean luminance grid, L2-normalized, float32 — the
+    deterministic model-embedding stand-in shared by every image stage."""
+    gray = rgb.astype(np.float64).mean(axis=2)
+    feat = _block_mean(gray, 8, 8).ravel()
+    norm = np.linalg.norm(feat)
+    return (feat / norm if norm else feat).astype(np.float32)
+
+
 class ImageFeaturizer:
     """Actor-pool stage: decode → verify dims → phash → 64-dim feature.
 
@@ -49,10 +58,7 @@ class ImageFeaturizer:
         pass  # a real model would be loaded here, once per actor
 
     def _embed(self, rgb: np.ndarray) -> np.ndarray:
-        gray = rgb.astype(np.float64).mean(axis=2)
-        feat = _block_mean(gray, 8, 8).ravel()
-        norm = np.linalg.norm(feat)
-        return (feat / norm if norm else feat).astype(np.float32)
+        return embed_rgb(rgb)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, ws, hs, fmts, phashes, feats = [], [], [], [], [], []
@@ -78,6 +84,113 @@ def featurize_store(store_ds, concurrency: int = 2, batch_size: int = 64):
         ImageFeaturizer, batch_format="pyarrow",
         batch_size=batch_size, concurrency=concurrency,
     )
+
+
+# --------------------------------------------------------------------------
+# VLM training-cost + layout kernels (round 5): patch-token accounting,
+# SDXL-style aspect bucketing, and a CLIP-filter-shaped caption↔image
+# alignment score. All integer-exact so results are bit-identical under any
+# block layout (the repo-wide rule for anything that crosses an exchange).
+# --------------------------------------------------------------------------
+
+VIT_PATCH = 14          # ViT-L/14-style patch edge
+MAX_PATCH_TOKENS = 32   # per-image token budget before a downscale is needed
+
+
+def patch_tokens(w, h, patch: int = VIT_PATCH) -> np.ndarray:
+    """ViT patch-token count per image: ceil(w/p) * ceil(h/p), int64."""
+    w = np.asarray(w, np.int64)
+    h = np.asarray(h, np.int64)
+    return (-(-w // patch)) * (-(-h // patch))
+
+
+# (bucket_w, bucket_h) sorted ASCENDING by aspect w/h — the SDXL-style
+# fixed bucket table a resolution-bucketed trainer resizes into.
+ASPECT_BUCKETS = ((640, 1536), (768, 1344), (832, 1216), (896, 1152),
+                  (1024, 1024), (1152, 896), (1216, 832), (1344, 768),
+                  (1536, 640))
+
+
+def aspect_bucket_ids(w, h, buckets=ASPECT_BUCKETS) -> np.ndarray:
+    """Nearest ASPECT_BUCKETS index in log-aspect space, integer-exact.
+
+    For b_lo ≤ a ≤ b_hi (aspects), nearest-in-log picks lo iff
+    a² ≤ b_lo·b_hi (the geometric-mean rule; ties → lo, the smaller
+    index). With a = w/h and buckets bw/bh every comparison
+    cross-multiplies to int64 — no float log, so assignment is exact and
+    layout-independent. Out-of-range aspects clamp to the end buckets.
+    """
+    w = np.asarray(w, np.int64)
+    h = np.asarray(h, np.int64)
+    bw = np.array([b[0] for b in buckets], np.int64)
+    bh = np.array([b[1] for b in buckets], np.int64)
+    nb = len(bw)
+    # a >= bucket_j aspect  ⇔  w*bh_j >= bw_j*h ; buckets ascending ⇒ the
+    # row is a prefix of Trues and its sum is the first bucket with
+    # aspect > a.
+    ge = w[:, None] * bh[None, :] >= bw[None, :] * h[:, None]
+    i = ge.sum(axis=1)
+    lo = np.clip(i - 1, 0, nb - 1)
+    hi = np.clip(i, 0, nb - 1)
+    lhs = w * w * bh[lo] * bh[hi]          # a² ≤ b_lo·b_hi, cross-multiplied
+    rhs = bw[lo] * bw[hi] * h * h
+    return np.where(lhs <= rhs, lo, hi).astype(np.int64)
+
+
+CAP_DIM = 64            # hashed bag-of-words dim == image feature dim
+ALIGN_SCALE = 10**6     # alignment quantization grid (ppm)
+
+
+def caption_embed(captions) -> np.ndarray:
+    """(n, CAP_DIM) float64 unit rows: hashed bag-of-words text embedding
+    (xxh64(token) mod CAP_DIM, count-weighted, L2-normalized) — the
+    deterministic text-tower stand-in for a CLIP-style alignment filter.
+    Vectorized: one explode + one xxh64 pass over every token in the batch.
+    """
+    from crawler_ray.hashing import xxh64_array
+
+    s = pd.Series(captions, dtype=object).fillna("").reset_index(drop=True)
+    mat = np.zeros((len(s), CAP_DIM), np.float64)
+    toks = s.str.split().explode().dropna()
+    toks = toks[toks != ""]
+    if len(toks):
+        rows = toks.index.to_numpy(np.int64)
+        dims = (xxh64_array(toks.tolist()) % np.uint64(CAP_DIM)).astype(np.int64)
+        np.add.at(mat, (rows, dims), 1.0)
+    norm = np.linalg.norm(mat, axis=1, keepdims=True)
+    norm[norm == 0.0] = 1.0
+    return mat / norm
+
+
+class CaptionAlignStage:
+    """Actor-pool stage: decode image → image embedding → hashed-BoW
+    caption embedding → cosine alignment, floor-quantized to an int64 ppm
+    grid (``align_q = floor(cos · ALIGN_SCALE)``) so every downstream
+    aggregate is integer-exact. This is the CLIP-score filter shape
+    (LAION-style): swap both towers for real model forwards; the batch /
+    actor plumbing stays as-is. Emits (image_id, host, fmt, align_q).
+    """
+
+    def __init__(self):
+        pass  # real text+vision towers would load here, once per actor
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cap_vecs = caption_embed(batch.column("caption").to_pylist())
+        ids, hosts, fmts, qs = [], [], [], []
+        for k, row in enumerate(batch.to_pylist()):
+            rgb = decode_png(row["bytes"])
+            feat = embed_rgb(rgb).astype(np.float64)
+            align = float(np.dot(feat, cap_vecs[k]))
+            ids.append(row["image_id"])
+            hosts.append(row["host"])
+            fmts.append(row["fmt"])
+            qs.append(int(np.floor(align * ALIGN_SCALE)))
+        return pa.table({
+            "image_id": pa.array(ids, pa.string()),
+            "host": pa.array(hosts, pa.string()),
+            "fmt": pa.array(fmts, pa.string()),
+            "align_q": pa.array(qs, pa.int64()),
+        })
 
 
 def phash_near_dups(features_ds, max_hamming: int = 6) -> pd.DataFrame:

@@ -120,17 +120,26 @@ def test_jsonl_export_resume_and_roundtrip(ray_session, store_root, tmp_path):
         line = json.loads(f.readline())
     assert sorted(line) == ["caption", "fmt", "h", "image_id", "phash", "w"]
 
-    # full re-run = manifest no-op; killing one file rebuilds only it
-    inodes = {s: os.stat(os.path.join(out, f"shard-{s}.jsonl")).st_ino
-              for s in range(N_SHARDS)}
+    # full re-run = manifest no-op; killing one file rebuilds only it.
+    # "skipped" is evidenced by (inode, mtime_ns) both surviving — a bare
+    # inode compare is flaky because the fs may hand the deleted shard's
+    # freed inode straight back to its replacement.
+    def _sig(s):
+        st = os.stat(os.path.join(out, f"shard-{s}.jsonl"))
+        return (st.st_ino, st.st_mtime_ns)
+
+    sigs = {s: _sig(s) for s in range(N_SHARDS)}
     again = export_jsonl_shards(root, out, n_shards=N_SHARDS)
     assert again.equals(first)
+    assert all(_sig(s) == sigs[s] for s in range(N_SHARDS))
     os.remove(os.path.join(out, "shard-1.jsonl"))
     resumed = export_jsonl_shards(root, out, n_shards=N_SHARDS)
     assert resumed.equals(first)
     for s in range(N_SHARDS):
-        same = os.stat(os.path.join(out, f"shard-{s}.jsonl")).st_ino == inodes[s]
-        assert same == (s != 1)
+        if s == 1:
+            assert os.path.exists(os.path.join(out, f"shard-{s}.jsonl"))
+        else:
+            assert _sig(s) == sigs[s]
 
     back = read_jsonl_shards(out).to_pandas()
     assert len(back) == 42

@@ -1,0 +1,98 @@
+"""Round-5 image training-pipeline kernels: patch-token accounting,
+SDXL-style aspect bucketing (integer-exact nearest-log-aspect), and the
+CLIP-filter-shaped caption↔image alignment stage."""
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from crawler_ray.imaging import decode_png, encode_png
+from crawler_ray.pipelines.multimodal import (
+    ALIGN_SCALE,
+    ASPECT_BUCKETS,
+    CAP_DIM,
+    CaptionAlignStage,
+    aspect_bucket_ids,
+    caption_embed,
+    embed_rgb,
+    patch_tokens,
+)
+from crawler_ray.hashing import xxh64
+
+
+def test_patch_tokens_matches_ceil_loop():
+    rng = np.random.default_rng(7)
+    w = rng.integers(1, 5000, 300)
+    h = rng.integers(1, 5000, 300)
+    got = patch_tokens(w, h)
+    want = [math.ceil(a / 14) * math.ceil(b / 14) for a, b in zip(w, h)]
+    assert got.tolist() == want
+    assert patch_tokens([14], [14]).tolist() == [1]
+    assert patch_tokens([15], [14]).tolist() == [2]
+
+
+def test_aspect_bucket_matches_log_argmin_on_grid():
+    # dense (w, h) sweep: the integer geometric-mean rule must agree with
+    # a float log-space argmin everywhere the float answer is unambiguous
+    w, h = np.meshgrid(np.arange(32, 200), np.arange(32, 200))
+    w, h = w.ravel(), h.ravel()
+    got = aspect_bucket_ids(w, h)
+    la = np.log(w / h)
+    lb = np.array([math.log(bw / bh) for bw, bh in ASPECT_BUCKETS])
+    want = np.abs(la[:, None] - lb[None, :]).argmin(axis=1)
+    assert (got == want).all()
+
+
+def test_aspect_bucket_exact_aspect_and_clamps():
+    # exact bucket aspect picks that bucket; out-of-range clamps to the ends
+    bw, bh = ASPECT_BUCKETS[3]
+    assert aspect_bucket_ids([bw // 64], [bh // 64]).tolist() == [3]
+    assert aspect_bucket_ids([1], [100]).tolist() == [0]
+    assert aspect_bucket_ids([100], [1]).tolist() == [len(ASPECT_BUCKETS) - 1]
+
+
+def test_aspect_bucket_geometric_tie_picks_lower_index():
+    # buckets with aspects 1/2 and 2: geometric mean is exactly 1, so a
+    # square image is an exact tie — the rule must keep the smaller index
+    buckets = ((512, 1024), (1024, 512))
+    assert aspect_bucket_ids([100], [100], buckets=buckets).tolist() == [0]
+
+
+def test_caption_embed_matches_token_loop_and_handles_empty():
+    caps = ["big red house near park", "", None, "a a a b"]
+    mat = caption_embed(caps)
+    assert mat.shape == (4, CAP_DIM)
+    # empty / null captions embed to the zero vector (no NaN from 0-norm)
+    assert not mat[1].any() and not mat[2].any()
+    for i in (0, 3):
+        vec = np.zeros(CAP_DIM)
+        for t in caps[i].split():
+            vec[int(xxh64(t) % CAP_DIM)] += 1.0
+        vec /= np.linalg.norm(vec)
+        assert np.array_equal(mat[i], vec)
+    # repeated tokens are count-weighted, not set-weighted
+    assert mat[3].max() > 0.9
+
+
+def test_caption_align_stage_matches_row_loop():
+    rng = np.random.default_rng(11)
+    imgs = [rng.integers(0, 256, (h, w, 3), np.uint8) for w, h in
+            ((64, 48), (80, 80), (48, 96))]
+    caps = ["sunny two bed flat", "quiet loft", "garden studio near line"]
+    batch = pa.table({
+        "image_id": pa.array([f"i{k}" for k in range(3)], pa.string()),
+        "bytes": pa.array([encode_png(a) for a in imgs], pa.binary()),
+        "w": pa.array([a.shape[1] for a in imgs], pa.int32()),
+        "h": pa.array([a.shape[0] for a in imgs], pa.int32()),
+        "fmt": pa.array(["png"] * 3, pa.string()),
+        "caption": pa.array(caps, pa.string()),
+        "host": pa.array(["h1", "h2", "h1"], pa.string()),
+    })
+    out = CaptionAlignStage()(batch).to_pandas()
+    assert list(out.columns) == ["image_id", "host", "fmt", "align_q"]
+    cv = caption_embed(caps)
+    for k in range(3):
+        feat = embed_rgb(decode_png(encode_png(imgs[k]))).astype(np.float64)
+        q = int(np.floor(float(np.dot(feat, cv[k])) * ALIGN_SCALE))
+        assert out["align_q"].iloc[k] == q

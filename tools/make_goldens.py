@@ -463,6 +463,84 @@ def image_goldens(o, params):
 
 
 # ---------------------------------------------------------------------------
+# Round-5 image goldens: patch-token accounting, aspect bucketing,
+# caption↔image alignment — straight per-row loops over the oracle store
+# ---------------------------------------------------------------------------
+
+def image_r5_goldens(o, params):
+    import math
+
+    from crawler_ray.imaging import decode_png
+    from crawler_ray.pipelines.multimodal import (
+        ALIGN_SCALE,
+        ASPECT_BUCKETS,
+        CAP_DIM,
+        MAX_PATCH_TOKENS,
+        VIT_PATCH,
+        _block_mean,
+    )
+    from __ray_entry__ import ALIGN_MIN_Q
+
+    # patch tokens per fmt: plain math.ceil loop
+    pt: dict[str, list[int]] = {}
+    for r in o["store"]:
+        tok = math.ceil(int(r["w"]) / VIT_PATCH) * math.ceil(int(r["h"]) / VIT_PATCH)
+        s = pt.setdefault(r["fmt"], [0, 0, 0, 0])
+        s[0] += 1
+        s[1] += tok
+        s[2] = max(s[2], tok)
+        s[3] += 1 if tok > MAX_PATCH_TOKENS else 0
+    write("image_patch_tokens", pd.DataFrame(
+        [dict(fmt=f, n_images=np.int64(v[0]), total_tokens=np.int64(v[1]),
+              max_tokens=np.int64(v[2]), n_over_budget=np.int64(v[3]))
+         for f, v in sorted(pt.items())]))
+
+    # aspect buckets: per-row float-log argmin over the bucket table (the
+    # engine's integer geometric-mean rule must agree; exact rational ties
+    # are impossible for the fixture's small w/h — asserted in tests)
+    ba: dict[int, list[int]] = {}
+    for r in o["store"]:
+        w, h = int(r["w"]), int(r["h"])
+        la = math.log(w / h)
+        dists = [abs(la - math.log(bw / bh)) for bw, bh in ASPECT_BUCKETS]
+        b = dists.index(min(dists))
+        s = ba.setdefault(b, [0, 0])
+        s[0] += 1
+        s[1] += w * h
+    write("image_aspect_buckets", pd.DataFrame(
+        [dict(bucket_w=np.int64(ASPECT_BUCKETS[b][0]),
+              bucket_h=np.int64(ASPECT_BUCKETS[b][1]),
+              n_images=np.int64(v[0]), total_pixels=np.int64(v[1]))
+         for b, v in sorted(ba.items())]))
+
+    # caption alignment: per-row decode + block-mean embed (shared kernels,
+    # same standard as image_features) with a per-token Python loop for the
+    # text tower, then a dict rollup per host
+    al: dict[str, list[int]] = {}
+    for r in o["store"]:
+        rgb = decode_png(image_bytes(r["image_id"], r["w"], r["h"], r["fmt"], 42))
+        gray = rgb.astype(np.float64).mean(axis=2)
+        feat = _block_mean(gray, 8, 8).ravel()
+        norm = np.linalg.norm(feat)
+        feat = (feat / norm if norm else feat).astype(np.float32).astype(np.float64)
+        vec = np.zeros(CAP_DIM, np.float64)
+        for tok in r["caption"].split():
+            vec[int(xxh64(tok) % CAP_DIM)] += 1.0
+        vnorm = np.linalg.norm(vec)
+        if vnorm:
+            vec /= vnorm
+        q = int(np.floor(float(np.dot(feat, vec)) * ALIGN_SCALE))
+        s = al.setdefault(r["host"], [0, 0, 0])
+        s[0] += 1
+        s[1] += 1 if q >= ALIGN_MIN_Q else 0
+        s[2] += q
+    write("image_caption_align", pd.DataFrame(
+        [dict(host=hst, n_images=np.int64(v[0]), n_pass=np.int64(v[1]),
+              avg_align_q=np.int64(v[2] // v[0]))
+         for hst, v in sorted(al.items())]))
+
+
+# ---------------------------------------------------------------------------
 # Text goldens over the sf0.01 documents table
 # ---------------------------------------------------------------------------
 
@@ -1258,6 +1336,7 @@ if __name__ == "__main__":
     o, params = crawl_goldens()
     export_golden(o)
     image_goldens(o, params)
+    image_r5_goldens(o, params)
     text_goldens()
     ann_golden()
     ann_ivf_golden()
