@@ -264,6 +264,102 @@ def _image_caption_align(sf_dir: str):
     return out.sort_values("host").reset_index(drop=True)
 
 
+IMG_BATCH_TOKEN_BUDGET = 96  # patch tokens per training micro-batch
+
+
+def _image_batch_packing(sf_dir: str):
+    """Bucketed training-batch packing (the SDXL dataloader constraint:
+    an image may only batch with same-aspect-bucket peers): within each
+    aspect bucket, in image_id order, pack images into fixed
+    IMG_BATCH_TOKEN_BUDGET micro-batches — batch_idx =
+    exclusive-prefix-sum(patch_tokens) // budget. The scan is the
+    distributed partitioned prefix sum (scan.grouped_cumulative_sum_ds,
+    O(blocks) driver carry); per-image buckets/tokens come from one
+    vectorized map. The gather is driver-contract-only."""
+    import numpy as np
+    import pandas as pd
+
+    from crawler_ray.functions import scan
+    from crawler_ray.pipelines.multimodal import (
+        ASPECT_BUCKETS,
+        aspect_bucket_ids,
+        patch_tokens,
+    )
+
+    def annotate(b: pd.DataFrame) -> pd.DataFrame:
+        w = b["w"].to_numpy(np.int64)
+        h = b["h"].to_numpy(np.int64)
+        return pd.DataFrame({"image_id": b["image_id"].astype(object),
+                             "bucket": aspect_bucket_ids(w, h),
+                             "n_tokens": patch_tokens(w, h)})
+
+    import ray.data as rd
+
+    from crawler_ray.sources import lance_layout as ll
+
+    run = _crawl_run("queries")
+    m = ll.latest_manifest(run.root)
+    paths = ll.fragment_paths(run.root, "store", m["tables"]["store"])
+    meta = rd.read_parquet(paths, columns=["image_id", "w", "h"])
+    ann = meta.map_batches(annotate, batch_format="pandas")
+    packed = scan.grouped_cumulative_sum_ds(
+        ann, "bucket", ["image_id"], "n_tokens",
+        out_col="tok_before", exclusive=True)
+    res = packed.to_pandas()
+    res["batch_idx"] = (res["tok_before"].to_numpy(np.int64)
+                        // IMG_BATCH_TOKEN_BUDGET).astype(np.int64)
+    bw = {i: b[0] for i, b in enumerate(ASPECT_BUCKETS)}
+    bh = {i: b[1] for i, b in enumerate(ASPECT_BUCKETS)}
+    res["bucket_w"] = res["bucket"].map(bw).astype(np.int64)
+    res["bucket_h"] = res["bucket"].map(bh).astype(np.int64)
+    res["n_tokens"] = res["n_tokens"].astype(np.int64)
+    out = res[["image_id", "bucket_w", "bucket_h", "n_tokens", "batch_idx"]]
+    return out.sort_values("image_id").reset_index(drop=True)
+
+
+def _image_bucket_resize(sf_dir: str):
+    """Bucket-target resize (the preprocessing step after bucket
+    assignment: every image lands on its bucket's exact output dims):
+    an actor-pool stage decodes, box-resizes into ASPECT_BUCKETS[b] //
+    BUCKET_SCALE_DIV and re-encodes PNG — fully real end-to-end — and the
+    query proves bit-exactness across the pool with a per-bucket digest
+    sum (Σ xxh64(png_bytes) mod 2³¹, layout-independent int64) plus the
+    uniform output dims."""
+    import numpy as np
+    import pandas as pd
+
+    from crawler_ray.hashing import xxh64_array
+    from crawler_ray.pipelines.multimodal import ASPECT_BUCKETS, BucketResizeStage
+    from crawler_ray.pipelines.queries import _fold
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        dig = (xxh64_array(b["bytes"].tolist()) % np.uint64(2**31)).astype(np.int64)
+        s = pd.DataFrame({"bucket": b["bucket"].to_numpy(np.int64),
+                          "out_w": b["out_w"].to_numpy(np.int64),
+                          "out_h": b["out_h"].to_numpy(np.int64),
+                          "dig": dig})
+        return s.groupby(["bucket", "out_w", "out_h"], as_index=False).agg(
+            n_images=("dig", "size"), digest_sum=("dig", "sum"))
+
+    resized = _store_ds().map_batches(
+        BucketResizeStage, batch_format="pyarrow", batch_size=64,
+        concurrency=2)
+    out = _fold(resized.map_batches(partial, batch_format="pandas"),
+                ["bucket", "out_w", "out_h"],
+                dict(n_images=("n_images", "sum"),
+                     digest_sum=("digest_sum", "sum")))
+    bw = {i: b[0] for i, b in enumerate(ASPECT_BUCKETS)}
+    bh = {i: b[1] for i, b in enumerate(ASPECT_BUCKETS)}
+    out["bucket_w"] = out["bucket"].map(bw).astype(np.int64)
+    out["bucket_h"] = out["bucket"].map(bh).astype(np.int64)
+    out = out[["bucket_w", "bucket_h", "out_w", "out_h",
+               "n_images", "digest_sum"]]
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return (out.sort_values(["bucket_w", "bucket_h"])
+            .reset_index(drop=True))
+
+
 def _image_dup_clusters(sf_dir: str):
     """Image duplicate CLUSTERS: banded phash near-dup pairs (Hamming ≤ 6)
     → connected components (dedup_ops.connected_components — vectorized
@@ -857,6 +953,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["image_patch_tokens"] = _image_patch_tokens
     out["image_aspect_buckets"] = _image_aspect_buckets
     out["image_caption_align"] = _image_caption_align
+    out["image_batch_packing"] = _image_batch_packing
+    out["image_bucket_resize"] = _image_bucket_resize
     out["image_dup_clusters"] = _image_dup_clusters
     out["image_dedup_keep_best"] = _image_dedup_keep_best
     out["image_corpus_build"] = _image_corpus_build
@@ -898,7 +996,8 @@ _GOLDEN_CHECKED = (
     "crawl_order", "crawl_seen", "crawl_dlq", "crawl_pages",
     "crawl_store_meta", "crawl_header_stats", "image_features",
     "image_phash_dups", "image_quality_gate", "image_patch_tokens",
-    "image_aspect_buckets", "image_caption_align", "image_dup_clusters",
+    "image_aspect_buckets", "image_caption_align", "image_batch_packing",
+    "image_bucket_resize", "image_dup_clusters",
     "image_dedup_keep_best", "image_corpus_build",
     "image_feature_near_dups",
     "minhash_near_dups", "simhash_near_dups",

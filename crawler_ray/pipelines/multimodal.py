@@ -193,6 +193,50 @@ class CaptionAlignStage:
         })
 
 
+BUCKET_SCALE_DIV = 32   # fixture-scale bucket targets: ASPECT_BUCKETS / 32
+#                         (the real pipeline resizes into the 1024-class
+#                         dims themselves; the fixture's 48–96 px images
+#                         need targets ≤ 48 so the box filter only ever
+#                         downsamples — _block_mean has no upscale path)
+
+
+class BucketResizeStage:
+    """Actor-pool stage: decode → resize each image into its aspect
+    bucket's fixed target (``ASPECT_BUCKETS[b] // BUCKET_SCALE_DIV``, the
+    SDXL preprocessing step that follows bucket assignment) → re-encode
+    PNG. Fully real end-to-end (pure-numpy codec + box filter). Emits
+    (image_id, bucket, out_w, out_h, bytes)."""
+
+    def __init__(self, scale_div: int = BUCKET_SCALE_DIV):
+        self.scale_div = scale_div
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from crawler_ray.imaging import encode_png
+
+        ws = batch.column("w").to_numpy()
+        hs = batch.column("h").to_numpy()
+        buckets = aspect_bucket_ids(ws, hs)
+        ids, bks, ows, ohs, bts = [], [], [], [], []
+        for k, row in enumerate(batch.to_pylist()):
+            b = int(buckets[k])
+            tw = ASPECT_BUCKETS[b][0] // self.scale_div
+            th = ASPECT_BUCKETS[b][1] // self.scale_div
+            rgb = decode_png(row["bytes"])
+            out = resize_rgb(rgb, th, tw)
+            ids.append(row["image_id"])
+            bks.append(b)
+            ows.append(tw)
+            ohs.append(th)
+            bts.append(encode_png(out))
+        return pa.table({
+            "image_id": pa.array(ids, pa.string()),
+            "bucket": pa.array(bks, pa.int64()),
+            "out_w": pa.array(ows, pa.int32()),
+            "out_h": pa.array(ohs, pa.int32()),
+            "bytes": pa.array(bts, pa.binary()),
+        })
+
+
 def phash_near_dups(features_ds, max_hamming: int = 6) -> pd.DataFrame:
     """Near-duplicate images by phash Hamming distance, distributed: band
     explode via map_batches → sort-shuffle bucket collision with per-block

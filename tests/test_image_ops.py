@@ -75,6 +75,63 @@ def test_caption_embed_matches_token_loop_and_handles_empty():
     assert mat[3].max() > 0.9
 
 
+def test_bucket_resize_stage_hits_bucket_targets_and_is_deterministic():
+    from crawler_ray.pipelines.multimodal import (
+        BUCKET_SCALE_DIV,
+        BucketResizeStage,
+        resize_rgb,
+    )
+
+    rng = np.random.default_rng(5)
+    dims = [(64, 48), (48, 96), (96, 48), (80, 80)]
+    imgs = [rng.integers(0, 256, (h, w, 3), np.uint8) for w, h in dims]
+    batch = pa.table({
+        "image_id": pa.array([f"i{k}" for k in range(len(imgs))], pa.string()),
+        "bytes": pa.array([encode_png(a) for a in imgs], pa.binary()),
+        "w": pa.array([d[0] for d in dims], pa.int32()),
+        "h": pa.array([d[1] for d in dims], pa.int32()),
+    })
+    out = BucketResizeStage()(batch).to_pandas()
+    buckets = aspect_bucket_ids([d[0] for d in dims], [d[1] for d in dims])
+    for k in range(len(imgs)):
+        b = int(buckets[k])
+        tw = ASPECT_BUCKETS[b][0] // BUCKET_SCALE_DIV
+        th = ASPECT_BUCKETS[b][1] // BUCKET_SCALE_DIV
+        assert (out["out_w"].iloc[k], out["out_h"].iloc[k]) == (tw, th)
+        # fixture guarantee: bucket targets never upscale (no upscale path)
+        assert tw <= dims[k][0] and th <= dims[k][1]
+        want = encode_png(resize_rgb(decode_png(encode_png(imgs[k])), th, tw))
+        assert out["bytes"].iloc[k] == want
+    # re-running the stage is byte-identical (digest-sum check relies on it)
+    out2 = BucketResizeStage()(batch).to_pandas()
+    assert (out["bytes"] == out2["bytes"]).all()
+
+
+def test_grouped_packing_matches_running_sum_loop(ray_session):
+    import ray.data as rd
+
+    from crawler_ray.functions import scan
+
+    rng = np.random.default_rng(9)
+    n = 500
+    df = pd.DataFrame({"image_id": [f"im{k:04d}" for k in range(n)],
+                       "bucket": rng.integers(0, 4, n),
+                       "n_tokens": rng.integers(10, 50, n)})
+    ds = rd.from_pandas(df.sample(frac=1, random_state=1)).repartition(7)
+    got = scan.grouped_cumulative_sum_ds(
+        ds, "bucket", ["image_id"], "n_tokens",
+        out_col="tok_before", exclusive=True).to_pandas()
+    got["batch_idx"] = got["tok_before"] // 96
+    got = got.sort_values("image_id").reset_index(drop=True)
+    run: dict = {}
+    want = []
+    for r in df.sort_values("image_id").itertuples():
+        before = run.get(r.bucket, 0)
+        run[r.bucket] = before + r.n_tokens
+        want.append(before // 96)
+    assert got["batch_idx"].tolist() == want
+
+
 def test_caption_align_stage_matches_row_loop():
     rng = np.random.default_rng(11)
     imgs = [rng.integers(0, 256, (h, w, 3), np.uint8) for w, h in

@@ -539,6 +539,55 @@ def image_r5_goldens(o, params):
               avg_align_q=np.int64(v[2] // v[0]))
          for hst, v in sorted(al.items())]))
 
+    # bucket assignment shared by the next two goldens: independent
+    # float-log argmin per row (vs the engine's integer rule)
+    def bucket_of(w: int, h: int) -> int:
+        la = math.log(w / h)
+        dists = [abs(la - math.log(bw / bh)) for bw, bh in ASPECT_BUCKETS]
+        return dists.index(min(dists))
+
+    # bucketed batch packing: per bucket in image_id order, a plain
+    # running-sum loop with batch = floor(tokens_before / budget)
+    from __ray_entry__ import IMG_BATCH_TOKEN_BUDGET
+
+    run_tok: dict[int, int] = {}
+    prows = []
+    for r in sorted(o["store"], key=lambda r: r["image_id"]):
+        w, h = int(r["w"]), int(r["h"])
+        b = bucket_of(w, h)
+        tok = math.ceil(w / VIT_PATCH) * math.ceil(h / VIT_PATCH)
+        before = run_tok.get(b, 0)
+        run_tok[b] = before + tok
+        prows.append(dict(image_id=r["image_id"],
+                          bucket_w=np.int64(ASPECT_BUCKETS[b][0]),
+                          bucket_h=np.int64(ASPECT_BUCKETS[b][1]),
+                          n_tokens=np.int64(tok),
+                          batch_idx=np.int64(before // IMG_BATCH_TOKEN_BUDGET)))
+    write("image_batch_packing", pd.DataFrame(prows))
+
+    # bucket-target resize: per-row decode → box resize → encode → digest
+    # (shared codec/resize kernels; the rollup loop is the independent part)
+    from crawler_ray.imaging import encode_png
+    from crawler_ray.pipelines.multimodal import BUCKET_SCALE_DIV, resize_rgb
+
+    rz: dict[tuple, list[int]] = {}
+    for r in o["store"]:
+        w, h = int(r["w"]), int(r["h"])
+        b = bucket_of(w, h)
+        tw = ASPECT_BUCKETS[b][0] // BUCKET_SCALE_DIV
+        th = ASPECT_BUCKETS[b][1] // BUCKET_SCALE_DIV
+        rgb = decode_png(image_bytes(r["image_id"], r["w"], r["h"], r["fmt"], 42))
+        data = encode_png(resize_rgb(rgb, th, tw))
+        key = (ASPECT_BUCKETS[b][0], ASPECT_BUCKETS[b][1], tw, th)
+        s = rz.setdefault(key, [0, 0])
+        s[0] += 1
+        s[1] += int(xxh64(data) % 2**31)
+    write("image_bucket_resize", pd.DataFrame(
+        [dict(bucket_w=np.int64(k[0]), bucket_h=np.int64(k[1]),
+              out_w=np.int64(k[2]), out_h=np.int64(k[3]),
+              n_images=np.int64(v[0]), digest_sum=np.int64(v[1]))
+         for k, v in sorted(rz.items())]))
+
 
 # ---------------------------------------------------------------------------
 # Text goldens over the sf0.01 documents table
