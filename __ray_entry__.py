@@ -897,6 +897,38 @@ def _training_shards_jsonl(sf_dir: str):
     return first
 
 
+def _training_shards_wds(sf_dir: str):
+    """WebDataset tar export (pipelines/export.py export_wds_shards): each
+    shard is a deterministic POSIX ustar archive of {image_id}.png +
+    {image_id}.json sample pairs written by the spec-implemented writer in
+    sources/wds_tar.py; digest = xxh64 of the exact archive bytes, and the
+    GOLDEN writes its archives with stdlib tarfile — engine and oracle
+    meet only at the published tar format. Also asserts resume no-op and
+    the parse-back roundtrip (read_wds_shards sample count + byte
+    equality of one decoded image against the parquet shard layer)."""
+    import shutil
+
+    run = _crawl_run("queries")
+    out = "/tmp/crawler_ray_entry_export_wds"
+    shutil.rmtree(out, ignore_errors=True)
+    from crawler_ray.pipelines.export import (
+        export_wds_shards,
+        read_training_shards,
+        read_wds_shards,
+    )
+
+    first = export_wds_shards(run.root, out, n_shards=8)
+    again = export_wds_shards(run.root, out, n_shards=8)  # resume = no-op
+    assert first.equals(again), "wds re-export must be a manifest no-op"
+    back = read_wds_shards(out).to_pandas().sort_values("image_id")
+    assert len(back) == int(first["n_samples"].sum())
+    pqb = (read_training_shards(out).to_pandas()
+           .sort_values("image_id").reset_index(drop=True))
+    assert (back["bytes"].to_numpy() == pqb["bytes"].to_numpy()).all(), \
+        "tar-decoded image bytes must equal the parquet shard layer"
+    return first
+
+
 def _training_shards(sf_dir: str):
     """Resumable training-shard export over the image+caption store
     (pipelines/export.py): write-time shard bucketing by mixed phash (exact
@@ -959,6 +991,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["image_dedup_keep_best"] = _image_dedup_keep_best
     out["image_corpus_build"] = _image_corpus_build
     out["training_shards_jsonl"] = _training_shards_jsonl
+    out["training_shards_wds"] = _training_shards_wds
     # flagship crawl outputs (deterministic synthetic web)
     out["crawl_store_meta"] = _crawl_table("store")
     # multimodal (decode/feature/near-dup over the image store)
@@ -1010,6 +1043,7 @@ _GOLDEN_CHECKED = (
     "crawl_city_locations", "crawl_similar_nearby", "image_thumbnails",
     "image_ann_topk", "city_image_stats",
     "crawl_recrawl_delta", "training_shards", "training_shards_jsonl",
+    "training_shards_wds",
     "audio_clip_features", "video_frame_sample",
     "audio_near_dups", "video_near_dups", "bpe_tokenize", "embedding_pca",
     "image_increment_dups", "corpus_build_neardup",

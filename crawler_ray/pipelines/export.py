@@ -255,6 +255,121 @@ def read_jsonl_shards(out: str, shards: list[int] | None = None):
     return parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
 
 
+def _wds_one(shard: int, out: str) -> pd.DataFrame:
+    from crawler_ray.hashing import xxh64
+    from crawler_ray.sources.wds_tar import tar_bytes
+
+    b = pq.read_table(os.path.join(out, f"shard-{shard}.parquet")).to_pandas()
+    for c in ("w", "h"):
+        b[c] = b[c].astype(int)
+    b["phash"] = b["phash"].astype(np.int64)
+    members: list[tuple[str, bytes]] = []
+    for r in b.itertuples(index=False):
+        meta = {"caption": str(r.caption), "fmt": str(r.fmt), "h": int(r.h),
+                "image_id": str(r.image_id), "phash": int(r.phash),
+                "w": int(r.w)}  # == _jsonl_payload's canonical form
+        members.append((f"{r.image_id}.png", bytes(r.bytes)))
+        members.append((f"{r.image_id}.json", json.dumps(
+            meta, sort_keys=True, separators=(",", ":"),
+            ensure_ascii=True).encode("utf-8")))
+    payload = tar_bytes(members)
+    tmp = os.path.join(out, "_tmp")
+    os.makedirs(tmp, exist_ok=True)
+    tp = os.path.join(tmp, f"shard-{shard}.tar")
+    with open(tp, "wb") as f:
+        f.write(payload)
+    os.replace(tp, os.path.join(out, f"shard-{shard}.tar"))
+    return pd.DataFrame({"shard": [np.int64(shard)],
+                         "n_samples": [np.int64(len(b))],
+                         "digest": [f"{xxh64(payload):016x}"]})
+
+
+def export_wds_shards(store_root: str, out: str, n_shards: int = 8) -> pd.DataFrame:
+    """WebDataset-style tar sink LAYERED on the parquet export (same
+    layering as ``export_jsonl_shards``): each final ``shard-K.tar`` holds
+    one sample per kept (deduped) pair in image_id order — the member pair
+    ``{image_id}.png`` (stored image bytes) + ``{image_id}.json`` (the
+    canonical metadata object, identical serialization to the JSONL
+    sidecar) — written by the spec-implemented deterministic ustar writer
+    (sources/wds_tar.py), so shard bytes and digests are reproducible
+    anywhere. One Ray task per pending shard; a ``_wds_manifest.json``
+    records n_samples + digest and re-runs skip finished files."""
+    pq_manifest = export_training_shards(store_root, out, n_shards)
+    wm_path = os.path.join(out, "_wds_manifest.json")
+    done: dict[str, dict] = {}
+    if os.path.exists(wm_path):
+        with open(wm_path) as f:
+            prev = json.load(f)
+        if prev.get("n_shards") != n_shards:
+            raise ValueError(
+                f"wds export at {out} was built with "
+                f"n_shards={prev.get('n_shards')}; got {n_shards}")
+        done = {s: m for s, m in prev.get("shards", {}).items()
+                if os.path.exists(os.path.join(out, f"shard-{s}.tar"))}
+    pending = [s for s in range(n_shards) if str(s) not in done]
+    if pending:
+        stats = (rd.from_pandas(pd.DataFrame({"shard": np.array(pending, np.int64)}))
+                 .repartition(len(pending))
+                 .map_batches(
+                     lambda r, out=out: pd.concat(
+                         [_wds_one(int(s), out) for s in r["shard"]],
+                         ignore_index=True),
+                     batch_format="pandas", batch_size=None)
+                 .to_pandas())
+        for r in stats.itertuples(index=False):
+            done[str(int(r.shard))] = {"n_samples": int(r.n_samples),
+                                       "digest": r.digest}
+        tmp = wm_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"n_shards": n_shards, "shards": done}, f, sort_keys=True)
+        os.replace(tmp, wm_path)
+    rows = [{"shard": np.int64(int(s)), "n_samples": np.int64(m["n_samples"]),
+             "digest": m["digest"]} for s, m in done.items()]
+    out_df = pd.DataFrame(rows, columns=["shard", "n_samples", "digest"])
+    for c in ("shard", "n_samples"):
+        out_df[c] = out_df[c].astype(np.int64)
+    assert len(out_df) == len(pq_manifest)
+    return out_df.sort_values("shard").reset_index(drop=True)
+
+
+def read_wds_shards(out: str, shards: list[int] | None = None):
+    """Source side of the tar sink: parse the finished shards back into a
+    lazy Dataset of samples (image_id, bytes, caption, fmt, w, h, phash) —
+    one task per shard runs the spec ustar parser and regroups the
+    ``.png``/``.json`` member pair; manifest-validated like the other
+    readers."""
+    with open(os.path.join(out, "_wds_manifest.json")) as f:
+        m = json.load(f)
+    want = sorted(m["shards"], key=int) if shards is None else [str(s) for s in shards]
+    missing = [s for s in want if s not in m["shards"]]
+    if missing:
+        raise ValueError(f"wds shards not in manifest: {missing}")
+
+    def load(rows: pd.DataFrame) -> pd.DataFrame:
+        from crawler_ray.sources.wds_tar import parse_ustar
+
+        recs = []
+        for s in rows["shard"]:
+            with open(os.path.join(out, f"shard-{int(s)}.tar"), "rb") as f:
+                members = dict(parse_ustar(f.read()))
+            for name, data in members.items():
+                if not name.endswith(".json"):
+                    continue
+                meta = json.loads(data)
+                meta["bytes"] = members[meta["image_id"] + ".png"]
+                recs.append(meta)
+        cols = ["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
+        if not recs:
+            return pd.DataFrame({c: pd.Series(
+                [], dtype=(object if c in ("image_id", "bytes", "fmt", "caption")
+                           else np.int64)) for c in cols})
+        return pd.DataFrame(recs)[cols]
+
+    shard_ids = pd.DataFrame({"shard": np.array([int(s) for s in want], np.int64)})
+    return (rd.from_pandas(shard_ids).repartition(max(1, len(want)))
+            .map_batches(load, batch_format="pandas", batch_size=None))
+
+
 def export_training_shards(store_root: str, out: str, n_shards: int = 8) -> pd.DataFrame:
     """Export the crawl store at ``store_root`` into ``n_shards`` final
     parquet shards under ``out``; returns the per-shard manifest frame.

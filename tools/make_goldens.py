@@ -1039,6 +1039,43 @@ def export_golden(o):
         jout[c] = jout[c].astype(np.int64)
     write("training_shards_jsonl", jout.sort_values("shard").reset_index(drop=True))
 
+    # WebDataset tar shards: the golden archives are written with STDLIB
+    # tarfile (USTAR format, zeroed metadata) — the engine writes its own
+    # spec-implemented ustar (sources/wds_tar.py), so the two meet only at
+    # the published format; digest = xxh64 of the exact archive bytes
+    import io as _io
+    import tarfile as _tarfile
+
+    wrows = []
+    for s in range(n_shards):
+        kept = sorted(by_shard.get(s, {}).values(), key=lambda r: r["image_id"])
+        buf = _io.BytesIO()
+        with _tarfile.open(fileobj=buf, mode="w",
+                           format=_tarfile.USTAR_FORMAT) as tf:
+            for r in kept:
+                png = image_bytes(r["image_id"], r["w"], r["h"], r["fmt"], 42)
+                meta = _json.dumps(
+                    {"caption": r["caption"], "fmt": r["fmt"],
+                     "h": int(r["h"]), "image_id": r["image_id"],
+                     "phash": int(r["phash"]), "w": int(r["w"])},
+                    sort_keys=True, separators=(",", ":"),
+                    ensure_ascii=True).encode("utf-8")
+                for name, data in ((f"{r['image_id']}.png", png),
+                                   (f"{r['image_id']}.json", meta)):
+                    ti = _tarfile.TarInfo(name)
+                    ti.size = len(data)
+                    ti.mtime = 0
+                    ti.uid = ti.gid = 0
+                    ti.uname = ti.gname = ""
+                    ti.mode = 0o644
+                    tf.addfile(ti, _io.BytesIO(data))
+        wrows.append({"shard": np.int64(s), "n_samples": np.int64(len(kept)),
+                      "digest": f"{xxh64(buf.getvalue()):016x}"})
+    wout = pd.DataFrame(wrows, columns=["shard", "n_samples", "digest"])
+    for c in ("shard", "n_samples"):
+        wout[c] = wout[c].astype(np.int64)
+    write("training_shards_wds", wout.sort_values("shard").reset_index(drop=True))
+
 
 def audio_golden():
     """Independent audio decoder: the STDLIB `wave` module parses the same
