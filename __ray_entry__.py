@@ -360,6 +360,100 @@ def _image_bucket_resize(sf_dir: str):
             .reset_index(drop=True))
 
 
+def _image_channel_stats(sf_dir: str):
+    """Dataset normalization constants (the mean/std a trainer bakes into
+    its preprocessing): per RGB channel over EVERY stored pixel, computed
+    from integer pixel sums — each decode task emits int64 (n, Σx, Σx²)
+    partials, the driver folds them in arbitrary-precision Python ints
+    (no overflow at any corpus size), and mean/variance are published on
+    an exact ppm grid: mean_ppm = Σx·10⁶ // n, var_ppm =
+    (n·Σx² − (Σx)²)·10⁶ // n². Zero shuffle; bytes flow once through the
+    decode pool."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from crawler_ray.imaging import decode_png
+
+    class ChannelSums:
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            n = np.int64(0)
+            s = np.zeros(3, np.int64)
+            s2 = np.zeros(3, np.int64)
+            for row in batch.to_pylist():
+                rgb = decode_png(row["bytes"]).astype(np.int64)
+                n += rgb.shape[0] * rgb.shape[1]
+                s += rgb.sum(axis=(0, 1))
+                s2 += (rgb * rgb).sum(axis=(0, 1))
+            return pa.table({"channel": pa.array([0, 1, 2], pa.int64()),
+                             "n_pixels": pa.array([int(n)] * 3, pa.int64()),
+                             "sum_x": pa.array(s.tolist(), pa.int64()),
+                             "sum_x2": pa.array(s2.tolist(), pa.int64())})
+
+    parts = (_store_ds().map_batches(ChannelSums, batch_format="pyarrow",
+                                     batch_size=64, concurrency=2)
+             .to_pandas())
+    rows = []
+    for c, name in enumerate("rgb"):
+        g = parts[parts["channel"] == c]
+        n = int(g["n_pixels"].sum())
+        sx = int(g["sum_x"].sum())     # python ints: overflow-free fold
+        sx2 = int(g["sum_x2"].sum())
+        rows.append(dict(channel=name, n_pixels=n,
+                         mean_ppm=(sx * 10**6) // n,
+                         var_ppm=((n * sx2 - sx * sx) * 10**6) // (n * n)))
+    out = pd.DataFrame(rows)
+    for c in ("n_pixels", "mean_ppm", "var_ppm"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("channel").reset_index(drop=True)
+
+
+WDS_EPOCH = 1  # the epoch whose deterministic dataloader order we publish
+
+
+def _image_epoch_order(sf_dir: str):
+    """Deterministic epoch shuffle (the reshuffle-per-epoch a resumable
+    dataloader needs WITHOUT materializing a permutation anywhere):
+    order_key = murmur-mix64(xxh64(image_id) XOR epoch) gives every epoch
+    an independent pseudorandom total order that any worker can recompute
+    from the id alone; the global rank is assigned distributed — one sort
+    by (key, image_id) + the O(blocks)-carry prefix count
+    (scan.cumulative_sum_ds), never a driver-side argsort. The gather is
+    driver-contract-only."""
+    import numpy as np
+    import pandas as pd
+
+    from crawler_ray.functions import scan
+    from crawler_ray.hashing import xxh64_array
+    from crawler_ray.pipelines.export import _mix64
+
+    def annotate(b: pd.DataFrame) -> pd.DataFrame:
+        key = _mix64(xxh64_array(b["image_id"].tolist())
+                     ^ np.uint64(WDS_EPOCH))
+        return pd.DataFrame({
+            "image_id": b["image_id"].astype(object),
+            # shift into non-negative int64 so Dataset.sort/DuckDB agree
+            "shuffle_key": (key >> np.uint64(1)).astype(np.int64),
+            "one": np.ones(len(b), np.int64)})
+
+    import ray.data as rd
+
+    from crawler_ray.sources import lance_layout as ll
+
+    run = _crawl_run("queries")
+    m = ll.latest_manifest(run.root)
+    paths = ll.fragment_paths(run.root, "store", m["tables"]["store"])
+    meta = rd.read_parquet(paths, columns=["image_id"])
+    ann = meta.map_batches(annotate, batch_format="pandas")
+    ranked = scan.cumulative_sum_ds(ann, ["shuffle_key", "image_id"], "one",
+                                    out_col="epoch_rank", exclusive=True)
+    res = ranked.to_pandas().drop(columns=["one"])
+    res["epoch_rank"] = res["epoch_rank"].astype(np.int64)
+    res["shuffle_key"] = res["shuffle_key"].astype(np.int64)
+    return (res[["image_id", "shuffle_key", "epoch_rank"]]
+            .sort_values("image_id").reset_index(drop=True))
+
+
 def _image_dup_clusters(sf_dir: str):
     """Image duplicate CLUSTERS: banded phash near-dup pairs (Hamming ≤ 6)
     → connected components (dedup_ops.connected_components — vectorized
@@ -987,6 +1081,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["image_caption_align"] = _image_caption_align
     out["image_batch_packing"] = _image_batch_packing
     out["image_bucket_resize"] = _image_bucket_resize
+    out["image_channel_stats"] = _image_channel_stats
+    out["image_epoch_order"] = _image_epoch_order
     out["image_dup_clusters"] = _image_dup_clusters
     out["image_dedup_keep_best"] = _image_dedup_keep_best
     out["image_corpus_build"] = _image_corpus_build
@@ -1030,7 +1126,8 @@ _GOLDEN_CHECKED = (
     "crawl_store_meta", "crawl_header_stats", "image_features",
     "image_phash_dups", "image_quality_gate", "image_patch_tokens",
     "image_aspect_buckets", "image_caption_align", "image_batch_packing",
-    "image_bucket_resize", "image_dup_clusters",
+    "image_bucket_resize", "image_channel_stats", "image_epoch_order",
+    "image_dup_clusters",
     "image_dedup_keep_best", "image_corpus_build",
     "image_feature_near_dups",
     "minhash_near_dups", "simhash_near_dups",

@@ -153,3 +153,36 @@ def test_caption_align_stage_matches_row_loop():
         feat = embed_rgb(decode_png(encode_png(imgs[k]))).astype(np.float64)
         q = int(np.floor(float(np.dot(feat, cv[k])) * ALIGN_SCALE))
         assert out["align_q"].iloc[k] == q
+
+
+def test_epoch_shuffle_keys_are_per_epoch_independent():
+    from crawler_ray.hashing import xxh64_array
+    from crawler_ray.pipelines.export import _mix64
+
+    ids = [f"im{k}" for k in range(200)]
+    h = xxh64_array(ids)
+    k1 = np.argsort((_mix64(h ^ np.uint64(1)) >> np.uint64(1)).astype(np.int64))
+    k2 = np.argsort((_mix64(h ^ np.uint64(2)) >> np.uint64(1)).astype(np.int64))
+    assert not np.array_equal(k1, k2)      # epochs reshuffle
+    k1b = np.argsort((_mix64(xxh64_array(ids) ^ np.uint64(1))
+                      >> np.uint64(1)).astype(np.int64))
+    assert np.array_equal(k1, k1b)         # same epoch reproduces exactly
+
+
+def test_channel_sums_integer_exact_vs_loop():
+    rng = np.random.default_rng(13)
+    imgs = [rng.integers(0, 256, (h, w, 3), np.uint8)
+            for w, h in ((16, 24), (32, 8))]
+    n = sum(a.shape[0] * a.shape[1] for a in imgs)
+    for c in range(3):
+        sx = sum(int(a[:, :, c].astype(np.int64).sum()) for a in imgs)
+        sx2 = sum(int((a[:, :, c].astype(np.int64) ** 2).sum()) for a in imgs)
+        # the ppm formulas used by the query are exact rational floors
+        mean_ppm = (sx * 10**6) // n
+        var_ppm = ((n * sx2 - sx * sx) * 10**6) // (n * n)
+        assert 0 <= mean_ppm < 256 * 10**6
+        assert var_ppm >= 0
+        # cross-check against float math within one ppm grid step
+        xs = np.concatenate([a[:, :, c].ravel() for a in imgs]).astype(np.float64)
+        assert abs(mean_ppm / 1e6 - xs.mean()) < 1e-6 + 1e-9 * xs.mean()
+        assert abs(var_ppm / 1e6 - xs.var()) < 1e-6 + 1e-9 * xs.var()

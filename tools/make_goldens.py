@@ -588,6 +588,47 @@ def image_r5_goldens(o, params):
               n_images=np.int64(v[0]), digest_sum=np.int64(v[1]))
          for k, v in sorted(rz.items())]))
 
+    # per-channel normalization constants: plain per-row/py-int loop
+    n_px = 0
+    sx = [0, 0, 0]
+    sx2 = [0, 0, 0]
+    for r in o["store"]:
+        rgb = decode_png(image_bytes(r["image_id"], r["w"], r["h"], r["fmt"], 42))
+        n_px += rgb.shape[0] * rgb.shape[1]
+        for c in range(3):
+            ch = rgb[:, :, c].astype(np.int64)
+            sx[c] += int(ch.sum())
+            sx2[c] += int((ch * ch).sum())
+    write("image_channel_stats", pd.DataFrame(
+        [dict(channel=name, n_pixels=np.int64(n_px),
+              mean_ppm=np.int64((sx[c] * 10**6) // n_px),
+              var_ppm=np.int64(((n_px * sx2[c] - sx[c] ** 2) * 10**6)
+                               // (n_px * n_px)))
+         for c, name in enumerate("rgb")]))
+
+    # deterministic epoch-shuffle order: scalar-int murmur mix + plain sort
+    MASK64_ = (1 << 64) - 1
+
+    def mix64s(x: int) -> int:
+        x &= MASK64_
+        x ^= x >> 33
+        x = (x * 0xFF51AFD7ED558CCD) & MASK64_
+        x ^= x >> 33
+        x = (x * 0xC4CEB9FE1A85EC53) & MASK64_
+        x ^= x >> 33
+        return x
+
+    from __ray_entry__ import WDS_EPOCH
+
+    keyed = [(mix64s(int(xxh64(r["image_id"])) ^ WDS_EPOCH) >> 1,
+              r["image_id"]) for r in o["store"]]
+    eorder = [dict(image_id=iid, shuffle_key=np.int64(k),
+                   epoch_rank=np.int64(rank))
+              for rank, (k, iid) in enumerate(sorted(keyed))]
+    write("image_epoch_order", (pd.DataFrame(eorder)
+                                .sort_values("image_id")
+                                .reset_index(drop=True)))
+
 
 # ---------------------------------------------------------------------------
 # Text goldens over the sf0.01 documents table
