@@ -1023,6 +1023,56 @@ def _training_shards_wds(sf_dir: str):
     return first
 
 
+def _wds_sample_index(sf_dir: str):
+    """Random-access sample index over the tar shards (the
+    StreamingDataset/MosaicML pattern: a trainer preads one member
+    straight out of object storage instead of streaming the shard): one
+    task per shard walks the ustar header table WITHOUT copying payloads
+    (wds_tar.iter_ustar_index) and emits (image_id, shard, byte_offset,
+    n_bytes) for every stored .png member. The golden reads the same
+    offsets with stdlib tarfile, so the index is pinned to the published
+    format, not to our parser."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    run = _crawl_run("queries")
+    out = "/tmp/crawler_ray_entry_export_wds_idx"
+    import shutil
+    shutil.rmtree(out, ignore_errors=True)
+    from crawler_ray.pipelines.export import export_wds_shards
+
+    manifest = export_wds_shards(run.root, out, n_shards=8)
+
+    def index(rows: pd.DataFrame) -> pd.DataFrame:
+        from crawler_ray.sources.wds_tar import iter_ustar_index
+
+        recs = []
+        for s in rows["shard"]:
+            with open(os.path.join(out, f"shard-{int(s)}.tar"), "rb") as f:
+                data = f.read()
+            for name, off, size in iter_ustar_index(data):
+                if name.endswith(".png"):
+                    recs.append(dict(image_id=name[:-4], shard=int(s),
+                                     byte_offset=off, n_bytes=size))
+        cols = ["image_id", "shard", "byte_offset", "n_bytes"]
+        if not recs:
+            return pd.DataFrame({c: pd.Series(
+                [], dtype=(object if c == "image_id" else np.int64))
+                for c in cols})
+        return pd.DataFrame(recs)[cols]
+
+    shards = pd.DataFrame({"shard": manifest["shard"].to_numpy(np.int64)})
+    res = (rd.from_pandas(shards).repartition(len(shards))
+           .map_batches(index, batch_format="pandas", batch_size=None)
+           .to_pandas())
+    for c in ("shard", "byte_offset", "n_bytes"):
+        res[c] = res[c].astype(np.int64)
+    return res.sort_values("image_id").reset_index(drop=True)
+
+
 def _training_shards(sf_dir: str):
     """Resumable training-shard export over the image+caption store
     (pipelines/export.py): write-time shard bucketing by mixed phash (exact
@@ -1088,6 +1138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["image_corpus_build"] = _image_corpus_build
     out["training_shards_jsonl"] = _training_shards_jsonl
     out["training_shards_wds"] = _training_shards_wds
+    out["wds_sample_index"] = _wds_sample_index
     # flagship crawl outputs (deterministic synthetic web)
     out["crawl_store_meta"] = _crawl_table("store")
     # multimodal (decode/feature/near-dup over the image store)
@@ -1140,7 +1191,7 @@ _GOLDEN_CHECKED = (
     "crawl_city_locations", "crawl_similar_nearby", "image_thumbnails",
     "image_ann_topk", "city_image_stats",
     "crawl_recrawl_delta", "training_shards", "training_shards_jsonl",
-    "training_shards_wds",
+    "training_shards_wds", "wds_sample_index",
     "audio_clip_features", "video_frame_sample",
     "audio_near_dups", "video_near_dups", "bpe_tokenize", "embedding_pca",
     "image_increment_dups", "corpus_build_neardup",

@@ -67,7 +67,16 @@ def tar_bytes(members: list[tuple[str, bytes]]) -> bytes:
 def parse_ustar(data: bytes) -> list[tuple[str, bytes]]:
     """Walk a ustar archive → [(name, member_bytes)]; validates magic and
     the stored checksum of every header (a corrupt shard fails loudly)."""
-    out: list[tuple[str, bytes]] = []
+    return [(n, data[off:off + size])
+            for n, off, size in iter_ustar_index(data)]
+
+
+def iter_ustar_index(data: bytes) -> list[tuple[str, int, int]]:
+    """The archive's member table WITHOUT copying payloads:
+    [(name, data_offset, size)] — what a random-access sample index
+    stores so a trainer can pread one member from object storage. Same
+    magic + checksum validation as :func:`parse_ustar`."""
+    out: list[tuple[str, int, int]] = []
     pos = 0
     while pos + BLOCK <= len(data):
         hdr = data[pos:pos + BLOCK]
@@ -81,7 +90,6 @@ def parse_ustar(data: bytes) -> list[tuple[str, bytes]]:
             raise ValueError(f"ustar checksum mismatch at offset {pos}")
         name = hdr[0:100].split(b"\0", 1)[0].decode("utf-8")
         size = int(hdr[124:135].rstrip(b"\0 ").decode("ascii"), 8)
-        start = pos + BLOCK
-        out.append((name, data[start:start + size]))
-        pos = start + size + ((-size) % BLOCK)
+        out.append((name, pos + BLOCK, size))
+        pos += BLOCK + size + ((-size) % BLOCK)
     return out

@@ -216,3 +216,23 @@ def test_wds_export_resume_and_roundtrip(ray_session, store_root, tmp_path):
 
     with pytest.raises(ValueError, match="n_shards"):
         export_wds_shards(root, out, n_shards=N_SHARDS * 2)
+
+
+def test_ustar_index_offsets_support_pread():
+    import io
+    import tarfile
+
+    from crawler_ray.sources.wds_tar import iter_ustar_index, tar_bytes
+
+    members = [("s0.png", b"\x89PNG" + bytes(range(100))), ("s0.json", b"{}"),
+               ("s1.png", b"Q" * 511)]
+    arch = tar_bytes(members)
+    idx = iter_ustar_index(arch)
+    assert [(n, s) for n, _, s in idx] == [(n, len(d)) for n, d in members]
+    # offsets recover exact member bytes (what a pread-based loader does)
+    for (name, off, size), (_, data) in zip(idx, members):
+        assert arch[off:off + size] == data
+    # and agree with stdlib tarfile's offset_data on the same archive
+    with tarfile.open(fileobj=io.BytesIO(arch)) as tf:
+        for ti, (_, off, size) in zip(tf.getmembers(), idx):
+            assert (ti.offset_data, ti.size) == (off, size)

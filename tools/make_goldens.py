@@ -1117,6 +1117,45 @@ def export_golden(o):
         wout[c] = wout[c].astype(np.int64)
     write("training_shards_wds", wout.sort_values("shard").reset_index(drop=True))
 
+    # random-access sample index: rebuild each shard with stdlib tarfile
+    # and read the member table back with stdlib tarfile (offset_data /
+    # size) — fully engine-independent byte offsets
+    irows = []
+    for s in range(n_shards):
+        kept = sorted(by_shard.get(s, {}).values(), key=lambda r: r["image_id"])
+        buf = _io.BytesIO()
+        with _tarfile.open(fileobj=buf, mode="w",
+                           format=_tarfile.USTAR_FORMAT) as tf:
+            for r in kept:
+                png = image_bytes(r["image_id"], r["w"], r["h"], r["fmt"], 42)
+                meta = _json.dumps(
+                    {"caption": r["caption"], "fmt": r["fmt"],
+                     "h": int(r["h"]), "image_id": r["image_id"],
+                     "phash": int(r["phash"]), "w": int(r["w"])},
+                    sort_keys=True, separators=(",", ":"),
+                    ensure_ascii=True).encode("utf-8")
+                for name, data in ((f"{r['image_id']}.png", png),
+                                   (f"{r['image_id']}.json", meta)):
+                    ti = _tarfile.TarInfo(name)
+                    ti.size = len(data)
+                    ti.mtime = 0
+                    ti.uid = ti.gid = 0
+                    ti.uname = ti.gname = ""
+                    ti.mode = 0o644
+                    tf.addfile(ti, _io.BytesIO(data))
+        with _tarfile.open(fileobj=_io.BytesIO(buf.getvalue())) as tf:
+            for ti in tf.getmembers():
+                if ti.name.endswith(".png"):
+                    irows.append(dict(image_id=ti.name[:-4], shard=np.int64(s),
+                                      byte_offset=np.int64(ti.offset_data),
+                                      n_bytes=np.int64(ti.size)))
+    iout = pd.DataFrame(irows, columns=["image_id", "shard",
+                                        "byte_offset", "n_bytes"])
+    for c in ("shard", "byte_offset", "n_bytes"):
+        iout[c] = iout[c].astype(np.int64)
+    write("wds_sample_index",
+          iout.sort_values("image_id").reset_index(drop=True))
+
 
 def audio_golden():
     """Independent audio decoder: the STDLIB `wave` module parses the same
