@@ -629,6 +629,44 @@ def image_r5_goldens(o, params):
                                 .sort_values("image_id")
                                 .reset_index(drop=True)))
 
+    # caption retrieval recall@1: per-host nested loops over integer-
+    # quantized tower vectors (scalar floor per dim; pairwise dot as a
+    # python-int sum — no numpy GEMM anywhere on this side)
+    from __ray_entry__ import TOWER_Q
+
+    per_host: dict[str, list] = {}
+    for r in sorted(o["store"], key=lambda r: r["image_id"]):
+        rgb = decode_png(image_bytes(r["image_id"], r["w"], r["h"], r["fmt"], 42))
+        gray = rgb.astype(np.float64).mean(axis=2)
+        feat = _block_mean(gray, 8, 8).ravel()
+        nrm = np.linalg.norm(feat)
+        feat = (feat / nrm if nrm else feat).astype(np.float32).astype(np.float64)
+        vec = np.zeros(CAP_DIM, np.float64)
+        for tok in r["caption"].split():
+            vec[int(xxh64(tok) % CAP_DIM)] += 1.0
+        vn = np.linalg.norm(vec)
+        if vn:
+            vec /= vn
+        fq = [int(math.floor(feat[d] * TOWER_Q)) for d in range(CAP_DIM)]
+        cq = [int(math.floor(vec[d] * TOWER_Q)) for d in range(CAP_DIM)]
+        per_host.setdefault(r["host"], []).append((r["image_id"], fq, cq))
+    rrows = []
+    for hst in sorted(per_host):
+        items = per_host[hst]
+        hits = 0
+        for iid, _, cq in items:
+            best_score, best_id = None, None
+            for jid, fq, _ in items:
+                sc = sum(a * b for a, b in zip(cq, fq))
+                if (best_score is None or sc > best_score
+                        or (sc == best_score and jid < best_id)):
+                    best_score, best_id = sc, jid
+            hits += 1 if best_id == iid else 0
+        rrows.append(dict(host=hst, n_images=np.int64(len(items)),
+                          n_hit_at1=np.int64(hits),
+                          hit_ppm=np.int64(hits * 10**6 // len(items))))
+    write("caption_retrieval_eval", pd.DataFrame(rrows))
+
 
 # ---------------------------------------------------------------------------
 # Text goldens over the sf0.01 documents table
