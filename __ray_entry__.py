@@ -1087,6 +1087,27 @@ def _training_shards_wds(sf_dir: str):
     return first
 
 
+def _training_shards_csv(sf_dir: str):
+    """CSV interchange export (pipelines/export.py export_csv_shards): the
+    spreadsheet/warehouse-facing view of the training shards — one
+    RFC 4180 file per shard, digest = xxh64 of the exact bytes; the GOLDEN
+    writes its files with stdlib csv.writer, so engine and oracle meet
+    only at the published format. Asserts resume no-op and the Arrow
+    read-back roundtrip."""
+    import shutil
+
+    run = _crawl_run("queries")
+    out = "/tmp/crawler_ray_entry_export_csv"
+    shutil.rmtree(out, ignore_errors=True)
+    from crawler_ray.pipelines.export import export_csv_shards, read_csv_shards
+
+    first = export_csv_shards(run.root, out, n_shards=8)
+    again = export_csv_shards(run.root, out, n_shards=8)  # resume = no-op
+    assert first.equals(again), "csv re-export must be a manifest no-op"
+    assert read_csv_shards(out).count() == int(first["n_rows"].sum())
+    return first
+
+
 def _wds_sample_index(sf_dir: str):
     """Random-access sample index over the tar shards (the
     StreamingDataset/MosaicML pattern: a trainer preads one member
@@ -1209,6 +1230,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["training_shards_jsonl"] = _training_shards_jsonl
     out["training_shards_wds"] = _training_shards_wds
     out["wds_sample_index"] = _wds_sample_index
+    out["training_shards_csv"] = _training_shards_csv
     for name in round5_registry:
         out[name] = QUERIES[name]
     # flagship crawl outputs (deterministic synthetic web)
@@ -1263,7 +1285,7 @@ _GOLDEN_CHECKED = (
     "crawl_city_locations", "crawl_similar_nearby", "image_thumbnails",
     "image_ann_topk", "city_image_stats",
     "crawl_recrawl_delta", "training_shards", "training_shards_jsonl",
-    "training_shards_wds", "wds_sample_index",
+    "training_shards_wds", "wds_sample_index", "training_shards_csv",
     "audio_clip_features", "video_frame_sample",
     "audio_near_dups", "video_near_dups", "bpe_tokenize", "embedding_pca",
     "image_increment_dups", "corpus_build_neardup",

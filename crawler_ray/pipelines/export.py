@@ -255,6 +255,109 @@ def read_jsonl_shards(out: str, shards: list[int] | None = None):
     return parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
 
 
+CSV_COLS = ["image_id", "w", "h", "fmt", "phash", "caption"]  # caption last
+
+
+def _csv_field(v) -> str:
+    """RFC 4180 minimal quoting, byte-compatible with stdlib
+    ``csv.writer(..., lineterminator="\\n")`` (the golden's writer): quote
+    iff the field contains the delimiter, the quote char, or a character
+    of the line terminator (exactly stdlib's rule — a bare CR therefore
+    stays unquoted, and empty fields stay unquoted in multi-field rows);
+    double inner quotes."""
+    s = str(v)
+    if any(c in s for c in ',"\n'):
+        return '"' + s.replace('"', '""') + '"'
+    return s
+
+
+def _csv_payload(df: pd.DataFrame) -> bytes:
+    lines = [",".join(CSV_COLS)]
+    for r in df[CSV_COLS].itertuples(index=False):
+        lines.append(",".join(_csv_field(v) for v in r))
+    return ("\n".join(lines) + "\n").encode("utf-8")
+
+
+def _csv_one(shard: int, out: str) -> pd.DataFrame:
+    from crawler_ray.hashing import xxh64
+
+    b = pq.read_table(os.path.join(out, f"shard-{shard}.parquet"),
+                      columns=[c for c in SHARD_COLS if c != "bytes"]).to_pandas()
+    for c in ("w", "h"):
+        b[c] = b[c].astype(int)
+    b["phash"] = b["phash"].astype(np.int64)
+    payload = _csv_payload(b)
+    tmp = os.path.join(out, "_tmp")
+    os.makedirs(tmp, exist_ok=True)
+    tp = os.path.join(tmp, f"shard-{shard}.csv")
+    with open(tp, "wb") as f:
+        f.write(payload)
+    os.replace(tp, os.path.join(out, f"shard-{shard}.csv"))
+    return pd.DataFrame({"shard": [np.int64(shard)],
+                         "n_rows": [np.int64(len(b))],
+                         "digest": [f"{xxh64(payload):016x}"]})
+
+
+def export_csv_shards(store_root: str, out: str, n_shards: int = 8) -> pd.DataFrame:
+    """CSV interchange sink LAYERED on the parquet export (same layering
+    and resume rules as the JSONL/WDS sinks): one RFC 4180 file per shard,
+    header + rows in image_id order, image bytes by reference. The line
+    format is byte-compatible with stdlib ``csv.writer`` so digests are
+    reproducible anywhere; ``_csv_manifest.json`` records n_rows + digest
+    and re-runs skip finished files."""
+    pq_manifest = export_training_shards(store_root, out, n_shards)
+    cm_path = os.path.join(out, "_csv_manifest.json")
+    done: dict[str, dict] = {}
+    if os.path.exists(cm_path):
+        with open(cm_path) as f:
+            prev = json.load(f)
+        if prev.get("n_shards") != n_shards:
+            raise ValueError(
+                f"csv export at {out} was built with "
+                f"n_shards={prev.get('n_shards')}; got {n_shards}")
+        done = {s: m for s, m in prev.get("shards", {}).items()
+                if os.path.exists(os.path.join(out, f"shard-{s}.csv"))}
+    pending = [s for s in range(n_shards) if str(s) not in done]
+    if pending:
+        stats = (rd.from_pandas(pd.DataFrame({"shard": np.array(pending, np.int64)}))
+                 .repartition(len(pending))
+                 .map_batches(
+                     lambda r, out=out: pd.concat(
+                         [_csv_one(int(s), out) for s in r["shard"]],
+                         ignore_index=True),
+                     batch_format="pandas", batch_size=None)
+                 .to_pandas())
+        for r in stats.itertuples(index=False):
+            done[str(int(r.shard))] = {"n_rows": int(r.n_rows), "digest": r.digest}
+        tmp = cm_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"n_shards": n_shards, "shards": done}, f, sort_keys=True)
+        os.replace(tmp, cm_path)
+    rows = [{"shard": np.int64(int(s)), "n_rows": np.int64(m["n_rows"]),
+             "digest": m["digest"]} for s, m in done.items()]
+    out_df = pd.DataFrame(rows, columns=["shard", "n_rows", "digest"])
+    for c in ("shard", "n_rows"):
+        out_df[c] = out_df[c].astype(np.int64)
+    assert len(out_df) == len(pq_manifest)
+    return out_df.sort_values("shard").reset_index(drop=True)
+
+
+def read_csv_shards(out: str, shards: list[int] | None = None):
+    """Source side of the CSV sink: the finished csv shards as a lazy
+    Dataset (ray.data.read_csv → Arrow's RFC 4180 reader), one co-located
+    block per shard, manifest-validated like the other readers."""
+    with open(os.path.join(out, "_csv_manifest.json")) as f:
+        m = json.load(f)
+    want = sorted(m["shards"], key=int) if shards is None else [str(s) for s in shards]
+    missing = [s for s in want if s not in m["shards"]]
+    if missing:
+        raise ValueError(f"csv shards not in manifest: {missing}")
+    paths = [os.path.join(out, f"shard-{s}.csv") for s in want
+             if m["shards"][s]["n_rows"] > 0]  # header-only files skew inference
+    parts = [rd.read_csv(p, override_num_blocks=1) for p in paths]
+    return parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
+
+
 def _wds_one(shard: int, out: str) -> pd.DataFrame:
     from crawler_ray.hashing import xxh64
     from crawler_ray.sources.wds_tar import tar_bytes

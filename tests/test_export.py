@@ -236,3 +236,86 @@ def test_ustar_index_offsets_support_pread():
     with tarfile.open(fileobj=io.BytesIO(arch)) as tf:
         for ti, (_, off, size) in zip(tf.getmembers(), idx):
             assert (ti.offset_data, ti.size) == (off, size)
+
+
+def test_ustar_roundtrip_hypothesis_fuzz():
+    import io
+    import tarfile
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from crawler_ray.sources.wds_tar import parse_ustar, tar_bytes
+
+    names = st.text(
+        alphabet=st.characters(whitelist_categories=("L", "N"),
+                               whitelist_characters="._-"),
+        min_size=1, max_size=24)
+    member = st.tuples(names, st.binary(min_size=0, max_size=2000))
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(member, min_size=0, max_size=8,
+                    unique_by=lambda m: m[0]))
+    def roundtrip(members):
+        arch = tar_bytes(members)
+        assert parse_ustar(arch) == members
+        assert len(arch) % 10240 == 0
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w",
+                          format=tarfile.USTAR_FORMAT) as tf:
+            for n, d in members:
+                ti = tarfile.TarInfo(n)
+                ti.size = len(d)
+                ti.mtime = 0
+                ti.uid = ti.gid = 0
+                ti.uname = ti.gname = ""
+                ti.mode = 0o644
+                tf.addfile(ti, io.BytesIO(d))
+        assert arch == buf.getvalue()
+
+    roundtrip()
+
+
+def test_csv_row_quoting_matches_stdlib_writer():
+    import csv
+    import io
+
+    from crawler_ray.pipelines.export import _csv_field
+
+    # full multi-field rows (the sink's shape): our minimal quoting must be
+    # byte-identical to stdlib csv.writer's for every hostile field
+    rows = [["plain", "has,comma", 'has"quote'],
+            ["has\nnewline", "", "trailing space "],
+            ['",\n"', -5, 123],
+            ["id0", 'a"b,c', "x\ny"]]
+    for row in rows:
+        sio = io.StringIO()
+        csv.writer(sio, lineterminator="\n").writerow(row)
+        assert ",".join(_csv_field(v) for v in row) + "\n" == sio.getvalue()
+
+
+def test_csv_export_resume_and_roundtrip(ray_session, store_root, tmp_path):
+    from crawler_ray.pipelines.export import export_csv_shards, read_csv_shards
+
+    root, _ = store_root
+    out = str(tmp_path / "export")
+    first = export_csv_shards(root, out, n_shards=N_SHARDS)
+    assert list(first.columns) == ["shard", "n_rows", "digest"]
+    assert int(first["n_rows"].sum()) == 42
+
+    with open(os.path.join(out, "shard-0.csv")) as f:
+        assert f.readline().strip() == "image_id,w,h,fmt,phash,caption"
+
+    again = export_csv_shards(root, out, n_shards=N_SHARDS)
+    assert again.equals(first)
+    os.remove(os.path.join(out, "shard-1.csv"))
+    resumed = export_csv_shards(root, out, n_shards=N_SHARDS)
+    assert resumed.equals(first)
+
+    back = read_csv_shards(out).to_pandas()
+    assert len(back) == 42
+    assert set(back.columns) == {"image_id", "w", "h", "fmt", "phash", "caption"}
+    assert int(back.loc[back["image_id"] == "e0", "phash"].iloc[0]) == -5
+
+    with pytest.raises(ValueError, match="n_shards"):
+        export_csv_shards(root, out, n_shards=N_SHARDS * 2)

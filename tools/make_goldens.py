@@ -1155,6 +1155,28 @@ def export_golden(o):
         wout[c] = wout[c].astype(np.int64)
     write("training_shards_wds", wout.sort_values("shard").reset_index(drop=True))
 
+    # csv sidecar: stdlib csv.writer over the same kept rows (the engine
+    # implements RFC 4180 quoting itself — the two meet only at the format)
+    import csv as _csv
+    import io as _io2
+
+    crows = []
+    for s in range(n_shards):
+        kept = sorted(by_shard.get(s, {}).values(), key=lambda r: r["image_id"])
+        sio = _io2.StringIO()
+        wcsv = _csv.writer(sio, lineterminator="\n")
+        wcsv.writerow(["image_id", "w", "h", "fmt", "phash", "caption"])
+        for r in kept:
+            wcsv.writerow([r["image_id"], int(r["w"]), int(r["h"]),
+                           r["fmt"], int(r["phash"]), r["caption"]])
+        payload = sio.getvalue().encode("utf-8")
+        crows.append({"shard": np.int64(s), "n_rows": np.int64(len(kept)),
+                      "digest": f"{xxh64(payload):016x}"})
+    cout = pd.DataFrame(crows, columns=["shard", "n_rows", "digest"])
+    for c in ("shard", "n_rows"):
+        cout[c] = cout[c].astype(np.int64)
+    write("training_shards_csv", cout.sort_values("shard").reset_index(drop=True))
+
     # random-access sample index: rebuild each shard with stdlib tarfile
     # and read the member table back with stdlib tarfile (offset_data /
     # size) — fully engine-independent byte offsets
