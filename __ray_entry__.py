@@ -223,37 +223,48 @@ def _image_aspect_buckets(sf_dir: str):
             .reset_index(drop=True))
 
 
-ALIGN_MIN_Q = 400_000  # keep images whose caption alignment ≥ 0.4 (ppm grid;
-#                        the fixture median — a threshold that actually splits)
+ALIGN_MIN_Q = 429_496_729  # 0.4 on the fq·cq 2³⁰ grid (fixture median —
+#                            a threshold that actually splits)
+
+
+def _towers():
+    """Quantized tower vectors for the whole store, computed ONCE per
+    process (materialized) — the alignment gate and the retrieval eval
+    both read this Dataset instead of each re-decoding every image
+    (the _featurized() lesson: a per-query decode pass is what pushed
+    the round-3 multimodal tail out of the driver's check budget)."""
+    if "towers" not in _CRAWL_CACHE:
+        from crawler_ray.pipelines.multimodal import TowerStage
+
+        _CRAWL_CACHE["towers"] = _store_ds().map_batches(
+            TowerStage, batch_format="pyarrow", batch_size=64,
+            concurrency=2).materialize()
+    return _CRAWL_CACHE["towers"]
 
 
 def _image_caption_align(sf_dir: str):
     """CLIP-filter-shaped caption↔image alignment gate (the LAION pipeline
-    step that drops weakly-captioned pairs before training): an actor-pool
-    stage decodes each image, embeds both towers (deterministic stubs —
-    multimodal.CaptionAlignStage), and emits an int64 ppm-quantized cosine;
-    the query rolls up per host how many pairs pass ALIGN_MIN_Q plus the
-    exact quantized-alignment average (integer division — layout-exact).
-    Bytes flow once through the actor pool; the rollup is a zero-shuffle
+    step that drops weakly-captioned pairs before training): align_q =
+    fq·cq — an integer dot of the shared quantized towers (_towers()),
+    exact on any layout — and the query rolls up per host how many pairs
+    pass ALIGN_MIN_Q plus the exact average (integer division). Bytes flow
+    once through the shared tower pass; the rollup is a zero-shuffle
     combiner + driver fold."""
     import numpy as np
     import pandas as pd
 
-    from crawler_ray.pipelines.multimodal import CaptionAlignStage
     from crawler_ray.pipelines.queries import _fold
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
-        s = pd.DataFrame({"host": b["host"].astype(object),
-                          "q": b["align_q"].to_numpy(np.int64),
-                          "p": (b["align_q"].to_numpy(np.int64) >= ALIGN_MIN_Q
-                                ).astype(np.int64)})
+        F = np.stack([np.asarray(v, np.int64) for v in b["fq"]])
+        C = np.stack([np.asarray(v, np.int64) for v in b["cq"]])
+        q = np.einsum("ij,ij->i", F, C)
+        s = pd.DataFrame({"host": b["host"].astype(object), "q": q,
+                          "p": (q >= ALIGN_MIN_Q).astype(np.int64)})
         return s.groupby("host", as_index=False).agg(
             n_images=("q", "size"), n_pass=("p", "sum"), sum_q=("q", "sum"))
 
-    aligned = _store_ds().map_batches(
-        CaptionAlignStage, batch_format="pyarrow", batch_size=64,
-        concurrency=2)
-    out = _fold(aligned.map_batches(partial, batch_format="pandas"),
+    out = _fold(_towers().map_batches(partial, batch_format="pandas"),
                 ["host"], dict(n_images=("n_images", "sum"),
                                n_pass=("n_pass", "sum"),
                                sum_q=("sum_q", "sum")))
@@ -454,43 +465,25 @@ def _image_epoch_order(sf_dir: str):
             .sort_values("image_id").reset_index(drop=True))
 
 
-TOWER_Q = 1 << 15  # tower-vector quantization grid (integer dot scores)
+from crawler_ray.pipelines.multimodal import TOWER_Q  # noqa: E402  (re-export
+#                     for the goldens; the quantization grid lives with the
+#                     TowerStage that applies it)
 
 
 def _caption_retrieval_eval(sf_dir: str):
     """Retrieval-eval harness as a pipeline op (the CLIP-style recall@1
     check a multimodal corpus runs to validate its alignment model):
-    within each host, does image i's own caption retrieve image i? Both
-    tower embeddings are floor-quantized to a 2¹⁵ grid so every score is
-    an INTEGER dot product — exact under any BLAS kernel or layout — and
-    the winner rule is the total order (score, then lexicographically
-    smaller image_id), so duplicate images/captions resolve
-    deterministically. One decode pass through the actor pool, then a
-    per-host groupby().map_groups GEMM; hosts here are result-scale — at
-    a 10^10-image host the inner product becomes an ANN top-1 probe
+    within each host, does image i's own caption retrieve image i? Reads
+    the SHARED quantized tower vectors (_towers() — one decode pass for
+    this query and the alignment gate), so every score is an INTEGER dot
+    product — exact under any BLAS kernel or layout — and the winner rule
+    is the total order (score, then lexicographically smaller image_id),
+    so duplicate images/captions resolve deterministically. Per-host
+    groupby().map_groups GEMM; hosts here are result-scale — at a
+    10^10-image host the inner product becomes an ANN top-1 probe
     (functions/ann.py), same outer shape."""
     import numpy as np
     import pandas as pd
-    import pyarrow as pa
-
-    from crawler_ray.imaging import decode_png
-    from crawler_ray.pipelines.multimodal import caption_embed, embed_rgb
-
-    class Towers:
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            caps = caption_embed(batch.column("caption").to_pylist())
-            ids, hosts, fqs, cqs = [], [], [], []
-            for k, row in enumerate(batch.to_pylist()):
-                feat = embed_rgb(decode_png(row["bytes"])).astype(np.float64)
-                ids.append(row["image_id"])
-                hosts.append(row["host"])
-                fqs.append(np.floor(feat * TOWER_Q).astype(np.int64).tolist())
-                cqs.append(np.floor(caps[k] * TOWER_Q).astype(np.int64).tolist())
-            return pa.table({
-                "image_id": pa.array(ids, pa.string()),
-                "host": pa.array(hosts, pa.string()),
-                "fq": pa.array(fqs, pa.list_(pa.int64())),
-                "cq": pa.array(cqs, pa.list_(pa.int64()))})
 
     def eval_host(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("image_id").reset_index(drop=True)
@@ -508,9 +501,7 @@ def _caption_retrieval_eval(sf_dir: str):
                              "n_hit_at1": [np.int64(hits)],
                              "hit_ppm": [np.int64(hits * 10**6 // len(ids))]})
 
-    towers = _store_ds().map_batches(Towers, batch_format="pyarrow",
-                                     batch_size=64, concurrency=2)
-    out = (towers.groupby("host")
+    out = (_towers().groupby("host")
            .map_groups(eval_host, batch_format="pandas")
            .to_pandas())
     for c in ("n_images", "n_hit_at1", "hit_ppm"):

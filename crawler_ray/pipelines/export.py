@@ -251,6 +251,11 @@ def read_jsonl_shards(out: str, shards: list[int] | None = None):
         raise ValueError(f"jsonl shards not in manifest: {missing}")
     paths = [os.path.join(out, f"shard-{s}.jsonl") for s in want
              if m["shards"][s]["n_rows"] > 0]  # read_json rejects 0-byte files
+    if not paths:  # every selected shard is empty
+        return rd.from_arrow(pa.schema(
+            [("caption", pa.string()), ("fmt", pa.string()),
+             ("h", pa.int64()), ("image_id", pa.string()),
+             ("phash", pa.int64()), ("w", pa.int64())]).empty_table())
     parts = [rd.read_json(p, override_num_blocks=1) for p in paths]
     return parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
 
@@ -342,19 +347,35 @@ def export_csv_shards(store_root: str, out: str, n_shards: int = 8) -> pd.DataFr
     return out_df.sort_values("shard").reset_index(drop=True)
 
 
+CSV_SCHEMA = pa.schema([("image_id", pa.string()), ("w", pa.int64()),
+                        ("h", pa.int64()), ("fmt", pa.string()),
+                        ("phash", pa.int64()), ("caption", pa.string())])
+
+
 def read_csv_shards(out: str, shards: list[int] | None = None):
     """Source side of the CSV sink: the finished csv shards as a lazy
     Dataset (ray.data.read_csv → Arrow's RFC 4180 reader), one co-located
-    block per shard, manifest-validated like the other readers."""
+    block per shard, manifest-validated like the other readers. Column
+    types are pinned explicitly — per-file inference would turn an
+    all-digit-string column (e.g. image ids '0123') into int64 and lose
+    leading zeros, or give different shards different schemas and break
+    the union."""
+    import pyarrow.csv as pacsv
+
     with open(os.path.join(out, "_csv_manifest.json")) as f:
         m = json.load(f)
     want = sorted(m["shards"], key=int) if shards is None else [str(s) for s in shards]
     missing = [s for s in want if s not in m["shards"]]
     if missing:
         raise ValueError(f"csv shards not in manifest: {missing}")
+    conv = pacsv.ConvertOptions(
+        column_types={f.name: f.type for f in CSV_SCHEMA})
     paths = [os.path.join(out, f"shard-{s}.csv") for s in want
-             if m["shards"][s]["n_rows"] > 0]  # header-only files skew inference
-    parts = [rd.read_csv(p, override_num_blocks=1) for p in paths]
+             if m["shards"][s]["n_rows"] > 0]
+    if not paths:  # every selected shard is header-only
+        return rd.from_arrow(CSV_SCHEMA.empty_table())
+    parts = [rd.read_csv(p, override_num_blocks=1, convert_options=conv)
+             for p in paths]
     return parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
 
 

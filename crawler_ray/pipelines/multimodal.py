@@ -138,7 +138,8 @@ def aspect_bucket_ids(w, h, buckets=ASPECT_BUCKETS) -> np.ndarray:
 
 
 CAP_DIM = 64            # hashed bag-of-words dim == image feature dim
-ALIGN_SCALE = 10**6     # alignment quantization grid (ppm)
+TOWER_Q = 1 << 15       # tower-vector quantization grid
+ALIGN_SCALE = TOWER_Q * TOWER_Q  # alignment scores live on the fq·cq 2³⁰ grid
 
 
 def caption_embed(captions) -> np.ndarray:
@@ -162,13 +163,16 @@ def caption_embed(captions) -> np.ndarray:
     return mat / norm
 
 
-class CaptionAlignStage:
-    """Actor-pool stage: decode image → image embedding → hashed-BoW
-    caption embedding → cosine alignment, floor-quantized to an int64 ppm
-    grid (``align_q = floor(cos · ALIGN_SCALE)``) so every downstream
-    aggregate is integer-exact. This is the CLIP-score filter shape
-    (LAION-style): swap both towers for real model forwards; the batch /
-    actor plumbing stays as-is. Emits (image_id, host, fmt, align_q).
+class TowerStage:
+    """Actor-pool stage: decode image → BOTH tower embeddings (image
+    block-mean, hashed-BoW caption), each floor-quantized to the TOWER_Q
+    grid. One decode pass serves every downstream alignment consumer:
+    the CLIP-filter gate computes ``align_q = fq·cq`` (an integer dot on
+    the 2³⁰ grid — exact under any BLAS kernel or block layout) and the
+    retrieval eval runs a per-host integer GEMM over the same vectors.
+    This is the LAION-pipeline shape: swap both towers for real model
+    forwards; the batch/actor plumbing and the quantize-then-integer-dot
+    determinism rule stay as-is. Emits (image_id, host, fmt, fq, cq).
     """
 
     def __init__(self):
@@ -176,20 +180,20 @@ class CaptionAlignStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cap_vecs = caption_embed(batch.column("caption").to_pylist())
-        ids, hosts, fmts, qs = [], [], [], []
+        ids, hosts, fmts, fqs, cqs = [], [], [], [], []
         for k, row in enumerate(batch.to_pylist()):
-            rgb = decode_png(row["bytes"])
-            feat = embed_rgb(rgb).astype(np.float64)
-            align = float(np.dot(feat, cap_vecs[k]))
+            feat = embed_rgb(decode_png(row["bytes"])).astype(np.float64)
             ids.append(row["image_id"])
             hosts.append(row["host"])
             fmts.append(row["fmt"])
-            qs.append(int(np.floor(align * ALIGN_SCALE)))
+            fqs.append(np.floor(feat * TOWER_Q).astype(np.int64).tolist())
+            cqs.append(np.floor(cap_vecs[k] * TOWER_Q).astype(np.int64).tolist())
         return pa.table({
             "image_id": pa.array(ids, pa.string()),
             "host": pa.array(hosts, pa.string()),
             "fmt": pa.array(fmts, pa.string()),
-            "align_q": pa.array(qs, pa.int64()),
+            "fq": pa.array(fqs, pa.list_(pa.int64())),
+            "cq": pa.array(cqs, pa.list_(pa.int64())),
         })
 
 

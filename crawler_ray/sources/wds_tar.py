@@ -37,6 +37,11 @@ def ustar_member(name: str, data: bytes) -> bytes:
     nm = name.encode("utf-8")
     if len(nm) > 100:
         raise ValueError(f"ustar name too long ({len(nm)} > 100): {name!r}")
+    if len(data) >= 8**11:
+        # the 12-byte octal size field tops out below 8 GiB; a longer
+        # _octal() would silently RESIZE the bytearray header and corrupt
+        # every following field (stdlib tarfile raises here too)
+        raise ValueError(f"ustar member too large ({len(data)} >= 8**11)")
     hdr = bytearray(BLOCK)
     hdr[0:len(nm)] = nm                              # name
     hdr[100:108] = _octal(0o644, 8)                  # mode
@@ -74,11 +79,17 @@ def parse_ustar(data: bytes) -> list[tuple[str, bytes]]:
 def iter_ustar_index(data: bytes) -> list[tuple[str, int, int]]:
     """The archive's member table WITHOUT copying payloads:
     [(name, data_offset, size)] — what a random-access sample index
-    stores so a trainer can pread one member from object storage. Same
-    magic + checksum validation as :func:`parse_ustar`."""
+    stores so a trainer can pread one member from object storage. Fails
+    loudly on bad magic, a bad header checksum, a member whose data runs
+    past EOF, or a missing end-of-archive marker (a truncated shard copy
+    must never parse as a shorter valid shard)."""
     out: list[tuple[str, int, int]] = []
     pos = 0
-    while pos + BLOCK <= len(data):
+    while True:
+        if pos + BLOCK > len(data):
+            raise ValueError(
+                f"truncated ustar archive: no end-of-archive marker "
+                f"(offset {pos}, len {len(data)})")
         hdr = data[pos:pos + BLOCK]
         if hdr == b"\0" * BLOCK:
             break
@@ -90,6 +101,11 @@ def iter_ustar_index(data: bytes) -> list[tuple[str, int, int]]:
             raise ValueError(f"ustar checksum mismatch at offset {pos}")
         name = hdr[0:100].split(b"\0", 1)[0].decode("utf-8")
         size = int(hdr[124:135].rstrip(b"\0 ").decode("ascii"), 8)
+        end = pos + BLOCK + size
+        if end > len(data):
+            raise ValueError(
+                f"truncated ustar member {name!r}: data ends at {end}, "
+                f"archive is {len(data)} bytes")
         out.append((name, pos + BLOCK, size))
-        pos += BLOCK + size + ((-size) % BLOCK)
+        pos = end + ((-size) % BLOCK)
     return out

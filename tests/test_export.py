@@ -183,6 +183,16 @@ def test_ustar_writer_matches_stdlib_tarfile_and_rejects_corruption():
         parse_ustar(bytes(corrupt))
     with pytest.raises(ValueError, match="too long"):
         ustar_member("n" * 101, b"")
+    # truncated copies must fail, never parse as a shorter valid shard
+    with pytest.raises(ValueError, match="truncated"):
+        parse_ustar(mine[:512 + 100])       # member data cut short
+    with pytest.raises(ValueError, match="truncated"):
+        parse_ustar(mine.rstrip(b"\0"))     # end-of-archive marker gone
+    # the 12-byte octal size field tops out below 8 GiB: guard, don't
+    # silently resize the header (checked via a len-only stand-in)
+    fake_big = type("Big", (), {"__len__": lambda self: 8**11})()
+    with pytest.raises(ValueError, match="too large"):
+        ustar_member("big.bin", fake_big)
 
 
 def test_wds_export_resume_and_roundtrip(ray_session, store_root, tmp_path):
@@ -319,3 +329,32 @@ def test_csv_export_resume_and_roundtrip(ray_session, store_root, tmp_path):
 
     with pytest.raises(ValueError, match="n_shards"):
         export_csv_shards(root, out, n_shards=N_SHARDS * 2)
+
+
+def test_csv_reader_pins_types_and_handles_all_empty(ray_session, tmp_path):
+    import json as _json
+
+    from crawler_ray.pipelines.export import CSV_SCHEMA, read_csv_shards
+
+    out = str(tmp_path / "csvs")
+    os.makedirs(out)
+    # an all-digit-string id column must NOT collapse to int64 (leading zero)
+    with open(os.path.join(out, "shard-0.csv"), "w") as f:
+        f.write("image_id,w,h,fmt,phash,caption\n0123,8,8,png,-5,cap\n")
+    with open(os.path.join(out, "_csv_manifest.json"), "w") as f:
+        _json.dump({"n_shards": 1,
+                    "shards": {"0": {"n_rows": 1, "digest": "x"}}}, f)
+    back = read_csv_shards(out).to_pandas()
+    assert back["image_id"].iloc[0] == "0123"
+    assert back["phash"].iloc[0] == -5
+
+    # every-shard-empty: empty Dataset with the pinned schema, not a crash
+    out2 = str(tmp_path / "empty")
+    os.makedirs(out2)
+    with open(os.path.join(out2, "shard-0.csv"), "w") as f:
+        f.write("image_id,w,h,fmt,phash,caption\n")
+    with open(os.path.join(out2, "_csv_manifest.json"), "w") as f:
+        _json.dump({"n_shards": 1,
+                    "shards": {"0": {"n_rows": 0, "digest": "x"}}}, f)
+    ds = read_csv_shards(out2)
+    assert ds.count() == 0 and ds.schema().base_schema.equals(CSV_SCHEMA)

@@ -9,10 +9,10 @@ import pyarrow as pa
 
 from crawler_ray.imaging import decode_png, encode_png
 from crawler_ray.pipelines.multimodal import (
-    ALIGN_SCALE,
     ASPECT_BUCKETS,
     CAP_DIM,
-    CaptionAlignStage,
+    TOWER_Q,
+    TowerStage,
     aspect_bucket_ids,
     caption_embed,
     embed_rgb,
@@ -132,7 +132,7 @@ def test_grouped_packing_matches_running_sum_loop(ray_session):
     assert got["batch_idx"].tolist() == want
 
 
-def test_caption_align_stage_matches_row_loop():
+def test_tower_stage_matches_row_loop_and_integer_align():
     rng = np.random.default_rng(11)
     imgs = [rng.integers(0, 256, (h, w, 3), np.uint8) for w, h in
             ((64, 48), (80, 80), (48, 96))]
@@ -146,13 +146,20 @@ def test_caption_align_stage_matches_row_loop():
         "caption": pa.array(caps, pa.string()),
         "host": pa.array(["h1", "h2", "h1"], pa.string()),
     })
-    out = CaptionAlignStage()(batch).to_pandas()
-    assert list(out.columns) == ["image_id", "host", "fmt", "align_q"]
+    out = TowerStage()(batch).to_pandas()
+    assert list(out.columns) == ["image_id", "host", "fmt", "fq", "cq"]
     cv = caption_embed(caps)
     for k in range(3):
         feat = embed_rgb(decode_png(encode_png(imgs[k]))).astype(np.float64)
-        q = int(np.floor(float(np.dot(feat, cv[k])) * ALIGN_SCALE))
-        assert out["align_q"].iloc[k] == q
+        fq = [int(np.floor(x * TOWER_Q)) for x in feat]
+        cq = [int(np.floor(x * TOWER_Q)) for x in cv[k]]
+        assert list(out["fq"].iloc[k]) == fq
+        assert list(out["cq"].iloc[k]) == cq
+        # the alignment gate's score is the plain integer dot of these
+        q = sum(a * b for a, b in zip(fq, cq))
+        F = np.asarray(out["fq"].iloc[k], np.int64)
+        C = np.asarray(out["cq"].iloc[k], np.int64)
+        assert int(F @ C) == q and q >= 0
 
 
 def test_epoch_shuffle_keys_are_per_epoch_independent():
@@ -186,3 +193,21 @@ def test_channel_sums_integer_exact_vs_loop():
         xs = np.concatenate([a[:, :, c].ravel() for a in imgs]).astype(np.float64)
         assert abs(mean_ppm / 1e6 - xs.mean()) < 1e-6 + 1e-9 * xs.mean()
         assert abs(var_ppm / 1e6 - xs.var()) < 1e-6 + 1e-9 * xs.var()
+
+
+def test_block_mean_matches_naive_nested_loop():
+    # the image tower's only math kernel, pinned against a from-scratch
+    # nested-loop box average (the goldens share _block_mean with the
+    # engine, so THIS unit is where its independence check lives)
+    from crawler_ray.pipelines.multimodal import _block_mean
+
+    rng = np.random.default_rng(17)
+    for h, w, oh, ow in ((48, 64, 8, 8), (7, 5, 3, 2), (8, 8, 8, 8)):
+        g = rng.uniform(0, 255, (h, w))
+        got = _block_mean(g, oh, ow)
+        for i in range(oh):
+            for j in range(ow):
+                y0, y1 = (i * h) // oh, ((i + 1) * h) // oh
+                x0, x1 = (j * w) // ow, ((j + 1) * w) // ow
+                want = g[y0:y1, x0:x1].mean()
+                assert abs(got[i, j] - want) < 1e-9

@@ -472,7 +472,6 @@ def image_r5_goldens(o, params):
 
     from crawler_ray.imaging import decode_png
     from crawler_ray.pipelines.multimodal import (
-        ALIGN_SCALE,
         ASPECT_BUCKETS,
         CAP_DIM,
         MAX_PATCH_TOKENS,
@@ -515,7 +514,11 @@ def image_r5_goldens(o, params):
 
     # caption alignment: per-row decode + block-mean embed (shared kernels,
     # same standard as image_features) with a per-token Python loop for the
-    # text tower, then a dict rollup per host
+    # text tower; both towers floor-quantized to the TOWER_Q grid and the
+    # score taken as a python-int dot (the engine's integer-exact rule),
+    # then a dict rollup per host
+    from crawler_ray.pipelines.multimodal import TOWER_Q
+
     al: dict[str, list[int]] = {}
     for r in o["store"]:
         rgb = decode_png(image_bytes(r["image_id"], r["w"], r["h"], r["fmt"], 42))
@@ -529,7 +532,9 @@ def image_r5_goldens(o, params):
         vnorm = np.linalg.norm(vec)
         if vnorm:
             vec /= vnorm
-        q = int(np.floor(float(np.dot(feat, vec)) * ALIGN_SCALE))
+        fq = [int(math.floor(feat[d] * TOWER_Q)) for d in range(CAP_DIM)]
+        cq = [int(math.floor(vec[d] * TOWER_Q)) for d in range(CAP_DIM)]
+        q = sum(a * b for a, b in zip(fq, cq))
         s = al.setdefault(r["host"], [0, 0, 0])
         s[0] += 1
         s[1] += 1 if q >= ALIGN_MIN_Q else 0
@@ -1121,13 +1126,13 @@ def export_golden(o):
     # WebDataset tar shards: the golden archives are written with STDLIB
     # tarfile (USTAR format, zeroed metadata) — the engine writes its own
     # spec-implemented ustar (sources/wds_tar.py), so the two meet only at
-    # the published format; digest = xxh64 of the exact archive bytes
+    # the published format; digest = xxh64 of the exact archive bytes.
+    # Each shard's bytes are built ONCE here and reused by the sample-index
+    # golden below (one source of truth — the two cannot drift).
     import io as _io
     import tarfile as _tarfile
 
-    wrows = []
-    for s in range(n_shards):
-        kept = sorted(by_shard.get(s, {}).values(), key=lambda r: r["image_id"])
+    def _stdlib_shard_tar(kept) -> bytes:
         buf = _io.BytesIO()
         with _tarfile.open(fileobj=buf, mode="w",
                            format=_tarfile.USTAR_FORMAT) as tf:
@@ -1148,8 +1153,16 @@ def export_golden(o):
                     ti.uname = ti.gname = ""
                     ti.mode = 0o644
                     tf.addfile(ti, _io.BytesIO(data))
-        wrows.append({"shard": np.int64(s), "n_samples": np.int64(len(kept)),
-                      "digest": f"{xxh64(buf.getvalue()):016x}"})
+        return buf.getvalue()
+
+    shard_tars = {
+        s: _stdlib_shard_tar(sorted(by_shard.get(s, {}).values(),
+                                    key=lambda r: r["image_id"]))
+        for s in range(n_shards)}
+    wrows = [{"shard": np.int64(s),
+              "n_samples": np.int64(len(by_shard.get(s, {}))),
+              "digest": f"{xxh64(shard_tars[s]):016x}"}
+             for s in range(n_shards)]
     wout = pd.DataFrame(wrows, columns=["shard", "n_samples", "digest"])
     for c in ("shard", "n_samples"):
         wout[c] = wout[c].astype(np.int64)
@@ -1177,33 +1190,12 @@ def export_golden(o):
         cout[c] = cout[c].astype(np.int64)
     write("training_shards_csv", cout.sort_values("shard").reset_index(drop=True))
 
-    # random-access sample index: rebuild each shard with stdlib tarfile
-    # and read the member table back with stdlib tarfile (offset_data /
-    # size) — fully engine-independent byte offsets
+    # random-access sample index: read the SAME stdlib-built shard bytes
+    # back with stdlib tarfile (offset_data / size) — engine-independent
+    # byte offsets from the one-source-of-truth archives above
     irows = []
     for s in range(n_shards):
-        kept = sorted(by_shard.get(s, {}).values(), key=lambda r: r["image_id"])
-        buf = _io.BytesIO()
-        with _tarfile.open(fileobj=buf, mode="w",
-                           format=_tarfile.USTAR_FORMAT) as tf:
-            for r in kept:
-                png = image_bytes(r["image_id"], r["w"], r["h"], r["fmt"], 42)
-                meta = _json.dumps(
-                    {"caption": r["caption"], "fmt": r["fmt"],
-                     "h": int(r["h"]), "image_id": r["image_id"],
-                     "phash": int(r["phash"]), "w": int(r["w"])},
-                    sort_keys=True, separators=(",", ":"),
-                    ensure_ascii=True).encode("utf-8")
-                for name, data in ((f"{r['image_id']}.png", png),
-                                   (f"{r['image_id']}.json", meta)):
-                    ti = _tarfile.TarInfo(name)
-                    ti.size = len(data)
-                    ti.mtime = 0
-                    ti.uid = ti.gid = 0
-                    ti.uname = ti.gname = ""
-                    ti.mode = 0o644
-                    tf.addfile(ti, _io.BytesIO(data))
-        with _tarfile.open(fileobj=_io.BytesIO(buf.getvalue())) as tf:
+        with _tarfile.open(fileobj=_io.BytesIO(shard_tars[s])) as tf:
             for ti in tf.getmembers():
                 if ti.name.endswith(".png"):
                     irows.append(dict(image_id=ti.name[:-4], shard=np.int64(s),
