@@ -1222,6 +1222,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["training_shards_wds"] = _training_shards_wds
     out["wds_sample_index"] = _wds_sample_index
     out["training_shards_csv"] = _training_shards_csv
+    out["store_compaction"] = QUERIES["store_compaction"]
+    out["uniform_k_sample"] = QUERIES["uniform_k_sample"]
     for name in round5_registry:
         out[name] = QUERIES[name]
     # flagship crawl outputs (deterministic synthetic web)
@@ -1279,7 +1281,7 @@ _GOLDEN_CHECKED = (
     "training_shards_wds", "wds_sample_index", "training_shards_csv",
     "audio_clip_features", "video_frame_sample",
     "audio_near_dups", "video_near_dups", "bpe_tokenize", "embedding_pca",
-    "image_increment_dups", "corpus_build_neardup",
+    "image_increment_dups", "corpus_build_neardup", "store_compaction",
 )
 
 

@@ -3391,6 +3391,86 @@ def bpe_tokenize(sf_dir: str, n_merges: int = BPE_N_MERGES):
     })
 
 
+def uniform_k_sample(sf_dir: str, k: int = 200, seed: int = 33):
+    """Exact global ``ORDER BY hash LIMIT k`` — a deterministic uniform
+    k-sample of the corpus — WITHOUT a global sort exchange: each block
+    emits only its k smallest (h, doc_id) rows (vectorized lexsort
+    head), the driver folds O(blocks·k) candidate rows and keeps the
+    global bottom k. At a 10^10-doc corpus the sort a naive
+    ``ds.sort(h).limit(k)`` plans is an all-to-all over every row; this
+    shape moves blocks × k rows total and is reproducible on any cluster
+    size because the hash (murmur64, DuckDB ``hash()``-compatible) is a
+    pure row function. The same combiner backs k-means seeding
+    (functions/cluster.py)."""
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def block_topk(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy(np.int64)
+        h = (_murmur64(ids.view(np.uint64) ^ np.uint64(seed))
+             % np.uint64(2**31)).astype(np.int64)
+        o = np.lexsort((ids, h))[:k]
+        return pd.DataFrame({"doc_id": ids[o], "h": h[o]})
+
+    cand = (ds.map_batches(block_topk, batch_format="pandas")
+            .to_pandas().sort_values(["h", "doc_id"]).head(k))
+    out = cand.sort_values("doc_id").reset_index(drop=True)
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    out["h"] = out["h"].astype(np.int64)
+    return out
+
+
+def store_compaction(sf_dir: str, n_frags: int = 10, bin_frags: int = 3):
+    """Store maintenance pass (the Lance `compact_files` +
+    `cleanup_old_versions` pair, sources/lance_layout.py): a fragmented
+    store table — here 10 contiguous slices of the documents corpus, the
+    shape a crawl wave's per-politeness-bucket writer leaves behind — is
+    coalesced by DISTRIBUTED contiguous-bin rewrites (one Ray task per
+    bin, no shuffle, logical row order preserved so readers never
+    notice), re-run to prove idempotence (content-derived fragment names
+    → zero rewrites), then vacuumed (old manifest versions dropped, the
+    superseded fragment files swept). Every invariant is measured on the
+    live store and returned as the result row, so the golden check fails
+    if compaction ever disturbs a byte."""
+    import shutil
+    import tempfile
+
+    from crawler_ray.hashing import xxh64
+    from crawler_ray.sources import lance_layout as ll
+
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text", "lang", "source"])
+    root = os.path.join(tempfile.gettempdir(),
+                        f"graft_compact_{xxh64(os.path.abspath(sf_dir)):016x}")
+    shutil.rmtree(root, ignore_errors=True)
+    rows_each = -(-docs.num_rows // n_frags)  # ceil
+    frags: list[dict] = []
+    for i in range(n_frags):
+        t = docs.slice(i * rows_each, rows_each)
+        if t.num_rows:
+            frags += ll.write_table_fragment(t, root, "store", f"w{i:02d}")
+    ll.write_manifest(root, 1, {"tables": {"store": frags}})
+    expect = ll.read_fragments(root, "store", frags)
+
+    s1 = ll.compact_table(root, "store", target_rows=bin_frags * rows_each)
+    after = ll.read_fragments(root, "store",
+                              ll.latest_manifest(root)["tables"]["store"])
+    s2 = ll.compact_table(root, "store", target_rows=bin_frags * rows_each)
+    vac = ll.vacuum_versions(root, ["store"], keep_latest=1)
+    after_vac = ll.read_fragments(root, "store",
+                                  ll.latest_manifest(root)["tables"]["store"])
+    return pd.DataFrame({
+        "n_docs": [np.int64(docs.num_rows)],
+        "n_frags_before": [np.int64(s1["n_before"])],
+        "n_frags_after": [np.int64(s1["n_after"])],
+        "n_rewritten": [np.int64(s1["n_rewritten"])],
+        "bit_identical": [np.int64(after.equals(expect))],
+        "second_pass_rewrites": [np.int64(s2["n_rewritten"])],
+        "versions_dropped": [np.int64(vac["versions_dropped"])],
+        "files_removed": [np.int64(vac["files_removed"])],
+        "readable_after_vacuum": [np.int64(after_vac.equals(expect))],
+    })
+
+
 QUERIES = {
     "audio_clip_features": audio_clip_features,
     "video_frame_sample": video_frame_sample,
@@ -3477,6 +3557,8 @@ QUERIES = {
     "embedding_covariance": embedding_covariance,
     "embedding_pca": embedding_pca,
     "per_source_cap": per_source_cap,
+    "uniform_k_sample": uniform_k_sample,
+    "store_compaction": store_compaction,
 }
 
 ORACLE_SQL = {
@@ -4204,6 +4286,14 @@ ORACLE_SQL["embedding_covariance"] = """
            CAST((SELECT COUNT(*) FROM q) * SUM(qi * qj)
                 - SUM(qi) * SUM(qj) AS BIGINT) AS m2
     FROM t GROUP BY i, j ORDER BY i, j"""
+
+ORACLE_SQL["uniform_k_sample"] = """
+    WITH h AS (SELECT doc_id,
+                      CAST(hash(xor(CAST(doc_id AS BIGINT), CAST(33 AS BIGINT)))
+                           % 2147483648 AS BIGINT) AS h
+               FROM documents),
+    pick AS (SELECT doc_id, h FROM h ORDER BY h, doc_id LIMIT 200)
+    SELECT doc_id, h FROM pick ORDER BY doc_id"""
 
 ORACLE_SQL["per_source_cap"] = """
     WITH h AS (SELECT doc_id, source,

@@ -165,6 +165,117 @@ def latest_manifest(root: str) -> dict | None:
         return json.load(f)
 
 
+# ---------------------------------------------------------------------------
+# Store maintenance: fragment compaction + version vacuum
+# (the Lance `compact_files` / `cleanup_old_versions` pair — at 100 TB the
+# small-fragment problem is real: a crawl wave writing one fragment per
+# politeness bucket leaves thousands of KB-scale files whose open/footer
+# cost dominates reads)
+# ---------------------------------------------------------------------------
+
+def plan_compaction(fragments: list[dict], target_rows: int) -> list[list[dict]]:
+    """Pack the manifest's fragment list into CONTIGUOUS runs of
+    ~target_rows. Contiguity preserves the table's logical row order
+    (readers concat in manifest order), so compaction is invisible to any
+    consumer. A singleton run (fragment already >= target, or isolated)
+    is kept as-is — no rewrite, no data movement."""
+    bins: list[list[dict]] = []
+    cur: list[dict] = []
+    cur_rows = 0
+    for f in fragments:
+        if cur and cur_rows + int(f["rows"]) > target_rows:
+            bins.append(cur)
+            cur, cur_rows = [], 0
+        cur.append(f)
+        cur_rows += int(f["rows"])
+        if cur_rows >= target_rows:
+            bins.append(cur)
+            cur, cur_rows = [], 0
+    if cur:
+        bins.append(cur)
+    return bins
+
+
+class _BinCompactor:
+    """map_batches callable: each input row is one multi-fragment bin
+    (JSON fragment list); reads the bin's fragments in order, writes ONE
+    merged fragment (content-derived digest name, write-to-tmp + atomic
+    rename — a task retry or a resumed run rewrites the SAME file, so a
+    kill between rewrite and manifest publish leaves only invisible,
+    re-creatable files)."""
+
+    def __init__(self, root: str, table: str):
+        self.root = root
+        self.table = table
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {"bin": [], "fragment": [], "rows": []}
+        w = FragmentWriter(self.root, self.table, "compact")
+        for i in range(batch.num_rows):
+            frags = json.loads(batch["frags"][i].as_py())
+            merged = read_fragments(self.root, self.table, frags)
+            meta = w(merged)
+            out["bin"].append(int(batch["bin"][i].as_py()))
+            out["fragment"].append(meta["fragment"][0].as_py())
+            out["rows"].append(merged.num_rows)
+        return pa.table({"bin": pa.array(out["bin"], pa.int64()),
+                         "fragment": pa.array(out["fragment"], pa.string()),
+                         "rows": pa.array(out["rows"], pa.int64())})
+
+
+def compact_table(root: str, table: str, target_rows: int) -> dict:
+    """Coalesce ``table``'s small fragments into ~target_rows ones and
+    publish a new manifest version. Multi-fragment bins rewrite
+    DISTRIBUTED (one Ray task per bin — at a 10^10-row store that is
+    thousands of independent merges, no shuffle, no driver data); bins
+    that are already one fragment are carried over untouched. Returns
+    {version, n_before, n_after, n_rewritten, rows}. Idempotent: a second
+    run finds every bin is a singleton and publishes no new version."""
+    import ray.data as rd
+
+    m = latest_manifest(root)
+    frags = m["tables"][table]
+    bins = plan_compaction(frags, target_rows)
+    rewrites = [(i, b) for i, b in enumerate(bins) if len(b) > 1]
+    if not rewrites:
+        return {"version": int(m["version"]), "n_before": len(frags),
+                "n_after": len(frags), "n_rewritten": 0,
+                "rows": sum(int(f["rows"]) for f in frags)}
+    items = [{"bin": i, "frags": json.dumps(b)} for i, b in rewrites]
+    meta = (rd.from_items(items, override_num_blocks=len(items))
+            .map_batches(_BinCompactor(root, table), batch_format="pyarrow")
+            .take_all())
+    new_by_bin = {int(r["bin"]): {"fragment": r["fragment"], "rows": int(r["rows"])}
+                  for r in meta}
+    new_list = [new_by_bin[i] if i in new_by_bin else b[0]
+                for i, b in enumerate(bins)]
+    version = int(m["version"]) + 1
+    payload = {k: v for k, v in m.items() if k != "version"}
+    payload["tables"] = dict(payload.get("tables", {}))
+    payload["tables"][table] = new_list
+    payload["compaction"] = {"table": table, "target_rows": target_rows,
+                             "n_before": len(frags), "n_after": len(new_list)}
+    write_manifest(root, version, payload)
+    return {"version": version, "n_before": len(frags),
+            "n_after": len(new_list), "n_rewritten": len(rewrites),
+            "rows": sum(int(f["rows"]) for f in new_list)}
+
+
+def vacuum_versions(root: str, tables: list[str], keep_latest: int = 1) -> dict:
+    """Drop all but the newest ``keep_latest`` manifest versions, then
+    sweep fragments no surviving version references (Lance
+    `cleanup_old_versions`): reclaims the pre-compaction files while older
+    kept versions remain bit-readable (time travel within the window)."""
+    d = manifest_dir(root)
+    versions = sorted(int(fn[1:-5]) for fn in os.listdir(d)
+                      if fn.startswith("v") and fn.endswith(".json"))
+    dropped = versions[:-keep_latest] if keep_latest > 0 else versions
+    for v in dropped:
+        os.remove(os.path.join(d, f"v{v}.json"))
+    removed = sweep_unreferenced(root, tables)
+    return {"versions_dropped": len(dropped), "files_removed": removed}
+
+
 def sweep_unreferenced(root: str, tables: list[str]) -> int:
     """Delete fragment files not referenced by any manifest version (crash
     leftovers). Returns count removed."""

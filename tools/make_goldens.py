@@ -1549,6 +1549,50 @@ def corpus_build_neardup_golden():
          "last_doc": np.array([rows[s][3] for s in sids], np.int64)}))
 
 
+def store_compaction_golden(n_frags: int = 10, bin_frags: int = 3):
+    """Expected ``store_compaction`` stats row, derived by a STRAIGHT-LINE
+    simulation of the maintenance pass — an independent greedy packing
+    loop over the fragment row counts (never lance_layout.plan_compaction)
+    plus first-principles vacuum accounting. The bit-identity flags are
+    pinned to 1: the engine measures them on the live store, so any
+    compaction that disturbs a byte fails this golden."""
+    n_docs = pq.read_metadata(f"{SF}/documents.parquet").num_rows
+    rows_each = -(-n_docs // n_frags)
+    sizes = []
+    remaining = n_docs
+    for _ in range(n_frags):
+        take = min(rows_each, remaining)
+        if take > 0:
+            sizes.append(take)
+        remaining -= take
+    target = bin_frags * rows_each
+    bins: list[list[int]] = []
+    cur: list[int] = []
+    for s in sizes:
+        if cur and sum(cur) + s > target:
+            bins.append(cur)
+            cur = []
+        cur.append(s)
+        if sum(cur) >= target:
+            bins.append(cur)
+            cur = []
+    if cur:
+        bins.append(cur)
+    n_rewritten = sum(1 for b in bins if len(b) > 1)
+    carried = sum(1 for b in bins if len(b) == 1)
+    write("store_compaction", pd.DataFrame({
+        "n_docs": [np.int64(n_docs)],
+        "n_frags_before": [np.int64(len(sizes))],
+        "n_frags_after": [np.int64(len(bins))],
+        "n_rewritten": [np.int64(n_rewritten)],
+        "bit_identical": [np.int64(1)],
+        "second_pass_rewrites": [np.int64(0)],
+        "versions_dropped": [np.int64(1)],
+        "files_removed": [np.int64(len(sizes) - carried)],
+        "readable_after_vacuum": [np.int64(1)],
+    }))
+
+
 if __name__ == "__main__":
     os.makedirs(OUT, exist_ok=True)
     o, params = crawl_goldens()
@@ -1567,4 +1611,5 @@ if __name__ == "__main__":
     bpe_golden()
     pca_golden()
     corpus_build_neardup_golden()
+    store_compaction_golden()
     print("done")
