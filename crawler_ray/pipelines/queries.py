@@ -3419,6 +3419,40 @@ def uniform_k_sample(sf_dir: str, k: int = 200, seed: int = 33):
     return out
 
 
+def zorder_bbox_scan(sf_dir: str):
+    """J5's box predicate answered from a Z-ORDER CLUSTERED layout
+    (functions/zorder.py — the Delta/Iceberg ``OPTIMIZE ZORDER BY``
+    trick): lineitem is re-clustered once into Z-prefix fragments of the
+    (l_quantity, l_discount) plane with min/max stats in the manifest,
+    then the scan PRUNES by stats (driver-side metadata only) and pushes
+    the exact predicate into the Arrow read of just the surviving
+    fragments. Same rows as ``bbox_filter``; at 100 TB the difference is
+    that a 1-D-sorted or unclustered layout reads every fragment for a
+    2-D box while this reads only the intersecting Z-cells (the unit
+    asserts >half the fragments are skipped)."""
+    import shutil
+    import tempfile
+
+    from crawler_ray.functions import zorder
+    from crawler_ray.hashing import xxh64
+    from crawler_ray.sources import lance_layout as ll
+
+    root = os.path.join(tempfile.gettempdir(),
+                        f"graft_zorder_{xxh64(os.path.abspath(sf_dir)):016x}")
+    if ll.latest_manifest(root) is None:
+        shutil.rmtree(root, ignore_errors=True)
+        ds = _read(sf_dir, "lineitem",
+                   ["l_orderkey", "l_partkey", "l_quantity", "l_discount"])
+        zorder.write_zorder_layout(ds, root, "lineitem",
+                                   "l_quantity", "l_discount",
+                                   x_range=(1.0, 50.0), y_range=(0.0, 0.1))
+    out, _, _ = zorder.bbox_scan(root, "lineitem", "l_quantity", "l_discount",
+                                 10.0, 20.0, 0.02, 0.06,
+                                 columns=["l_orderkey", "l_partkey",
+                                          "l_quantity", "l_discount"])
+    return out
+
+
 def store_compaction(sf_dir: str, n_frags: int = 10, bin_frags: int = 3):
     """Store maintenance pass (the Lance `compact_files` +
     `cleanup_old_versions` pair, sources/lance_layout.py): a fragmented
@@ -3559,6 +3593,7 @@ QUERIES = {
     "per_source_cap": per_source_cap,
     "uniform_k_sample": uniform_k_sample,
     "store_compaction": store_compaction,
+    "zorder_bbox_scan": zorder_bbox_scan,
 }
 
 ORACLE_SQL = {
@@ -4286,6 +4321,10 @@ ORACLE_SQL["embedding_covariance"] = """
            CAST((SELECT COUNT(*) FROM q) * SUM(qi * qj)
                 - SUM(qi) * SUM(qj) AS BIGINT) AS m2
     FROM t GROUP BY i, j ORDER BY i, j"""
+
+ORACLE_SQL["zorder_bbox_scan"] = """
+    SELECT l_orderkey, l_partkey, l_quantity, l_discount FROM lineitem
+    WHERE l_quantity BETWEEN 10 AND 20 AND l_discount BETWEEN 0.02 AND 0.06"""
 
 ORACLE_SQL["uniform_k_sample"] = """
     WITH h AS (SELECT doc_id,
