@@ -3419,6 +3419,76 @@ def uniform_k_sample(sf_dir: str, k: int = 200, seed: int = 33):
     return out
 
 
+def store_upsert(sf_dir: str, n_frags: int = 10):
+    """Merge-on-read upsert (lance_layout.merge_insert — the Lance
+    `merge_insert` / Delta MERGE shape): the documents corpus seeded as a
+    fragmented store receives an update wave (every doc_id % 37 == 0
+    rewritten + 5 brand-new docs). Matched rows are hidden by
+    per-fragment DELETION-VECTOR sidecars (one Ray task per fragment,
+    reading only its key column; the update key set broadcasts once via
+    ray.put — the wave-vs-10^10-row-store shape), update rows append as
+    new fragments, one manifest version publishes both atomically.
+    A follow-up compaction folds the deletes into physical rewrites.
+    Every invariant (content equality vs a driver-simulated upsert,
+    survivor order, dv-free after compaction) is measured on the live
+    store and returned in the result row."""
+    import shutil
+    import tempfile
+
+    import ray.data as rdata
+
+    from crawler_ray.hashing import xxh64
+    from crawler_ray.sources import lance_layout as ll
+
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text", "lang", "source"])
+    root = os.path.join(tempfile.gettempdir(),
+                        f"graft_upsert_{xxh64(os.path.abspath(sf_dir)):016x}")
+    shutil.rmtree(root, ignore_errors=True)
+    rows_each = -(-docs.num_rows // n_frags)
+    frags: list[dict] = []
+    for i in range(n_frags):
+        t = docs.slice(i * rows_each, rows_each)
+        if t.num_rows:
+            frags += ll.write_table_fragment(t, root, "store", f"w{i:02d}")
+    ll.write_manifest(root, 1, {"tables": {"store": frags}})
+
+    base = docs.to_pandas()
+    upd_ids = base.loc[base["doc_id"] % 37 == 0, "doc_id"].to_numpy(np.int64)
+    new_ids = np.arange(base["doc_id"].max() + 1,
+                        base["doc_id"].max() + 6, dtype=np.int64)
+    all_ids = np.r_[upd_ids, new_ids]
+    updates = pd.DataFrame({
+        "doc_id": all_ids,
+        "text": [f"updated {v}" for v in all_ids],
+        "lang": "en", "source": "upsert"})
+    s = ll.merge_insert(root, "store", rdata.from_pandas(updates), "doc_id")
+
+    got = ll.read_fragments(root, "store",
+                            ll.latest_manifest(root)["tables"]["store"]).to_pandas()
+    exp = pd.concat([base[~base["doc_id"].isin(set(all_ids.tolist()))], updates],
+                    ignore_index=True)
+    content_ok = (got["doc_id"].tolist() == exp["doc_id"].tolist()
+                  and got["text"].tolist() == exp["text"].tolist())
+
+    c = ll.compact_table(root, "store", target_rows=3 * rows_each)
+    m = ll.latest_manifest(root)
+    dv_free = all("dv" not in f for f in m["tables"]["store"])
+    after = ll.read_fragments(root, "store", m["tables"]["store"]).to_pandas()
+    still_ok = after["text"].tolist() == exp["text"].tolist()
+    return pd.DataFrame({
+        "n_docs": [np.int64(len(base))],
+        "n_deleted": [np.int64(s["n_deleted"])],
+        "n_added": [np.int64(s["n_added"])],
+        "n_updated_fragments": [np.int64(s["n_updated_fragments"])],
+        "logical_rows": [np.int64(len(got))],
+        "content_ok": [np.int64(content_ok)],
+        "compact_rewrites": [np.int64(c["n_rewritten"])],
+        "dv_free_after_compact": [np.int64(dv_free)],
+        "content_ok_after_compact": [np.int64(still_ok)],
+    })
+
+
 def zorder_bbox_scan(sf_dir: str):
     """J5's box predicate answered from a Z-ORDER CLUSTERED layout
     (functions/zorder.py — the Delta/Iceberg ``OPTIMIZE ZORDER BY``
@@ -3593,6 +3663,7 @@ QUERIES = {
     "per_source_cap": per_source_cap,
     "uniform_k_sample": uniform_k_sample,
     "store_compaction": store_compaction,
+    "store_upsert": store_upsert,
     "zorder_bbox_scan": zorder_bbox_scan,
 }
 

@@ -124,7 +124,17 @@ def read_fragments(root: str, table: str, fragments: list[dict], schema: pa.Sche
     paths = fragment_paths(root, table, fragments)
     if not paths:
         return schema.empty_table() if schema is not None else pa.table({})
-    return pa.concat_tables([pq.read_table(p) for p in paths], promote_options="default")
+    parts = []
+    for f, p in zip(fragments, paths):
+        t = pq.read_table(p)
+        dv = f.get("dv")
+        if dv:  # merge-on-read: hide deletion-vector rows
+            dead = pq.read_table(os.path.join(root, table, dv))["row"]
+            mask = np.ones(t.num_rows, bool)
+            mask[np.asarray(dead, np.int64)] = False
+            t = t.filter(pa.array(mask))
+        parts.append(t)
+    return pa.concat_tables(parts, promote_options="default")
 
 
 # ---------------------------------------------------------------------------
@@ -163,6 +173,108 @@ def latest_manifest(root: str) -> dict | None:
         return None
     with open(os.path.join(d, f"v{max(versions)}.json")) as f:
         return json.load(f)
+
+
+# ---------------------------------------------------------------------------
+# Merge-on-read upsert: deletion-vector sidecars (the Lance `merge_insert`
+# / Delta MERGE shape — matched keys are hidden by a per-fragment deletion
+# vector, update rows append as new fragments; nothing rewrites until the
+# next compaction folds the deletes in)
+# ---------------------------------------------------------------------------
+
+class _DvWriter:
+    """map_batches callable: each input row is one existing fragment.
+    Reads ONLY that fragment's key column, intersects with the broadcast
+    update-key set (ray.put once, ray.get once per actor — never per
+    batch), unions with any prior deletion vector, and writes the merged
+    vector as a parquet sidecar (content-digest name via the shared
+    fragment writer → retry/kill-safe, invisible until published)."""
+
+    def __init__(self, root: str, table: str, key_col: str, keys_ref):
+        import ray
+
+        self.root = root
+        self.table = table
+        self.key_col = key_col
+        self.keys = ray.get(keys_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {"fragment": [], "n_deleted": [], "dv": []}
+        for i in range(batch.num_rows):
+            frag = batch["fragment"][i].as_py()
+            prior_dv = batch["prior_dv"][i].as_py()
+            path = os.path.join(self.root, self.table, frag)
+            keys = pq.read_table(path, columns=[self.key_col])[self.key_col]
+            mask = np.isin(np.asarray(keys), self.keys)
+            rows = np.flatnonzero(mask).astype(np.int64)
+            if prior_dv:
+                prior = pq.read_table(
+                    os.path.join(self.root, self.table, prior_dv))["row"]
+                rows = np.union1d(rows, np.asarray(prior, np.int64))
+            if len(rows) == 0:
+                continue
+            w = FragmentWriter(self.root, self.table, f"dv-{frag.rsplit('.', 1)[0]}")
+            meta = w(pa.table({"row": pa.array(rows, pa.int64())}))
+            out["fragment"].append(frag)
+            out["n_deleted"].append(len(rows))
+            out["dv"].append(meta["fragment"][0].as_py())
+        return pa.table({"fragment": pa.array(out["fragment"], pa.string()),
+                         "n_deleted": pa.array(out["n_deleted"], pa.int64()),
+                         "dv": pa.array(out["dv"], pa.string())})
+
+
+def merge_insert(root: str, table: str, updates, key_col: str,
+                 prefix: str = "u") -> dict:
+    """Upsert ``updates`` (a Dataset) into ``table`` by ``key_col``:
+    matched existing rows are hidden via per-fragment deletion-vector
+    sidecars (one Ray task per fragment, each reading only its key
+    column), update rows land as appended fragments, and one new manifest
+    version publishes both atomically. Logical order: surviving old rows
+    in place, then updates. The update KEY SET broadcasts via ``ray.put``
+    — right for the wave-vs-store shape (a crawl wave is tiny next to the
+    10^10-row store it updates); a store-scale update should compact
+    instead. Returns {version, n_updated_fragments, n_deleted, n_added}."""
+    import ray
+    import ray.data as rd
+
+    m = latest_manifest(root)
+    frags = m["tables"][table]
+    new_frags = write_fragments(updates, root, table, prefix)
+    items = [{"fragment": f["fragment"], "prior_dv": f.get("dv", "")}
+             for f in frags]
+    if new_frags and items:
+        key_values = pa.concat_tables(
+            [pq.read_table(p, columns=[key_col])
+             for p in fragment_paths(root, table, new_frags)])[key_col]
+        keys_ref = ray.put(np.asarray(key_values))
+        dv_meta = (rd.from_items(items, override_num_blocks=len(items))
+                   .map_batches(_DvWriter, batch_format="pyarrow",
+                                fn_constructor_kwargs=dict(
+                                    root=root, table=table, key_col=key_col,
+                                    keys_ref=keys_ref),
+                                concurrency=(1, 8))
+                   .take_all())
+    else:
+        dv_meta = []
+    dv_by_frag = {r["fragment"]: r for r in dv_meta}
+    out_list = []
+    for f in frags:
+        f = dict(f)
+        hit = dv_by_frag.get(f["fragment"])
+        if hit is not None:
+            f["dv"] = hit["dv"]
+            f["n_deleted"] = int(hit["n_deleted"])
+        out_list.append(f)
+    out_list += new_frags
+    version = int(m["version"]) + 1
+    payload = {k: v for k, v in m.items() if k != "version"}
+    payload["tables"] = dict(payload.get("tables", {}))
+    payload["tables"][table] = out_list
+    write_manifest(root, version, payload)
+    return {"version": version,
+            "n_updated_fragments": len(dv_meta),
+            "n_deleted": int(sum(r["n_deleted"] for r in dv_meta)),
+            "n_added": int(sum(f["rows"] for f in new_frags))}
 
 
 # ---------------------------------------------------------------------------
@@ -289,6 +401,8 @@ def sweep_unreferenced(root: str, tables: list[str]) -> int:
                 for t, frags in m.get("tables", {}).items():
                     for fr in frags:
                         referenced.add((t, fr["fragment"]))
+                        if fr.get("dv"):
+                            referenced.add((t, fr["dv"]))
     removed = 0
     for t in tables:
         tdir = os.path.join(root, t)

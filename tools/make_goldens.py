@@ -1593,6 +1593,59 @@ def store_compaction_golden(n_frags: int = 10, bin_frags: int = 3):
     }))
 
 
+def store_upsert_golden(n_frags: int = 10):
+    """Expected ``store_upsert`` stats row by STRAIGHT-LINE simulation:
+    per-slice loop counting which fragments contain an updated key, plain
+    set arithmetic for delete/append/logical-row counts, an independent
+    greedy packing loop for the compaction rewrite count, and pinned-to-1
+    equality flags (measured live by the engine, so any byte drift fails
+    here)."""
+    df = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"]).to_pandas()
+    n_docs = len(df)
+    ids = df["doc_id"].to_numpy()
+    upd = [int(v) for v in ids if v % 37 == 0]
+    rows_each = -(-n_docs // n_frags)
+    n_updated_fragments = 0
+    sizes = []
+    for i in range(n_frags):
+        sl = ids[i * rows_each:(i + 1) * rows_each]
+        if len(sl) == 0:
+            continue
+        sizes.append(len(sl))
+        if any(int(v) % 37 == 0 for v in sl):
+            n_updated_fragments += 1
+    n_added = len(upd) + 5
+    # compaction packing over physical sizes: old fragments (still
+    # rows_each physical rows each — deletes are merge-on-read) plus the
+    # update fragment(s); the engine writes updates as ONE fragment here
+    # (single small Dataset block), appended after the old ones
+    target = 3 * rows_each
+    phys = sizes + [n_added]
+    bins: list[list[int]] = []
+    cur: list[int] = []
+    for s in phys:
+        if cur and sum(cur) + s > target:
+            bins.append(cur)
+            cur = []
+        cur.append(s)
+        if sum(cur) >= target:
+            bins.append(cur)
+            cur = []
+    if cur:
+        bins.append(cur)
+    write("store_upsert", pd.DataFrame({
+        "n_docs": [np.int64(n_docs)],
+        "n_deleted": [np.int64(len(upd))],
+        "n_added": [np.int64(n_added)],
+        "n_updated_fragments": [np.int64(n_updated_fragments)],
+        "logical_rows": [np.int64(n_docs + 5)],
+        "content_ok": [np.int64(1)],
+        "compact_rewrites": [np.int64(sum(1 for b in bins if len(b) > 1))],
+        "dv_free_after_compact": [np.int64(1)],
+        "content_ok_after_compact": [np.int64(1)],
+    }))
+
+
 if __name__ == "__main__":
     os.makedirs(OUT, exist_ok=True)
     o, params = crawl_goldens()
