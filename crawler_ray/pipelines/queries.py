@@ -3419,6 +3419,69 @@ def uniform_k_sample(sf_dir: str, k: int = 200, seed: int = 33):
     return out
 
 
+VALIDATE_LANGS = ("de", "en", "es", "fr")   # allowlist rule (zh violates
+#                                             by design — a rule with real
+#                                             hits, not an all-zeros audit)
+VALIDATE_CHARS = (64, 512)                   # n_chars range rule
+
+
+def validate_documents(sf_dir: str):
+    """Write-time constraint validation (the Delta `CHECK` / data-contract
+    audit a corpus runs before publishing a snapshot): five rules over the
+    documents table — text non-empty, n_chars == LENGTH(text) consistency,
+    lang allowlist, n_chars range, doc_id uniqueness — each reported as
+    (rule, n_violations, first_bad_doc). Rules 1-4 are pure row predicates:
+    one vectorized zero-shuffle combiner pass (per-block counts + min
+    violating id, driver folds O(blocks·rules) rows). Uniqueness is the
+    one rule that genuinely needs a key exchange; it reuses the unbounded-
+    key sort-fold (`_sorted_fold`), so only duplicate-key rows — result-
+    scale — ever reach the driver."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "n_chars"])
+    lo, hi = VALIDATE_CHARS
+
+    def row_rules(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy(np.int64)
+        text = b["text"]
+        bad = {
+            "not_null_text": text.isna().to_numpy() | (text.astype(str).str.len() == 0).to_numpy(),
+            "len_consistent": (text.astype(str).str.len().to_numpy(np.int64)
+                               != b["n_chars"].to_numpy(np.int64)),
+            "lang_allowlist": ~b["lang"].isin(VALIDATE_LANGS).to_numpy(),
+            "chars_in_range": ((b["n_chars"].to_numpy(np.int64) < lo)
+                               | (b["n_chars"].to_numpy(np.int64) > hi)),
+        }
+        rows = []
+        for rule, m in bad.items():
+            rows.append((rule, int(m.sum()),
+                         int(ids[m].min()) if m.any() else np.iinfo(np.int64).max))
+        return pd.DataFrame(rows, columns=["rule", "n_violations", "first_bad"])
+
+    part = (ds.map_batches(row_rules, batch_format="pandas").to_pandas()
+            .groupby("rule", as_index=False)
+            .agg(n_violations=("n_violations", "sum"), first_bad=("first_bad", "min")))
+
+    def dup_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("doc_id", as_index=False).agg(cnt=("doc_id", "size"))
+
+    def dup_fold(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("doc_id", as_index=False).agg(cnt=("cnt", "sum"))
+
+    dups = _sorted_fold(_read(sf_dir, "documents", ["doc_id"])
+                        .map_batches(dup_partial, batch_format="pandas"),
+                        ["doc_id"], dup_fold)
+    dups = dups.loc[dups["cnt"] > 1]
+    part = pd.concat([part, pd.DataFrame({
+        "rule": ["unique_doc_id"],
+        "n_violations": [int(dups["cnt"].sum() - len(dups))],
+        "first_bad": [int(dups["doc_id"].min()) if len(dups)
+                      else np.iinfo(np.int64).max]})], ignore_index=True)
+    part["first_bad_doc"] = np.where(part["n_violations"] > 0,
+                                     part["first_bad"], -1).astype(np.int64)
+    part["n_violations"] = part["n_violations"].astype(np.int64)
+    return (part[["rule", "n_violations", "first_bad_doc"]]
+            .sort_values("rule").reset_index(drop=True))
+
+
 def store_upsert(sf_dir: str, n_frags: int = 10):
     """Merge-on-read upsert (lance_layout.merge_insert — the Lance
     `merge_insert` / Delta MERGE shape): the documents corpus seeded as a
@@ -3487,6 +3550,56 @@ def store_upsert(sf_dir: str, n_frags: int = 10):
         "dv_free_after_compact": [np.int64(dv_free)],
         "content_ok_after_compact": [np.int64(still_ok)],
     })
+
+
+def store_change_feed(sf_dir: str, n_frags: int = 10):
+    """Change data feed (lance_layout.changes_between — the Delta CDF
+    shape): seed the documents corpus as a fragmented store (v1), apply
+    two upsert waves (v2: every doc_id % 41 == 0 rewritten; v3: every
+    doc_id % 83 == 0 rewritten + 3 brand-new docs), then diff v1→v3. The
+    feed reads ONLY affected fragments — one task each — emitting full-
+    preimage delete rows (deletion-vector growth) and insert rows (new
+    fragments, their current dv applied, so a row upserted in BOTH waves
+    appears once as the v3 version). This is how a downstream index syncs
+    incrementally instead of rescanning a 10^10-row store."""
+    import shutil
+    import tempfile
+
+    import ray.data as rdata
+
+    from crawler_ray.hashing import xxh64
+    from crawler_ray.sources import lance_layout as ll
+
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    root = os.path.join(tempfile.gettempdir(),
+                        f"graft_cdf_{xxh64(os.path.abspath(sf_dir)):016x}")
+    shutil.rmtree(root, ignore_errors=True)
+    rows_each = -(-docs.num_rows // n_frags)
+    frags: list[dict] = []
+    for i in range(n_frags):
+        t = docs.slice(i * rows_each, rows_each)
+        if t.num_rows:
+            frags += ll.write_table_fragment(t, root, "store", f"w{i:02d}")
+    ll.write_manifest(root, 1, {"tables": {"store": frags}})
+
+    base = docs.to_pandas()
+    ids = base["doc_id"].to_numpy(np.int64)
+
+    def wave(mod: int, extra: int, tag: str):
+        w = ids[ids % mod == 0]
+        if extra:
+            w = np.r_[w, np.arange(ids.max() + 1, ids.max() + 1 + extra,
+                                   dtype=np.int64)]
+        return rdata.from_pandas(pd.DataFrame(
+            {"doc_id": w, "text": [f"{tag} {v}" for v in w]}))
+
+    ll.merge_insert(root, "store", wave(41, 0, "v2"), "doc_id", prefix="u2")
+    ll.merge_insert(root, "store", wave(83, 3, "v3"), "doc_id", prefix="u3")
+    feed = ll.changes_between(root, "store", 1, 3).to_pandas()
+    feed["doc_id"] = feed["doc_id"].astype(np.int64)
+    return (feed[["op", "doc_id", "text"]]
+            .sort_values(["op", "doc_id", "text"]).reset_index(drop=True))
 
 
 def zorder_bbox_scan(sf_dir: str):
@@ -3665,6 +3778,8 @@ QUERIES = {
     "store_compaction": store_compaction,
     "store_upsert": store_upsert,
     "zorder_bbox_scan": zorder_bbox_scan,
+    "validate_documents": validate_documents,
+    "store_change_feed": store_change_feed,
 }
 
 ORACLE_SQL = {
@@ -4392,6 +4507,38 @@ ORACLE_SQL["embedding_covariance"] = """
            CAST((SELECT COUNT(*) FROM q) * SUM(qi * qj)
                 - SUM(qi) * SUM(qj) AS BIGINT) AS m2
     FROM t GROUP BY i, j ORDER BY i, j"""
+
+ORACLE_SQL["validate_documents"] = """
+    WITH v AS (
+      SELECT 'not_null_text' AS rule,
+             COUNT(*) FILTER (WHERE text IS NULL OR LENGTH(text) = 0) AS n_violations,
+             MIN(doc_id) FILTER (WHERE text IS NULL OR LENGTH(text) = 0) AS fb
+      FROM documents
+      UNION ALL
+      SELECT 'len_consistent',
+             COUNT(*) FILTER (WHERE LENGTH(text) <> n_chars),
+             MIN(doc_id) FILTER (WHERE LENGTH(text) <> n_chars)
+      FROM documents
+      UNION ALL
+      SELECT 'lang_allowlist',
+             COUNT(*) FILTER (WHERE lang NOT IN ('de','en','es','fr')),
+             MIN(doc_id) FILTER (WHERE lang NOT IN ('de','en','es','fr'))
+      FROM documents
+      UNION ALL
+      SELECT 'chars_in_range',
+             COUNT(*) FILTER (WHERE n_chars < 64 OR n_chars > 512),
+             MIN(doc_id) FILTER (WHERE n_chars < 64 OR n_chars > 512)
+      FROM documents
+      UNION ALL
+      SELECT 'unique_doc_id',
+             CAST(COUNT(*) - COUNT(DISTINCT doc_id) AS BIGINT),
+             (SELECT MIN(doc_id) FROM (
+                SELECT doc_id FROM documents GROUP BY doc_id HAVING COUNT(*) > 1))
+      FROM documents)
+    SELECT rule, CAST(n_violations AS BIGINT) AS n_violations,
+           CAST(COALESCE(CASE WHEN n_violations > 0 THEN fb END, -1) AS BIGINT)
+               AS first_bad_doc
+    FROM v ORDER BY rule"""
 
 ORACLE_SQL["zorder_bbox_scan"] = """
     SELECT l_orderkey, l_partkey, l_quantity, l_discount FROM lineitem

@@ -278,6 +278,95 @@ def merge_insert(root: str, table: str, updates, key_col: str,
 
 
 # ---------------------------------------------------------------------------
+# Change data feed: diff two manifest versions into insert/delete rows
+# (the Delta CDF / Lance version-diff shape — consumers incrementally sync
+# a downstream index from the feed instead of rescanning the store)
+# ---------------------------------------------------------------------------
+
+def read_manifest(root: str, version: int) -> dict:
+    with open(os.path.join(manifest_dir(root), f"v{version}.json")) as f:
+        return json.load(f)
+
+
+class _ChangeReader:
+    """map_batches callable: each input row names one affected fragment.
+    kind='insert' emits the fragment's VISIBLE rows (new-version dv
+    applied); kind='delete' emits the rows the new version's deletion
+    vector hides beyond the old version's (full preimage rows, the Delta
+    CDF contract). One task per fragment — the feed never reads
+    unaffected fragments."""
+
+    def __init__(self, root: str, table: str):
+        self.root = root
+        self.table = table
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        parts = []
+        for i in range(batch.num_rows):
+            frag = batch["fragment"][i].as_py()
+            kind = batch["kind"][i].as_py()
+            dv_new = batch["dv_new"][i].as_py()
+            dv_old = batch["dv_old"][i].as_py()
+            t = pq.read_table(os.path.join(self.root, self.table, frag))
+
+            def dv_rows(name: str) -> np.ndarray:
+                if not name:
+                    return np.empty(0, np.int64)
+                return np.asarray(
+                    pq.read_table(os.path.join(self.root, self.table, name))["row"],
+                    np.int64)
+
+            if kind == "insert":
+                mask = np.ones(t.num_rows, bool)
+                mask[dv_rows(dv_new)] = False
+                out = t.filter(pa.array(mask))
+                op = "insert"
+            else:
+                delta = np.setdiff1d(dv_rows(dv_new), dv_rows(dv_old))
+                out = t.take(pa.array(delta, pa.int64()))
+                op = "delete"
+            parts.append(out.append_column(
+                "op", pa.array([op] * out.num_rows, pa.string())))
+        if not parts:
+            return pa.table({})
+        return pa.concat_tables(parts, promote_options="default")
+
+
+def changes_between(root: str, table: str, v_from: int, v_to: int):
+    """Change feed of ``table`` between two manifest versions: rows in
+    fragments new to ``v_to`` are inserts (their current dv applied);
+    deletion-vector growth on shared fragments yields delete rows with
+    full preimages. Compaction versions are REFUSED (they rewrite data
+    without changing it — diffing across one would report phantom
+    churn; diff around it, as Delta's dataChange=false commits do).
+    Returns a lazy Dataset with the fragment columns + ``op``."""
+    import ray.data as rd
+
+    for v in range(v_from + 1, v_to + 1):
+        if "compaction" in read_manifest(root, v):
+            raise ValueError(
+                f"version {v} is a compaction (data-preserving); "
+                f"diff around it")
+    old = {f["fragment"]: f for f in read_manifest(root, v_from)["tables"][table]}
+    new = read_manifest(root, v_to)["tables"][table]
+    items = []
+    for f in new:
+        if f["fragment"] not in old:
+            items.append({"fragment": f["fragment"], "kind": "insert",
+                          "dv_new": f.get("dv", ""), "dv_old": ""})
+        elif f.get("dv", "") != old[f["fragment"]].get("dv", ""):
+            items.append({"fragment": f["fragment"], "kind": "delete",
+                          "dv_new": f.get("dv", ""),
+                          "dv_old": old[f["fragment"]].get("dv", "")})
+    if not items:
+        return rd.from_items([])
+    return (rd.from_items(items, override_num_blocks=len(items))
+            .map_batches(_ChangeReader, batch_format="pyarrow",
+                         fn_constructor_kwargs=dict(root=root, table=table),
+                         concurrency=(1, 8)))
+
+
+# ---------------------------------------------------------------------------
 # Store maintenance: fragment compaction + version vacuum
 # (the Lance `compact_files` / `cleanup_old_versions` pair — at 100 TB the
 # small-fragment problem is real: a crawl wave writing one fragment per

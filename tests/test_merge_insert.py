@@ -120,5 +120,43 @@ def test_upsert_of_all_new_keys_is_pure_append(tmp_path, ray_session):
     assert len(got) == len(base) + 2
 
 
+def test_change_feed_deletes_inserts_and_netting(tmp_path, ray_session):
+    """v1→v3 feed: full-preimage deletes for dv growth, inserts from new
+    fragments with their CURRENT dv applied — a key upserted in both
+    waves nets to its final version only."""
+    root = str(tmp_path / "s")
+    base = _seed(root)
+    ll.merge_insert(root, "store", _updates_ds([3, 25], "a"), "image_id")
+    ll.merge_insert(root, "store", _updates_ds([3, 40], "b"), "image_id")
+    feed = ll.changes_between(root, "store", 1, 3).to_pandas()
+    dels = feed[feed["op"] == "delete"].sort_values("image_id")
+    ins = feed[feed["op"] == "insert"].sort_values("image_id")
+    assert dels["image_id"].tolist() == ["img-0003", "img-0025", "img-0040"]
+    # delete rows carry the ORIGINAL caption (preimage)
+    assert dels["caption"].tolist() == ["cap 3", "cap 25", "cap 40"]
+    # img-0003 nets to its v3 ("b") version; the intermediate "a" row is gone
+    assert ins["image_id"].tolist() == ["img-0003", "img-0025", "img-0040"]
+    assert ins["caption"].tolist() == ["b 3", "a 25", "b 40"]
+
+
+def test_change_feed_refuses_compaction_versions(tmp_path, ray_session):
+    root = str(tmp_path / "s")
+    _seed(root)
+    ll.merge_insert(root, "store", _updates_ds([3], "a"), "image_id")
+    ll.compact_table(root, "store", target_rows=100)  # v3, data-preserving
+    with pytest.raises(ValueError, match="compaction"):
+        ll.changes_between(root, "store", 1, 3)
+    # diffing up to the pre-compaction version still works
+    feed = ll.changes_between(root, "store", 1, 2).to_pandas()
+    assert len(feed) == 2
+
+
+def test_change_feed_empty_when_nothing_changed(tmp_path, ray_session):
+    root = str(tmp_path / "s")
+    _seed(root)
+    feed = ll.changes_between(root, "store", 1, 1)
+    assert feed.count() == 0
+
+
 if __name__ == "__main__":
     raise SystemExit(pytest.main([__file__, "-x", "-q"]))

@@ -1646,6 +1646,33 @@ def store_upsert_golden(n_frags: int = 10):
     }))
 
 
+def store_change_feed_golden():
+    """Expected v1→v3 change feed by STRAIGHT-LINE simulation: plain set
+    arithmetic over the two upsert waves — deletes are the ORIGINAL rows
+    whose doc_id matched either wave (full preimage), inserts are each
+    upserted key's FINAL version (a key hit by both waves nets to its v3
+    row — the compressed-window CDF contract) plus the brand-new docs."""
+    df = pq.read_table(f"{SF}/documents.parquet",
+                       columns=["doc_id", "text"]).to_pandas()
+    ids = df["doc_id"].to_numpy()
+    w2 = [int(v) for v in ids if v % 41 == 0]
+    w3 = [int(v) for v in ids if v % 83 == 0]
+    new3 = [int(ids.max()) + 1 + i for i in range(3)]
+    rows = []
+    orig = dict(zip(df["doc_id"].astype(int), df["text"]))
+    for d in sorted(set(w2) | set(w3)):
+        rows.append(("delete", d, orig[d]))
+    for d in w2:
+        if d not in set(w3):
+            rows.append(("insert", d, f"v2 {d}"))
+    for d in w3 + new3:
+        rows.append(("insert", d, f"v3 {d}"))
+    out = pd.DataFrame(rows, columns=["op", "doc_id", "text"])
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    write("store_change_feed",
+          out.sort_values(["op", "doc_id", "text"]).reset_index(drop=True))
+
+
 if __name__ == "__main__":
     os.makedirs(OUT, exist_ok=True)
     o, params = crawl_goldens()
