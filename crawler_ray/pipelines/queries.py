@@ -3552,6 +3552,78 @@ def store_upsert(sf_dir: str, n_frags: int = 10):
     })
 
 
+def store_schema_evolution(sf_dir: str, n_frags: int = 10):
+    """Schema evolution (lance_layout.add_column — the Lance/Delta
+    ``ALTER TABLE ADD COLUMN`` shape): a METADATA-ONLY commit adds a
+    ``quality`` column with a backfill default (no fragment is read or
+    rewritten — O(1) at any store size; a physical backfill of a
+    10^10-row store is a full rewrite), an upsert wave then writes real
+    values, and a compaction materializes the default into rewritten
+    fragments. Measured invariants: zero fragment files touched by the
+    add (inode+mtime_ns set identity), backfill-on-read correctness,
+    time-travel cleanliness (v1 has no column), and zero physical nulls
+    after the compaction fold."""
+    import shutil
+    import tempfile
+
+    import ray.data as rdata
+
+    from crawler_ray.hashing import xxh64
+    from crawler_ray.sources import lance_layout as ll
+
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    root = os.path.join(tempfile.gettempdir(),
+                        f"graft_evolve_{xxh64(os.path.abspath(sf_dir)):016x}")
+    shutil.rmtree(root, ignore_errors=True)
+    rows_each = -(-docs.num_rows // n_frags)
+    frags: list[dict] = []
+    for i in range(n_frags):
+        t = docs.slice(i * rows_each, rows_each)
+        if t.num_rows:
+            frags += ll.write_table_fragment(t, root, "store", f"w{i:02d}")
+    ll.write_manifest(root, 1, {"tables": {"store": frags}})
+    tdir = os.path.join(root, "store")
+
+    def file_states():
+        return {(f, os.stat(os.path.join(tdir, f)).st_ino,
+                 os.stat(os.path.join(tdir, f)).st_mtime_ns)
+                for f in os.listdir(tdir) if f.endswith(".parquet")}
+
+    before_files = file_states()
+    ll.add_column(root, "store", "quality", "int64", default=0)
+    metadata_only = file_states() == before_files
+
+    base = docs.to_pandas()
+    ids = base["doc_id"].to_numpy(np.int64)
+    upd_ids = ids[ids % 29 == 0]
+    updates = pd.DataFrame({"doc_id": upd_ids,
+                            "text": [f"v2 {v}" for v in upd_ids],
+                            "quality": (upd_ids % 10).astype(np.int64)})
+    ll.merge_insert(root, "store", rdata.from_pandas(updates), "doc_id")
+
+    got = ll.read_table(root, "store").to_pandas()
+    old = got[~got["doc_id"].isin(set(upd_ids.tolist()))]
+    new = got[got["doc_id"].isin(set(upd_ids.tolist()))].sort_values("doc_id")
+    backfill_ok = (old["quality"] == 0).all()
+    new_ok = new["quality"].tolist() == (np.sort(upd_ids) % 10).tolist()
+    tt_clean = "quality" not in ll.read_table(root, "store", version=1).column_names
+
+    ll.compact_table(root, "store", target_rows=3 * rows_each)
+    m = ll.latest_manifest(root)
+    raw = ll.read_fragments(root, "store", m["tables"]["store"])
+    return pd.DataFrame({
+        "n_docs": [np.int64(len(base))],
+        "n_upserted": [np.int64(len(upd_ids))],
+        "metadata_only_add": [np.int64(metadata_only)],
+        "backfill_ok": [np.int64(bool(backfill_ok))],
+        "new_rows_ok": [np.int64(bool(new_ok))],
+        "time_travel_clean": [np.int64(tt_clean)],
+        "nulls_after_compact": [np.int64(raw["quality"].null_count)],
+        "rows_after_compact": [np.int64(raw.num_rows)],
+    })
+
+
 def store_change_feed(sf_dir: str, n_frags: int = 10):
     """Change data feed (lance_layout.changes_between — the Delta CDF
     shape): seed the documents corpus as a fragmented store (v1), apply
@@ -3780,6 +3852,7 @@ QUERIES = {
     "zorder_bbox_scan": zorder_bbox_scan,
     "validate_documents": validate_documents,
     "store_change_feed": store_change_feed,
+    "store_schema_evolution": store_schema_evolution,
 }
 
 ORACLE_SQL = {

@@ -120,7 +120,8 @@ def fragment_paths(root: str, table: str, fragments: list[dict]) -> list[str]:
     return [os.path.join(root, table, f["fragment"]) for f in fragments]
 
 
-def read_fragments(root: str, table: str, fragments: list[dict], schema: pa.Schema | None = None) -> pa.Table:
+def read_fragments(root: str, table: str, fragments: list[dict], schema: pa.Schema | None = None,
+                   added_columns: dict | None = None) -> pa.Table:
     paths = fragment_paths(root, table, fragments)
     if not paths:
         return schema.empty_table() if schema is not None else pa.table({})
@@ -133,8 +134,19 @@ def read_fragments(root: str, table: str, fragments: list[dict], schema: pa.Sche
             mask = np.ones(t.num_rows, bool)
             mask[np.asarray(dead, np.int64)] = False
             t = t.filter(pa.array(mask))
+        if added_columns:  # schema evolution: backfill-on-read
+            t = _apply_added_columns(t, added_columns)
         parts.append(t)
     return pa.concat_tables(parts, promote_options="default")
+
+
+def read_table(root: str, table: str, version: int | None = None) -> pa.Table:
+    """Manifest-aware read of one table: deletion vectors applied, added
+    columns reconciled — what a consumer sees at ``version`` (default
+    latest)."""
+    m = latest_manifest(root) if version is None else read_manifest(root, version)
+    return read_fragments(root, table, m["tables"][table],
+                          added_columns=m.get("added_columns", {}).get(table))
 
 
 # ---------------------------------------------------------------------------
@@ -278,6 +290,54 @@ def merge_insert(root: str, table: str, updates, key_col: str,
 
 
 # ---------------------------------------------------------------------------
+# Schema evolution: metadata-only column add with a default
+# (the Lance/Delta `ALTER TABLE ADD COLUMN` shape — NO fragment rewrites;
+# readers reconcile old fragments against the manifest schema)
+# ---------------------------------------------------------------------------
+
+_EVOLVE_TYPES = {"int64": pa.int64(), "float64": pa.float64(),
+                 "string": pa.string(), "bool": pa.bool_()}
+
+
+def add_column(root: str, table: str, name: str, type_name: str,
+               default=None) -> dict:
+    """Publish a new manifest version whose schema lists ``name`` with a
+    backfill ``default`` — a METADATA-ONLY commit: no fragment is read or
+    rewritten (at a 10^10-row store a physical backfill is a full rewrite;
+    this is O(1)). Readers fill the column for fragments written before
+    the commit; fragments written after simply contain it. Time travel is
+    intact — older versions don't list the column and read without it."""
+    if type_name not in _EVOLVE_TYPES:
+        raise ValueError(f"unsupported type {type_name!r}; "
+                         f"one of {sorted(_EVOLVE_TYPES)}")
+    m = latest_manifest(root)
+    cols = dict(m.get("added_columns", {}).get(table, {}))
+    if name in cols:
+        raise ValueError(f"column {name!r} already added to {table!r}")
+    cols[name] = {"type": type_name, "default": default}
+    version = int(m["version"]) + 1
+    payload = {k: v for k, v in m.items() if k != "version"}
+    payload["added_columns"] = dict(payload.get("added_columns", {}))
+    payload["added_columns"][table] = cols
+    write_manifest(root, version, payload)
+    return {"version": version, "column": name}
+
+
+def _apply_added_columns(t: pa.Table, added: dict) -> pa.Table:
+    """Reconcile one fragment against the manifest's added-column list:
+    fill any column the fragment predates with the recorded default."""
+    for name, spec in added.items():
+        if name in t.column_names:
+            continue
+        typ = _EVOLVE_TYPES[spec["type"]]
+        d = spec.get("default")
+        t = t.append_column(
+            name, pa.nulls(t.num_rows, typ) if d is None
+            else pa.array([d] * t.num_rows, typ))
+    return t
+
+
+# ---------------------------------------------------------------------------
 # Change data feed: diff two manifest versions into insert/delete rows
 # (the Delta CDF / Lance version-diff shape — consumers incrementally sync
 # a downstream index from the feed instead of rescanning the store)
@@ -405,16 +465,21 @@ class _BinCompactor:
     kill between rewrite and manifest publish leaves only invisible,
     re-creatable files)."""
 
-    def __init__(self, root: str, table: str):
+    def __init__(self, root: str, table: str, added_columns: dict | None = None):
         self.root = root
         self.table = table
+        # a bin can mix fragments written before and after an add_column
+        # commit: reconcile on read so the rewrite materializes the
+        # DEFAULT (not nulls) in pre-add rows
+        self.added_columns = added_columns
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = {"bin": [], "fragment": [], "rows": []}
         w = FragmentWriter(self.root, self.table, "compact")
         for i in range(batch.num_rows):
             frags = json.loads(batch["frags"][i].as_py())
-            merged = read_fragments(self.root, self.table, frags)
+            merged = read_fragments(self.root, self.table, frags,
+                                    added_columns=self.added_columns)
             meta = w(merged)
             out["bin"].append(int(batch["bin"][i].as_py()))
             out["fragment"].append(meta["fragment"][0].as_py())
@@ -444,7 +509,9 @@ def compact_table(root: str, table: str, target_rows: int) -> dict:
                 "rows": sum(int(f["rows"]) for f in frags)}
     items = [{"bin": i, "frags": json.dumps(b)} for i, b in rewrites]
     meta = (rd.from_items(items, override_num_blocks=len(items))
-            .map_batches(_BinCompactor(root, table), batch_format="pyarrow")
+            .map_batches(_BinCompactor(root, table,
+                                       m.get("added_columns", {}).get(table)),
+                         batch_format="pyarrow")
             .take_all())
     new_by_bin = {int(r["bin"]): {"fragment": r["fragment"], "rows": int(r["rows"])}
                   for r in meta}

@@ -1673,6 +1673,25 @@ def store_change_feed_golden():
           out.sort_values(["op", "doc_id", "text"]).reset_index(drop=True))
 
 
+def store_schema_evolution_golden():
+    """Expected ``store_schema_evolution`` stats row: plain arithmetic
+    (modulo count of the upsert wave; rows after = n_docs — upserts
+    replace, never add) with the live-measured invariant flags pinned to
+    their expected values (1 / zero nulls)."""
+    df = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"]).to_pandas()
+    n_upd = int((df["doc_id"] % 29 == 0).sum())
+    write("store_schema_evolution", pd.DataFrame({
+        "n_docs": [np.int64(len(df))],
+        "n_upserted": [np.int64(n_upd)],
+        "metadata_only_add": [np.int64(1)],
+        "backfill_ok": [np.int64(1)],
+        "new_rows_ok": [np.int64(1)],
+        "time_travel_clean": [np.int64(1)],
+        "nulls_after_compact": [np.int64(0)],
+        "rows_after_compact": [np.int64(len(df))],
+    }))
+
+
 if __name__ == "__main__":
     os.makedirs(OUT, exist_ok=True)
     o, params = crawl_goldens()
