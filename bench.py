@@ -109,7 +109,8 @@ def run_query_bench(sf_dir: str) -> dict:
              "ngram_novelty", "doc_chunk_stats", "ann_pq_topk",
              "corpus_build",
              "bloom_semi_join", "skew_join_brand_revenue",
-             "cms_heavy_bigrams", "bpe_tokenize", "embedding_covariance"]
+             "cms_heavy_bigrams", "bpe_tokenize", "embedding_covariance",
+             "zorder_bbox_scan", "uniform_k_sample"]
     out = {}
     for name in names:
         t0 = time.time()
