@@ -98,7 +98,15 @@ def write_zorder_layout(ds, root: str, table: str, x_col: str, y_col: str,
               "stats": {"min_x": r.min_x, "max_x": r.max_x,
                         "min_y": r.min_y, "max_y": r.max_y}}
              for r in stats.itertuples()]
-    ll.write_manifest(root, 1, {"tables": {table: frags}})
+    # extend an existing manifest lineage rather than clobbering it: other
+    # tables at this root stay listed, the new layout is one more version
+    m = ll.latest_manifest(root)
+    version = int(m["version"]) + 1 if m else 1
+    payload = {k: v for k, v in (m or {}).items()
+               if k not in ("version", "compaction")}
+    payload["tables"] = dict(payload.get("tables", {}))
+    payload["tables"][table] = frags
+    ll.write_manifest(root, version, payload)
     return frags
 
 
@@ -131,6 +139,8 @@ def bbox_scan(root: str, table: str, x_col: str, y_col: str,
     keep = prune_fragments(frags, x0, x1, y0, y1)
     flt = ((pc.field(x_col) >= x0) & (pc.field(x_col) <= x1)
            & (pc.field(y_col) >= y0) & (pc.field(y_col) <= y1))
+    if not frags:
+        return rd.from_items([]), 0, 0
     if not keep:
         import pyarrow.parquet as pq
 

@@ -3419,6 +3419,22 @@ def uniform_k_sample(sf_dir: str, k: int = 200, seed: int = 33):
     return out
 
 
+def _layout_cache_root(prefix: str, sf_dir: str, *tables: str) -> str:
+    """Deterministic /tmp root for a derived layout, keyed by the SOURCE
+    CONTENT fingerprint (path + size + mtime_ns of each source parquet),
+    not the path alone — a regenerated fixture at the same path gets a
+    fresh root instead of silently reusing a stale clustered copy."""
+    import tempfile
+
+    from crawler_ray.hashing import xxh64
+
+    sig = os.path.abspath(sf_dir)
+    for t in tables:
+        st = os.stat(os.path.join(sf_dir, f"{t}.parquet"))
+        sig += f"|{t}:{st.st_size}:{st.st_mtime_ns}"
+    return os.path.join(tempfile.gettempdir(), f"{prefix}_{xxh64(sig):016x}")
+
+
 VALIDATE_LANGS = ("de", "en", "es", "fr")   # allowlist rule (zh violates
 #                                             by design — a rule with real
 #                                             hits, not an all-zeros audit)
@@ -3442,11 +3458,16 @@ def validate_documents(sf_dir: str):
     def row_rules(b: pd.DataFrame) -> pd.DataFrame:
         ids = b["doc_id"].to_numpy(np.int64)
         text = b["text"]
+        # SQL three-valued logic: a NULL operand makes a comparison
+        # UNKNOWN → not counted (except the explicit IS NULL rule), so
+        # every mask below is ANDed with notna to match the oracle
+        t_ok = text.notna().to_numpy()
+        l_ok = b["lang"].notna().to_numpy()
+        tlen = text.fillna("").str.len().to_numpy(np.int64)
         bad = {
-            "not_null_text": text.isna().to_numpy() | (text.astype(str).str.len() == 0).to_numpy(),
-            "len_consistent": (text.astype(str).str.len().to_numpy(np.int64)
-                               != b["n_chars"].to_numpy(np.int64)),
-            "lang_allowlist": ~b["lang"].isin(VALIDATE_LANGS).to_numpy(),
+            "not_null_text": ~t_ok | (tlen == 0),
+            "len_consistent": t_ok & (tlen != b["n_chars"].to_numpy(np.int64)),
+            "lang_allowlist": l_ok & ~b["lang"].isin(VALIDATE_LANGS).to_numpy(),
             "chars_in_range": ((b["n_chars"].to_numpy(np.int64) < lo)
                                | (b["n_chars"].to_numpy(np.int64) > hi)),
         }
@@ -3564,13 +3585,10 @@ def bucketed_join(sf_dir: str, n_buckets: int = 16):
     two-sided exchange on every execution; at 100 TB the bucketed layout
     turns the recurring all-to-all into a one-time write cost."""
     import shutil
-    import tempfile
 
-    from crawler_ray.hashing import xxh64
     from crawler_ray.sources import lance_layout as ll
 
-    root = os.path.join(tempfile.gettempdir(),
-                        f"graft_bucketed_{xxh64(os.path.abspath(sf_dir)):016x}")
+    root = _layout_cache_root("graft_bucketed", sf_dir, "orders", "lineitem")
     specs = {"orders": ("o_orderkey", ["o_orderkey", "o_orderpriority"]),
              "lineitem": ("l_orderkey",
                           ["l_orderkey", "l_extendedprice", "l_discount"])}
@@ -3777,14 +3795,11 @@ def zorder_bbox_scan(sf_dir: str):
     2-D box while this reads only the intersecting Z-cells (the unit
     asserts >half the fragments are skipped)."""
     import shutil
-    import tempfile
 
     from crawler_ray.functions import zorder
-    from crawler_ray.hashing import xxh64
     from crawler_ray.sources import lance_layout as ll
 
-    root = os.path.join(tempfile.gettempdir(),
-                        f"graft_zorder_{xxh64(os.path.abspath(sf_dir)):016x}")
+    root = _layout_cache_root("graft_zorder", sf_dir, "lineitem")
     if ll.latest_manifest(root) is None:
         shutil.rmtree(root, ignore_errors=True)
         ds = _read(sf_dir, "lineitem",

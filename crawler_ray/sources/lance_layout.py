@@ -211,27 +211,33 @@ class _DvWriter:
         self.keys = ray.get(keys_ref)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out = {"fragment": [], "n_deleted": [], "dv": []}
+        out = {"fragment": [], "n_deleted": [], "n_new_deleted": [], "dv": []}
         for i in range(batch.num_rows):
             frag = batch["fragment"][i].as_py()
             prior_dv = batch["prior_dv"][i].as_py()
             path = os.path.join(self.root, self.table, frag)
             keys = pq.read_table(path, columns=[self.key_col])[self.key_col]
             mask = np.isin(np.asarray(keys), self.keys)
-            rows = np.flatnonzero(mask).astype(np.int64)
+            newly = np.flatnonzero(mask).astype(np.int64)
             if prior_dv:
-                prior = pq.read_table(
-                    os.path.join(self.root, self.table, prior_dv))["row"]
-                rows = np.union1d(rows, np.asarray(prior, np.int64))
-            if len(rows) == 0:
-                continue
+                prior = np.asarray(pq.read_table(
+                    os.path.join(self.root, self.table, prior_dv))["row"],
+                    np.int64)
+                newly = np.setdiff1d(newly, prior)
+            else:
+                prior = np.empty(0, np.int64)
+            if len(newly) == 0:
+                continue  # this wave touched nothing here — keep prior dv
+            rows = np.union1d(newly, prior)
             w = FragmentWriter(self.root, self.table, f"dv-{frag.rsplit('.', 1)[0]}")
             meta = w(pa.table({"row": pa.array(rows, pa.int64())}))
             out["fragment"].append(frag)
             out["n_deleted"].append(len(rows))
+            out["n_new_deleted"].append(len(newly))
             out["dv"].append(meta["fragment"][0].as_py())
         return pa.table({"fragment": pa.array(out["fragment"], pa.string()),
                          "n_deleted": pa.array(out["n_deleted"], pa.int64()),
+                         "n_new_deleted": pa.array(out["n_new_deleted"], pa.int64()),
                          "dv": pa.array(out["dv"], pa.string())})
 
 
@@ -252,8 +258,12 @@ def merge_insert(root: str, table: str, updates, key_col: str,
     m = latest_manifest(root)
     frags = m["tables"][table]
     new_frags = write_fragments(updates, root, table, prefix)
+    # a resubmitted identical wave rewrites the SAME content-digest
+    # fragment names: the old entries are replaced by the fresh appended
+    # ones (no double listing, no dv over a fragment that re-appends)
+    replaced = {f["fragment"] for f in new_frags}
     items = [{"fragment": f["fragment"], "prior_dv": f.get("dv", "")}
-             for f in frags]
+             for f in frags if f["fragment"] not in replaced]
     if new_frags and items:
         key_values = pa.concat_tables(
             [pq.read_table(p, columns=[key_col])
@@ -271,6 +281,8 @@ def merge_insert(root: str, table: str, updates, key_col: str,
     dv_by_frag = {r["fragment"]: r for r in dv_meta}
     out_list = []
     for f in frags:
+        if f["fragment"] in replaced:
+            continue
         f = dict(f)
         hit = dv_by_frag.get(f["fragment"])
         if hit is not None:
@@ -279,13 +291,15 @@ def merge_insert(root: str, table: str, updates, key_col: str,
         out_list.append(f)
     out_list += new_frags
     version = int(m["version"]) + 1
-    payload = {k: v for k, v in m.items() if k != "version"}
+    # drop keys that describe only the version that produced them
+    payload = {k: v for k, v in m.items()
+               if k not in ("version", "compaction")}
     payload["tables"] = dict(payload.get("tables", {}))
     payload["tables"][table] = out_list
     write_manifest(root, version, payload)
     return {"version": version,
             "n_updated_fragments": len(dv_meta),
-            "n_deleted": int(sum(r["n_deleted"] for r in dv_meta)),
+            "n_deleted": int(sum(r["n_new_deleted"] for r in dv_meta)),
             "n_added": int(sum(f["rows"] for f in new_frags))}
 
 
@@ -316,7 +330,8 @@ def add_column(root: str, table: str, name: str, type_name: str,
         raise ValueError(f"column {name!r} already added to {table!r}")
     cols[name] = {"type": type_name, "default": default}
     version = int(m["version"]) + 1
-    payload = {k: v for k, v in m.items() if k != "version"}
+    payload = {k: v for k, v in m.items()
+               if k not in ("version", "compaction")}
     payload["added_columns"] = dict(payload.get("added_columns", {}))
     payload["added_columns"][table] = cols
     write_manifest(root, version, payload)
@@ -480,6 +495,13 @@ class _BinCompactor:
             frags = json.loads(batch["frags"][i].as_py())
             merged = read_fragments(self.root, self.table, frags,
                                     added_columns=self.added_columns)
+            if merged.num_rows == 0:
+                # bin fully deletion-vector-masked: drop it from the
+                # manifest instead of writing a 0-row fragment
+                out["bin"].append(int(batch["bin"][i].as_py()))
+                out["fragment"].append("")
+                out["rows"].append(0)
+                continue
             meta = w(merged)
             out["bin"].append(int(batch["bin"][i].as_py()))
             out["fragment"].append(meta["fragment"][0].as_py())
@@ -517,6 +539,7 @@ def compact_table(root: str, table: str, target_rows: int) -> dict:
                   for r in meta}
     new_list = [new_by_bin[i] if i in new_by_bin else b[0]
                 for i, b in enumerate(bins)]
+    new_list = [f for f in new_list if f["fragment"]]  # fully-dead bins drop
     version = int(m["version"]) + 1
     payload = {k: v for k, v in m.items() if k != "version"}
     payload["tables"] = dict(payload.get("tables", {}))
@@ -535,8 +558,14 @@ def vacuum_versions(root: str, tables: list[str], keep_latest: int = 1) -> dict:
     `cleanup_old_versions`): reclaims the pre-compaction files while older
     kept versions remain bit-readable (time travel within the window)."""
     d = manifest_dir(root)
-    versions = sorted(int(fn[1:-5]) for fn in os.listdir(d)
-                      if fn.startswith("v") and fn.endswith(".json"))
+    versions = []
+    for fn in os.listdir(d):
+        if fn.startswith("v") and fn.endswith(".json"):
+            try:
+                versions.append(int(fn[1:-5]))
+            except ValueError:  # stray non-version file, as latest_manifest
+                continue
+    versions.sort()
     dropped = versions[:-keep_latest] if keep_latest > 0 else versions
     for v in dropped:
         os.remove(os.path.join(d, f"v{v}.json"))

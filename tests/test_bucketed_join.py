@@ -31,13 +31,9 @@ def test_matches_oracle_and_shuffle_join(ray_session):
 
 
 def test_layout_reused_not_rewritten(ray_session):
-    import tempfile
+    from crawler_ray.pipelines.queries import QUERIES, _layout_cache_root
 
-    from crawler_ray.hashing import xxh64
-    from crawler_ray.pipelines.queries import QUERIES
-
-    root = os.path.join(tempfile.gettempdir(),
-                        f"graft_bucketed_{xxh64(os.path.abspath(SF)):016x}")
+    root = _layout_cache_root("graft_bucketed", SF, "orders", "lineitem")
     QUERIES["bucketed_join"](SF)  # ensures layout exists
     states = {(f, os.stat(os.path.join(root, "orders", f)).st_mtime_ns)
               for f in os.listdir(os.path.join(root, "orders"))

@@ -158,5 +158,64 @@ def test_change_feed_empty_when_nothing_changed(tmp_path, ray_session):
     assert feed.count() == 0
 
 
+def test_change_feed_works_after_compaction_then_upsert(tmp_path, ray_session):
+    """Regression: the 'compaction' manifest key must not leak into later
+    upsert versions — the feed across POST-compaction upserts works, and
+    only the compaction version itself is refused."""
+    root = str(tmp_path / "s")
+    _seed(root)
+    ll.compact_table(root, "store", target_rows=100)          # v2 (compaction)
+    ll.merge_insert(root, "store", _updates_ds([3], "a"), "image_id")  # v3
+    ll.merge_insert(root, "store", _updates_ds([25], "b"), "image_id")  # v4
+    feed = ll.changes_between(root, "store", 2, 4).to_pandas()
+    assert sorted(feed.loc[feed["op"] == "delete", "image_id"]) == \
+        ["img-0003", "img-0025"]
+    with pytest.raises(ValueError, match="compaction"):
+        ll.changes_between(root, "store", 1, 4)
+
+
+def test_identical_reupsert_no_double_listing(tmp_path, ray_session):
+    """Regression: resubmitting the identical wave rewrites the same
+    content-digest fragment; the manifest must list it ONCE, undamaged."""
+    root = str(tmp_path / "s")
+    base = _seed(root)
+    ll.merge_insert(root, "store", _updates_ds([3], "a"), "image_id")
+    ll.merge_insert(root, "store", _updates_ds([3], "a"), "image_id")
+    names = [f["fragment"] for f in ll.latest_manifest(root)["tables"]["store"]]
+    assert len(names) == len(set(names))
+    got = _read(root)
+    assert len(got) == len(base)
+    assert got.loc[got["image_id"] == "img-0003", "caption"].tolist() == ["a 3"]
+    # and the identity diff is empty (no logical change)
+    assert ll.changes_between(root, "store", 2, 3).count() == 0
+
+
+def test_stacked_upsert_stats_count_only_new_deletions(tmp_path, ray_session):
+    """Regression: a pure-append wave after a prior dv reports zero
+    deletions (prior dv rows are not re-counted)."""
+    root = str(tmp_path / "s")
+    _seed(root)
+    ll.merge_insert(root, "store", _updates_ds([3], "a"), "image_id")
+    s = ll.merge_insert(root, "store", _updates_ds([900], "b"), "image_id")
+    assert s["n_deleted"] == 0 and s["n_updated_fragments"] == 0
+
+
+def test_compaction_drops_fully_dead_bins(tmp_path, ray_session):
+    """Regression: a bin whose rows are all dv-masked compacts to NOTHING
+    (no 0-row fragment, no crash)."""
+    import ray.data as rd
+
+    root = str(tmp_path / "s")
+    base = _seed(root)  # 4 frags x 20 rows
+    ids = list(range(80))
+    ll.merge_insert(root, "store", _updates_ds(ids, "all"), "image_id")
+    s = ll.compact_table(root, "store", target_rows=30)
+    got = _read(root)
+    assert len(got) == len(base)
+    assert got["caption"].str.startswith("all ").all()
+    m = ll.latest_manifest(root)
+    assert all(f["rows"] > 0 for f in m["tables"]["store"])
+
+
 if __name__ == "__main__":
     raise SystemExit(pytest.main([__file__, "-x", "-q"]))

@@ -1711,4 +1711,7 @@ if __name__ == "__main__":
     pca_golden()
     corpus_build_neardup_golden()
     store_compaction_golden()
+    store_upsert_golden()
+    store_change_feed_golden()
+    store_schema_evolution_golden()
     print("done")
