@@ -1169,6 +1169,155 @@ def _training_shards(sf_dir: str):
     return first
 
 
+SHARP_MIN_VAR_PPM = 24_000_000_000  # fixture median — a gate that splits
+
+
+def _image_sharpness(sf_dir: str):
+    """Blur gate (the variance-of-Laplacian sharpness pre-filter a
+    LAION-style corpus applies before training, next to the resolution/
+    aspect gates of ``image_quality_gate``): per stored image the exact
+    integer variance of the 4-neighbour Laplacian on a ppm grid
+    (imaging.laplacian_var_ppm — channel-sum luma, interior pixels, pure
+    int arithmetic, so bit-identical on any layout) plus the pass bit at
+    SHARP_MIN_VAR_PPM. One zero-shuffle actor-pool decode pass; bytes
+    never leave the stage. Golden: an independent per-pixel double-loop
+    Laplacian with python-int accumulators."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from crawler_ray.imaging import decode_png, laplacian_var_ppm
+
+    class Sharp:
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids, v = [], []
+            for row in batch.to_pylist():
+                ids.append(row["image_id"])
+                v.append(laplacian_var_ppm(decode_png(row["bytes"])))
+            arr = np.asarray(v, np.int64) if v else np.zeros(0, np.int64)
+            return pa.table({
+                "image_id": pa.array(ids, pa.string()),
+                "lap_var_ppm": pa.array(arr, pa.int64()),
+                "sharp": pa.array((arr >= SHARP_MIN_VAR_PPM).astype(np.int64),
+                                  pa.int64())})
+
+    out = (_store_ds().map_batches(Sharp, batch_format="pyarrow",
+                                   batch_size=64, concurrency=2).to_pandas())
+    return out.sort_values("image_id").reset_index(drop=True)
+
+
+SEQ_TOKEN_BUDGET = 64  # interleaved-sequence budget (trainer context slots)
+
+
+def _interleaved_docs(sf_dir: str):
+    """MMC4/OBELICS-style interleaved image-text document assembly (the
+    step that turns a crawled page + its images into one multimodal
+    training sequence): pages ⋈ store on the image's source URL — a
+    distributed hash join with BOTH sides corpus-scale at 100 TB — then
+    per page, in image_id order, images are admitted while the running
+    total of ``title tokens + Σ(patch_tokens + caption tokens)`` stays
+    within SEQ_TOKEN_BUDGET (the trainer's context window); the rest are
+    dropped. Per-page groups are tiny (images-per-page), so the assemble
+    runs as groupby(url).map_groups. All accounting is integer
+    (whitespace token counts, ceil-div patch tokens) — no float rule can
+    split engine and golden. Golden: straight-line loop over the oracle
+    store + pages."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from crawler_ray.pipelines.multimodal import patch_tokens
+
+    store = (_store_ds()
+             .map_batches(lambda b: b[["image_id", "src_url", "w", "h",
+                                       "caption"]],
+                          batch_format="pandas"))
+    pages = _pages_ds(["url", "title"])
+    joined = store.join(pages, join_type="inner", num_partitions=_W(),
+                        on=("src_url",), right_on=("url",))
+
+    def assemble(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("image_id")
+        title_tok = len(g["title"].iloc[0].split())
+        ptok = patch_tokens(g["w"].to_numpy(np.int64),
+                            g["h"].to_numpy(np.int64))
+        ctok = np.array([len(c.split()) for c in g["caption"]], np.int64)
+        cost = ptok + ctok
+        total = np.int64(title_tok)
+        kept = 0
+        for c in cost:  # images-per-page loop: bounded tiny by the fixture
+            if total + c > SEQ_TOKEN_BUDGET:
+                break
+            total += c
+            kept += 1
+        return pd.DataFrame({
+            "url": [g["src_url"].iloc[0]],
+            "n_images": [np.int64(len(g))],
+            "n_kept": [np.int64(kept)],
+            "text_tokens": [np.int64(title_tok)],
+            "image_tokens": [np.int64(int(cost[:kept].sum()))],
+            "total_tokens": [np.int64(int(total))]})
+
+    out = (joined.groupby("src_url")
+           .map_groups(assemble, batch_format="pandas").to_pandas())
+    for c in out.columns[1:]:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("url").reset_index(drop=True)
+
+
+def _caption_dedup(sf_dir: str):
+    """Exact caption dedup (the LAION-2B step that drops repeated
+    boilerplate captions before pair filtering): key = xxh64(caption),
+    keep the lexicographically-first image_id per caption globally, and
+    roll up per host how many stored images survive. One caption-keyed
+    exchange co-locates every hash group whole (first-wins is then a
+    per-block groupby — globally exact by co-location); the per-host
+    rollup is a zero-shuffle combiner + driver fold. Golden: dict loop
+    over the oracle store."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from crawler_ray.hashing import xxh64_array
+    from crawler_ray.pipelines.queries import _fold, _keyed
+
+    def key(b: pd.DataFrame) -> pd.DataFrame:
+        h = xxh64_array(b["caption"].tolist()).view(np.int64)
+        return pd.DataFrame({"cap_hash": h,
+                             "image_id": b["image_id"].astype(object),
+                             "host": b["host"].astype(object)})
+
+    keyed = (_store_ds()
+             .map_batches(lambda b: key(b[["image_id", "caption", "host"]]),
+                          batch_format="pandas"))
+
+    def winners(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame({"host": pd.Series([], dtype=object),
+                                 "n_images": pd.Series([], dtype=np.int64),
+                                 "n_kept": pd.Series([], dtype=np.int64)})
+        first = b.sort_values("image_id").groupby("cap_hash", as_index=False
+                                                  ).first()
+        alln = b.groupby("host", as_index=False).size().rename(
+            columns={"size": "n_images"})
+        keep = first.groupby("host", as_index=False).size().rename(
+            columns={"size": "n_kept"})
+        out = alln.merge(keep, on="host", how="left")
+        out["n_kept"] = out["n_kept"].fillna(0).astype(np.int64)
+        return out
+
+    dk = (_keyed(keyed).repartition(_W(), keys=["cap_hash"])
+          .map_batches(winners, batch_format="pandas", batch_size=None)
+          .materialize())
+    dk.context.shuffle_strategy = rd.DataContext.get_current().shuffle_strategy
+    out = _fold(dk, ["host"], dict(n_images=("n_images", "sum"),
+                                   n_kept=("n_kept", "sum")))
+    out["n_dropped"] = out["n_images"] - out["n_kept"]
+    for c in ("n_images", "n_kept", "n_dropped"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("host").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from crawler_ray.pipelines.queries import QUERIES
 
@@ -1232,6 +1381,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["zorder_bbox_scan"] = QUERIES["zorder_bbox_scan"]
     for name in round5_registry:
         out[name] = QUERIES[name]
+    # round-5 image-quality/assembly wave (golden-checked; never
+    # driver-checked — first in line if the budget extends past here)
+    out["image_sharpness"] = _image_sharpness
+    out["interleaved_docs"] = _interleaved_docs
+    out["caption_dedup"] = _caption_dedup
     # flagship crawl outputs (deterministic synthetic web)
     out["crawl_store_meta"] = _crawl_table("store")
     # multimodal (decode/feature/near-dup over the image store)
@@ -1289,6 +1443,7 @@ _GOLDEN_CHECKED = (
     "audio_near_dups", "video_near_dups", "bpe_tokenize", "embedding_pca",
     "image_increment_dups", "corpus_build_neardup", "store_compaction",
     "store_upsert", "store_change_feed", "store_schema_evolution",
+    "image_sharpness", "interleaved_docs", "caption_dedup",
 )
 
 

@@ -144,3 +144,27 @@ def phash64(rgb: np.ndarray) -> int:
 def hamming64(a: int, b: int) -> int:
     """Hamming distance between two 64-bit phashes (signed int64 inputs ok)."""
     return int(bin((int(a) ^ int(b)) & 0xFFFFFFFFFFFFFFFF).count("1"))
+
+
+def laplacian_var_ppm(rgb: np.ndarray) -> int:
+    """Variance of the 4-neighbour Laplacian on an exact parts-per-million
+    grid — the classic variance-of-Laplacian sharpness statistic
+    (Pech-Pacheco et al., ICPR 2000) every large image-corpus quality
+    filter applies: blurry images have low high-frequency response.
+
+    Integer-exact by construction so the gate is bit-identical on any
+    block layout or BLAS: the luminance proxy is the per-pixel CHANNEL SUM
+    (r+g+b — no division, no rounding rule), the response is
+    ``L = 4·g − g↑ − g↓ − g← − g→`` over interior pixels only (no padding
+    convention to disagree about), and the variance is published as
+    ``(n·Σx² − (Σx)²)·10⁶ // n²`` folded in overflow-free Python ints.
+    """
+    g = rgb.astype(np.int64).sum(axis=2)
+    if g.shape[0] < 3 or g.shape[1] < 3:
+        return 0
+    core = g[1:-1, 1:-1]
+    lap = 4 * core - g[:-2, 1:-1] - g[2:, 1:-1] - g[1:-1, :-2] - g[1:-1, 2:]
+    n = int(lap.size)
+    s = int(lap.sum())
+    s2 = int((lap.astype(np.int64) ** 2).sum())
+    return ((n * s2 - s * s) * 10**6) // (n * n)

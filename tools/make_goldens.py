@@ -1692,12 +1692,88 @@ def store_schema_evolution_golden():
     }))
 
 
+def image_quality_goldens(o, params):
+    """Round-5b wave: sharpness gate, interleaved-doc assembly, caption
+    dedup. Independence: the Laplacian is a per-pixel double loop with
+    python-int accumulators (vs the engine's numpy slicing), the assembly
+    is a straight-line per-page loop (vs the distributed join +
+    map_groups), and caption dedup groups by the CAPTION STRING (vs the
+    engine's xxh64 key — stronger: a hash collision would split them)."""
+    from crawler_ray.imaging import decode_png
+    from __ray_entry__ import SEQ_TOKEN_BUDGET, SHARP_MIN_VAR_PPM
+
+    # image_sharpness: per-pixel loop Laplacian variance
+    rows = []
+    for r in sorted(o["store"], key=lambda r: r["image_id"]):
+        rgb = decode_png(image_bytes(r["image_id"], r["w"], r["h"],
+                                     r["fmt"], 42)).astype(int)
+        h, w = rgb.shape[:2]
+        s = s2 = n = 0
+        for i in range(1, h - 1):
+            for j in range(1, w - 1):
+                def g(a, b):
+                    return int(rgb[a, b, 0]) + int(rgb[a, b, 1]) + int(rgb[a, b, 2])
+                L = 4 * g(i, j) - g(i - 1, j) - g(i + 1, j) - g(i, j - 1) - g(i, j + 1)
+                s += L
+                s2 += L * L
+                n += 1
+        var = ((n * s2 - s * s) * 10**6) // (n * n) if n else 0
+        rows.append(dict(image_id=r["image_id"], lap_var_ppm=np.int64(var),
+                         sharp=np.int64(1 if var >= SHARP_MIN_VAR_PPM else 0)))
+    write("image_sharpness", pd.DataFrame(rows))
+
+    # interleaved_docs: straight-line per-page assembly loop
+    import math
+    from crawler_ray.pipelines.multimodal import VIT_PATCH
+
+    title_of = {p["url"]: p["title"] for p in o["pages"]}
+    by_url: dict[str, list] = {}
+    for r in o["store"]:
+        by_url.setdefault(r["src_url"], []).append(r)
+    irows = []
+    for url in sorted(by_url):
+        imgs = sorted(by_url[url], key=lambda r: r["image_id"])
+        title_tok = len(title_of[url].split())
+        total = title_tok
+        kept = img_tok = 0
+        for im in imgs:
+            cost = (math.ceil(int(im["w"]) / VIT_PATCH)
+                    * math.ceil(int(im["h"]) / VIT_PATCH)
+                    + len(im["caption"].split()))
+            if total + cost > SEQ_TOKEN_BUDGET:
+                break
+            total += cost
+            img_tok += cost
+            kept += 1
+        irows.append(dict(url=url, n_images=np.int64(len(imgs)),
+                          n_kept=np.int64(kept),
+                          text_tokens=np.int64(title_tok),
+                          image_tokens=np.int64(img_tok),
+                          total_tokens=np.int64(total)))
+    write("interleaved_docs", pd.DataFrame(irows))
+
+    # caption_dedup: first-wins per CAPTION STRING, per-host rollup
+    winner: dict[str, str] = {}
+    for r in sorted(o["store"], key=lambda r: r["image_id"]):
+        winner.setdefault(r["caption"], r["image_id"])
+    per_host: dict[str, list[int]] = {}
+    for r in o["store"]:
+        s = per_host.setdefault(r["host"], [0, 0])
+        s[0] += 1
+        s[1] += 1 if winner[r["caption"]] == r["image_id"] else 0
+    write("caption_dedup", pd.DataFrame(
+        [dict(host=hst, n_images=np.int64(v[0]), n_kept=np.int64(v[1]),
+              n_dropped=np.int64(v[0] - v[1]))
+         for hst, v in sorted(per_host.items())]))
+
+
 if __name__ == "__main__":
     os.makedirs(OUT, exist_ok=True)
     o, params = crawl_goldens()
     export_golden(o)
     image_goldens(o, params)
     image_r5_goldens(o, params)
+    image_quality_goldens(o, params)
     text_goldens()
     ann_golden()
     ann_ivf_golden()
