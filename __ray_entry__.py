@@ -67,6 +67,19 @@ def _store_ds():
     return rd.read_parquet(paths)
 
 
+def _store_meta(columns: list):
+    """Column-pruned read of the store fragments (metadata queries must
+    not pull the image bytes off storage)."""
+    import ray.data as rd
+
+    from crawler_ray.sources import lance_layout as ll
+
+    run = _crawl_run("queries")
+    m = ll.latest_manifest(run.root)
+    paths = ll.fragment_paths(run.root, "store", m["tables"]["store"])
+    return rd.read_parquet(paths, columns=columns)
+
+
 def _featurized():
     """Featurize the store ONCE per process (materialized in the object
     store) — the three image queries below all read this Dataset; re-running
@@ -1182,27 +1195,9 @@ def _image_sharpness(sf_dir: str):
     SHARP_MIN_VAR_PPM. One zero-shuffle actor-pool decode pass; bytes
     never leave the stage. Golden: an independent per-pixel double-loop
     Laplacian with python-int accumulators."""
-    import numpy as np
-    import pandas as pd
-    import pyarrow as pa
+    from crawler_ray.pipelines.multimodal import sharpness_stats
 
-    from crawler_ray.imaging import decode_png, laplacian_var_ppm
-
-    class Sharp:
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ids, v = [], []
-            for row in batch.to_pylist():
-                ids.append(row["image_id"])
-                v.append(laplacian_var_ppm(decode_png(row["bytes"])))
-            arr = np.asarray(v, np.int64) if v else np.zeros(0, np.int64)
-            return pa.table({
-                "image_id": pa.array(ids, pa.string()),
-                "lap_var_ppm": pa.array(arr, pa.int64()),
-                "sharp": pa.array((arr >= SHARP_MIN_VAR_PPM).astype(np.int64),
-                                  pa.int64())})
-
-    out = (_store_ds().map_batches(Sharp, batch_format="pyarrow",
-                                   batch_size=64, concurrency=2).to_pandas())
+    out = sharpness_stats(_store_ds(), SHARP_MIN_VAR_PPM).to_pandas()
     return out.sort_values("image_id").reset_index(drop=True)
 
 
@@ -1223,43 +1218,12 @@ def _interleaved_docs(sf_dir: str):
     split engine and golden. Golden: straight-line loop over the oracle
     store + pages."""
     import numpy as np
-    import pandas as pd
-    import ray.data as rd
 
-    from crawler_ray.pipelines.multimodal import patch_tokens
+    from crawler_ray.pipelines.multimodal import interleave_docs
 
-    store = (_store_ds()
-             .map_batches(lambda b: b[["image_id", "src_url", "w", "h",
-                                       "caption"]],
-                          batch_format="pandas"))
-    pages = _pages_ds(["url", "title"])
-    joined = store.join(pages, join_type="inner", num_partitions=_W(),
-                        on=("src_url",), right_on=("url",))
-
-    def assemble(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("image_id")
-        title_tok = len(g["title"].iloc[0].split())
-        ptok = patch_tokens(g["w"].to_numpy(np.int64),
-                            g["h"].to_numpy(np.int64))
-        ctok = np.array([len(c.split()) for c in g["caption"]], np.int64)
-        cost = ptok + ctok
-        total = np.int64(title_tok)
-        kept = 0
-        for c in cost:  # images-per-page loop: bounded tiny by the fixture
-            if total + c > SEQ_TOKEN_BUDGET:
-                break
-            total += c
-            kept += 1
-        return pd.DataFrame({
-            "url": [g["src_url"].iloc[0]],
-            "n_images": [np.int64(len(g))],
-            "n_kept": [np.int64(kept)],
-            "text_tokens": [np.int64(title_tok)],
-            "image_tokens": [np.int64(int(cost[:kept].sum()))],
-            "total_tokens": [np.int64(int(total))]})
-
-    out = (joined.groupby("src_url")
-           .map_groups(assemble, batch_format="pandas").to_pandas())
+    out = interleave_docs(
+        _store_meta(["image_id", "src_url", "w", "h", "caption"]),
+        _pages_ds(["url", "title"]), SEQ_TOKEN_BUDGET).to_pandas()
     for c in out.columns[1:]:
         out[c] = out[c].astype(np.int64)
     return out.sort_values("url").reset_index(drop=True)
@@ -1274,48 +1238,23 @@ def _caption_dedup(sf_dir: str):
     per-block groupby — globally exact by co-location); the per-host
     rollup is a zero-shuffle combiner + driver fold. Golden: dict loop
     over the oracle store."""
-    import numpy as np
-    import pandas as pd
-    import ray.data as rd
+    from crawler_ray.pipelines.multimodal import caption_dedup_stats
 
-    from crawler_ray.hashing import xxh64_array
-    from crawler_ray.pipelines.queries import _fold, _keyed
+    return caption_dedup_stats(_store_meta(["image_id", "caption", "host"]))
 
-    def key(b: pd.DataFrame) -> pd.DataFrame:
-        h = xxh64_array(b["caption"].tolist()).view(np.int64)
-        return pd.DataFrame({"cap_hash": h,
-                             "image_id": b["image_id"].astype(object),
-                             "host": b["host"].astype(object)})
 
-    keyed = (_store_ds()
-             .map_batches(lambda b: key(b[["image_id", "caption", "host"]]),
-                          batch_format="pandas"))
+def _validate_images(sf_dir: str):
+    """Binary-column data contract over the image store (the image twin
+    of ``validate_documents``): per host, violations of PNG signature,
+    per-chunk CRC32, IHDR-vs-metadata dims, decodability, and a full
+    decode→phash recompute vs the stored column (silent-corruption
+    detection). Zero-shuffle combiner pass (multimodal.image_audit_stats);
+    a healthy store audits all-zero — the detection logic is proven on
+    planted corruptions in tests/test_image_audit.py. Golden: an
+    independent spec-level chunk walker + loop rollup."""
+    from crawler_ray.pipelines.multimodal import image_audit_stats
 
-    def winners(b: pd.DataFrame) -> pd.DataFrame:
-        if len(b) == 0:
-            return pd.DataFrame({"host": pd.Series([], dtype=object),
-                                 "n_images": pd.Series([], dtype=np.int64),
-                                 "n_kept": pd.Series([], dtype=np.int64)})
-        first = b.sort_values("image_id").groupby("cap_hash", as_index=False
-                                                  ).first()
-        alln = b.groupby("host", as_index=False).size().rename(
-            columns={"size": "n_images"})
-        keep = first.groupby("host", as_index=False).size().rename(
-            columns={"size": "n_kept"})
-        out = alln.merge(keep, on="host", how="left")
-        out["n_kept"] = out["n_kept"].fillna(0).astype(np.int64)
-        return out
-
-    dk = (_keyed(keyed).repartition(_W(), keys=["cap_hash"])
-          .map_batches(winners, batch_format="pandas", batch_size=None)
-          .materialize())
-    dk.context.shuffle_strategy = rd.DataContext.get_current().shuffle_strategy
-    out = _fold(dk, ["host"], dict(n_images=("n_images", "sum"),
-                                   n_kept=("n_kept", "sum")))
-    out["n_dropped"] = out["n_images"] - out["n_kept"]
-    for c in ("n_images", "n_kept", "n_dropped"):
-        out[c] = out[c].astype(np.int64)
-    return out.sort_values("host").reset_index(drop=True)
+    return image_audit_stats(_store_ds())
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -1386,6 +1325,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["image_sharpness"] = _image_sharpness
     out["interleaved_docs"] = _interleaved_docs
     out["caption_dedup"] = _caption_dedup
+    out["validate_images"] = _validate_images
     # flagship crawl outputs (deterministic synthetic web)
     out["crawl_store_meta"] = _crawl_table("store")
     # multimodal (decode/feature/near-dup over the image store)
@@ -1444,6 +1384,7 @@ _GOLDEN_CHECKED = (
     "image_increment_dups", "corpus_build_neardup", "store_compaction",
     "store_upsert", "store_change_feed", "store_schema_evolution",
     "image_sharpness", "interleaved_docs", "caption_dedup",
+    "validate_images",
 )
 
 

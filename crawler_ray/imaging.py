@@ -146,6 +146,43 @@ def hamming64(a: int, b: int) -> int:
     return int(bin((int(a) ^ int(b)) & 0xFFFFFFFFFFFFFFFF).count("1"))
 
 
+def png_audit(data: bytes) -> dict:
+    """Structural audit of one PNG blob WITHOUT decoding pixel data — the
+    corrupted-blob detector a binary-column store runs as a data
+    contract: signature, per-chunk CRC32 (the check ``decode_png``
+    deliberately skips for speed), and the IHDR dims.
+
+    Returns ``dict(sig_ok, crc_ok, w, h)`` with ``w = h = -1`` when no
+    readable IHDR exists. ``crc_ok`` is False for truncated chunks,
+    trailing garbage after IEND, or a missing IEND.
+    """
+    sig_ok = data[:8] == _PNG_SIG
+    w = h = -1
+    crc_ok = sig_ok
+    pos = 8
+    saw_iend = False
+    while crc_ok and pos + 12 <= len(data):
+        ln = struct.unpack(">I", data[pos:pos + 4])[0]
+        tag = data[pos + 4:pos + 8]
+        if pos + 12 + ln > len(data):
+            crc_ok = False
+            break
+        chunk = data[pos + 8:pos + 8 + ln]
+        crc = struct.unpack(">I", data[pos + 8 + ln:pos + 12 + ln])[0]
+        if zlib.crc32(tag + chunk) & 0xFFFFFFFF != crc:
+            crc_ok = False
+            break
+        if tag == b"IHDR" and ln >= 8:
+            w, h = struct.unpack(">II", chunk[:8])
+        pos += 12 + ln
+        if tag == b"IEND":
+            saw_iend = True
+            break
+    if crc_ok and (not saw_iend or pos != len(data)):
+        crc_ok = False
+    return dict(sig_ok=bool(sig_ok), crc_ok=bool(crc_ok), w=int(w), h=int(h))
+
+
 def laplacian_var_ppm(rgb: np.ndarray) -> int:
     """Variance of the 4-neighbour Laplacian on an exact parts-per-million
     grid — the classic variance-of-Laplacian sharpness statistic

@@ -420,6 +420,187 @@ def thumbnail_store(store_ds, max_side: int = 32, concurrency: int = 2,
     )
 
 
+def sharpness_stats(store_ds, min_var_ppm: int, concurrency: int = 2,
+                    batch_size: int = 64):
+    """Blur gate: per-image variance-of-Laplacian rows ``(image_id,
+    lap_var_ppm, sharp)`` — the sharpness pre-filter a LAION-style corpus
+    applies before training. One zero-shuffle actor-pool decode pass
+    (bytes never leave the stage); integer-exact on any layout
+    (imaging.laplacian_var_ppm). Returns the Dataset lazily."""
+    from crawler_ray.imaging import laplacian_var_ppm
+
+    class Sharp:
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids, v = [], []
+            for row in batch.to_pylist():
+                ids.append(row["image_id"])
+                v.append(laplacian_var_ppm(decode_png(row["bytes"])))
+            arr = np.asarray(v, np.int64) if v else np.zeros(0, np.int64)
+            return pa.table({
+                "image_id": pa.array(ids, pa.string()),
+                "lap_var_ppm": pa.array(arr, pa.int64()),
+                "sharp": pa.array((arr >= min_var_ppm).astype(np.int64),
+                                  pa.int64())})
+
+    return store_ds.map_batches(Sharp, batch_format="pyarrow",
+                                batch_size=batch_size,
+                                concurrency=concurrency)
+
+
+def interleave_docs(store_meta_ds, pages_ds, budget: int):
+    """MMC4/OBELICS-style interleaved image-text document assembly: pages
+    ⋈ store meta on the image's source URL — a distributed hash join with
+    BOTH sides corpus-scale at 100 TB — then per page, in image_id order,
+    images are admitted while ``title tokens + Σ(patch_tokens + caption
+    tokens)`` stays within ``budget`` (the trainer's context window).
+    Per-page groups are tiny (images-per-page), so the assemble runs as
+    groupby(url).map_groups. All accounting is integer — no float rule
+    can split engine and oracle. Returns a Dataset of per-page rows
+    ``(url, n_images, n_kept, text_tokens, image_tokens, total_tokens)``.
+
+    ``store_meta_ds`` needs columns (image_id, src_url, w, h, caption);
+    ``pages_ds`` needs (url, title) — prune at the read."""
+    joined = store_meta_ds.join(pages_ds, join_type="inner",
+                                num_partitions=_W(),
+                                on=("src_url",), right_on=("url",))
+
+    def assemble_block(b: pd.DataFrame) -> pd.DataFrame:
+        cols = ["url", "n_images", "n_kept", "text_tokens", "image_tokens",
+                "total_tokens"]
+        if len(b) == 0:
+            return pd.DataFrame({"url": pd.Series([], dtype=object),
+                                 **{c: pd.Series([], dtype=np.int64)
+                                    for c in cols[1:]}})
+        # admission stops at the FIRST image that overflows; image costs
+        # are positive so the cumulative total is monotone and the
+        # admitted set is exactly the prefix where title + cumsum(cost)
+        # fits — which vectorizes as one grouped cumsum (no per-group
+        # Python; measured 1,092 → >30k pages/s on the bench store)
+        b = b.sort_values(["src_url", "image_id"], kind="mergesort")
+        cap = b["caption"].astype("string")
+        ctok = (cap.str.count(" ").to_numpy(np.int64) + 1)
+        ctok = np.where(cap.str.len().to_numpy(np.int64) == 0, 0, ctok)
+        cost = patch_tokens(b["w"].to_numpy(np.int64),
+                            b["h"].to_numpy(np.int64)) + ctok
+        ttl = b["title"].astype("string")
+        ttok = ttl.str.count(" ").to_numpy(np.int64) + 1
+        ttok = np.where(ttl.str.len().to_numpy(np.int64) == 0, 0, ttok)
+        g = pd.DataFrame({"url": b["src_url"].to_numpy(object),
+                          "cost": cost, "ttok": ttok})
+        keep = ((g["ttok"] + g.groupby("url", sort=False)["cost"].cumsum())
+                <= budget).to_numpy()
+        g["kept_cost"] = np.where(keep, cost, 0)
+        g["kept"] = keep.astype(np.int64)
+        out = g.groupby("url", as_index=False, sort=False).agg(
+            n_images=("cost", "size"), n_kept=("kept", "sum"),
+            text_tokens=("ttok", "first"), image_tokens=("kept_cost", "sum"))
+        out["total_tokens"] = out["text_tokens"] + out["image_tokens"]
+        for c in cols[1:]:
+            out[c] = out[c].astype(np.int64)
+        return out[cols]
+
+    # the hash join co-locates each url's rows in one partition, so the
+    # per-block assembly is globally exact by co-location
+    return joined.map_batches(assemble_block, batch_format="pandas",
+                              batch_size=None)
+
+
+def caption_dedup_stats(store_meta_ds) -> pd.DataFrame:
+    """Exact caption dedup (the LAION boilerplate-caption drop): key =
+    xxh64(caption), keep the lexicographically-first image_id per caption
+    globally, roll up per host. One caption-keyed exchange co-locates
+    every hash group whole (first-wins is then a per-block groupby —
+    globally exact by co-location); the per-host rollup is a zero-shuffle
+    combiner + driver fold, so the returned frame is result-scale
+    (hosts). ``store_meta_ds`` needs (image_id, caption, host)."""
+    import ray.data as rd
+
+    from crawler_ray.hashing import xxh64_array
+    from crawler_ray.pipelines.queries import _fold, _keyed
+
+    def key(b: pd.DataFrame) -> pd.DataFrame:
+        h = xxh64_array(b["caption"].tolist()).view(np.int64)
+        return pd.DataFrame({"cap_hash": h,
+                             "image_id": b["image_id"].astype(object),
+                             "host": b["host"].astype(object)})
+
+    keyed = store_meta_ds.map_batches(key, batch_format="pandas")
+
+    def winners(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame({"host": pd.Series([], dtype=object),
+                                 "n_images": pd.Series([], dtype=np.int64),
+                                 "n_kept": pd.Series([], dtype=np.int64)})
+        first = b.sort_values("image_id").groupby("cap_hash",
+                                                  as_index=False).first()
+        alln = b.groupby("host", as_index=False).size().rename(
+            columns={"size": "n_images"})
+        keep = first.groupby("host", as_index=False).size().rename(
+            columns={"size": "n_kept"})
+        out = alln.merge(keep, on="host", how="left")
+        out["n_kept"] = out["n_kept"].fillna(0).astype(np.int64)
+        return out
+
+    dk = (_keyed(keyed).repartition(_W(), keys=["cap_hash"])
+          .map_batches(winners, batch_format="pandas", batch_size=None)
+          .materialize())
+    dk.context.shuffle_strategy = rd.DataContext.get_current().shuffle_strategy
+    out = _fold(dk, ["host"], dict(n_images=("n_images", "sum"),
+                                   n_kept=("n_kept", "sum")))
+    out["n_dropped"] = out["n_images"] - out["n_kept"]
+    for c in ("n_images", "n_kept", "n_dropped"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("host").reset_index(drop=True)
+
+
+def image_audit_stats(store_ds) -> pd.DataFrame:
+    """Binary-column data contract (the image twin of the
+    ``validate_documents`` audit): per host, how many stored blobs fail
+    each integrity rule — PNG signature, per-chunk CRC32
+    (imaging.png_audit — the check the fast decode path skips), IHDR dims
+    vs the metadata columns, decode errors, and a full decode→phash
+    recompute vs the stored ``phash`` (silent-corruption detection: a
+    blob can be structurally valid yet not be the image the manifest
+    indexed). One zero-shuffle combiner pass; bytes never leave the
+    stage; the returned frame is result-scale (hosts).
+
+    ``n_phash_bad`` counts only rows that DECODED (decode failures are
+    ``n_decode_err`` — the two rules are disjoint by definition)."""
+    from crawler_ray.imaging import phash64, png_audit
+    from crawler_ray.pipelines.queries import _fold
+
+    COLS = ["n_images", "n_sig_bad", "n_crc_bad", "n_dims_bad",
+            "n_decode_err", "n_phash_bad"]
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        recs: dict[str, list[int]] = {}
+        for row in batch.to_pylist():
+            a = png_audit(row["bytes"])
+            s = recs.setdefault(row["host"], [0] * 6)
+            s[0] += 1
+            s[1] += 0 if a["sig_ok"] else 1
+            s[2] += 0 if a["crc_ok"] else 1
+            s[3] += 0 if (a["w"] == row["w"] and a["h"] == row["h"]) else 1
+            try:
+                rgb = decode_png(row["bytes"])
+            except Exception:
+                s[4] += 1
+                continue
+            s[5] += 0 if phash64(rgb) == row["phash"] else 1
+        return pd.DataFrame(
+            [dict(host=hst, **dict(zip(COLS, v)))
+             for hst, v in sorted(recs.items())]) if recs else pd.DataFrame(
+            {"host": pd.Series([], dtype=object),
+             **{c: pd.Series([], dtype=np.int64) for c in COLS}})
+
+    parts = store_ds.map_batches(partial, batch_format="pyarrow",
+                                 batch_size=64)
+    out = _fold(parts, ["host"], {c: (c, "sum") for c in COLS})
+    for c in COLS:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("host").reset_index(drop=True)
+
+
 # --- audio / video: REAL decode over opaque binary columns -------------------
 # No media libraries exist in this container, so the codecs are implemented
 # from their public specs in sources/synthetic_media.py: a chunk-walking

@@ -1767,6 +1767,63 @@ def image_quality_goldens(o, params):
          for hst, v in sorted(per_host.items())]))
 
 
+def image_audit_golden(o, params):
+    """validate_images: an INDEPENDENT spec-level PNG chunk walk (written
+    from the RFC 2083 layout, not sharing imaging.png_audit) + per-host
+    loop rollup; decode/phash use the shared kernels (the same standard
+    as the image_features golden)."""
+    import struct
+    import zlib
+
+    from crawler_ray.imaging import decode_png, phash64
+
+    def walk(data: bytes):
+        ok_sig = data.startswith(b"\x89PNG\r\n\x1a\n")
+        dims = (-1, -1)
+        if not ok_sig:
+            return False, False, dims
+        i = 8
+        chunks = []
+        while i + 12 <= len(data):
+            n = int.from_bytes(data[i:i + 4], "big")
+            if i + 12 + n > len(data):
+                return ok_sig, False, dims
+            tag = data[i + 4:i + 8]
+            body = data[i + 8:i + 8 + n]
+            want = int.from_bytes(data[i + 8 + n:i + 12 + n], "big")
+            if zlib.crc32(data[i + 4:i + 8 + n]) != want:
+                return ok_sig, False, dims
+            chunks.append(tag)
+            if tag == b"IHDR":
+                dims = struct.unpack(">II", body[:8])
+            i += 12 + n
+            if tag == b"IEND":
+                break
+        complete = bool(chunks) and chunks[-1] == b"IEND" and i == len(data)
+        return ok_sig, complete, dims
+
+    per_host: dict[str, list[int]] = {}
+    for r in o["store"]:
+        data = image_bytes(r["image_id"], r["w"], r["h"], r["fmt"], 42)
+        sig, crc, (w, h) = walk(data)
+        s = per_host.setdefault(r["host"], [0] * 6)
+        s[0] += 1
+        s[1] += 0 if sig else 1
+        s[2] += 0 if crc else 1
+        s[3] += 0 if (w == r["w"] and h == r["h"]) else 1
+        try:
+            rgb = decode_png(data)
+        except Exception:
+            s[4] += 1
+            continue
+        s[5] += 0 if phash64(rgb) == r["phash"] else 1
+    cols = ["n_images", "n_sig_bad", "n_crc_bad", "n_dims_bad",
+            "n_decode_err", "n_phash_bad"]
+    write("validate_images", pd.DataFrame(
+        [dict(host=hst, **{c: np.int64(v[k]) for k, c in enumerate(cols)})
+         for hst, v in sorted(per_host.items())]))
+
+
 if __name__ == "__main__":
     os.makedirs(OUT, exist_ok=True)
     o, params = crawl_goldens()
@@ -1774,6 +1831,7 @@ if __name__ == "__main__":
     image_goldens(o, params)
     image_r5_goldens(o, params)
     image_quality_goldens(o, params)
+    image_audit_golden(o, params)
     text_goldens()
     ann_golden()
     ann_ivf_golden()
