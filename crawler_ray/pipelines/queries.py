@@ -3866,6 +3866,165 @@ def store_compaction(sf_dir: str, n_frags: int = 10, bin_frags: int = 3):
     })
 
 
+def pivot_status_month(sf_dir: str):
+    """PIVOT (long→wide reshape): orders counted per order month with one
+    int64 column per order status, executed as ONE combiner pass — each
+    batch shrinks to O(months) rows with the status columns already
+    pivoted — plus a driver fold of the partials. The wide schema is fixed
+    by the known status domain, so no schema-discovery scan precedes the
+    data pass; equivalent SQL is the CASE aggregation DuckDB compiles
+    PIVOT into."""
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_orderstatus"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        s = pd.DataFrame({
+            "month": b["o_orderdate"].dt.strftime("%Y-%m"),
+            "n_open": (b["o_orderstatus"] == "O").to_numpy(np.int64),
+            "n_done": (b["o_orderstatus"] == "F").to_numpy(np.int64),
+            "n_pending": (b["o_orderstatus"] == "P").to_numpy(np.int64)})
+        return s.groupby("month", as_index=False).sum()
+
+    out = _fold(ds.map_batches(partial, batch_format="pandas"), ["month"],
+                dict(n_open=("n_open", "sum"), n_done=("n_done", "sum"),
+                     n_pending=("n_pending", "sum")))
+    for c in ("n_open", "n_done", "n_pending"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("month").reset_index(drop=True)
+
+
+def cube_lang_source(sf_dir: str):
+    """GROUP BY CUBE(lang, source) in ONE data pass: like
+    ``rollup_lang_source`` the combiner shrinks each batch to the FINEST
+    grouping set only, and all FOUR cube levels (fine, by-lang, by-source,
+    grand total) derive from the folded finest frame — exact for
+    counts/sums — so the exchange moves O(finest groups) rows instead of
+    the one-fact-replica-per-grouping-set a naive CUBE plan scans."""
+    ds = _read(sf_dir, "documents", ["lang", "source", "n_chars"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby(["lang", "source"], as_index=False).agg(
+            n_docs=("n_chars", "size"), total_chars=("n_chars", "sum"))
+
+    fine = _fold(ds.map_batches(partial, batch_format="pandas"),
+                 ["lang", "source"],
+                 dict(n_docs=("n_docs", "sum"), total_chars=("total_chars", "sum")))
+    by_lang = fine.groupby("lang", as_index=False)[["n_docs", "total_chars"]].sum()
+    by_lang["source"] = "ALL"
+    by_source = fine.groupby("source", as_index=False)[["n_docs", "total_chars"]].sum()
+    by_source["lang"] = "ALL"
+    total = pd.DataFrame({"lang": ["ALL"], "source": ["ALL"],
+                          "n_docs": [fine["n_docs"].sum()],
+                          "total_chars": [fine["total_chars"].sum()]})
+    out = pd.concat([fine, by_lang, by_source, total], ignore_index=True)
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    out["total_chars"] = out["total_chars"].astype(np.int64)
+    return (out[["lang", "source", "n_docs", "total_chars"]]
+            .sort_values(["lang", "source"]).reset_index(drop=True))
+
+
+def set_ops_custkeys(sf_dir: str):
+    """INTERSECT / EXCEPT as distributed set algebra: the DISTINCT customer
+    sets behind open ('O') and finished ('F') orders compared in ONE
+    custkey-keyed exchange — each batch first shrinks to per-batch
+    (custkey, saw_open, saw_done) flag partials (an OR-combiner), the
+    exchange co-locates every key's partials, and each block folds to
+    per-key flags and counts the three set-algebra cells LOCALLY, so the
+    driver sums O(blocks) one-row partials; no key set is ever collected
+    or broadcast on either side. Kernels emit typed empties (empty hash
+    partitions arrive schema-less — see CLAUDE.md)."""
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderstatus"],
+               filter=pc.field("o_orderstatus").isin(["O", "F"]))
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        s = pd.DataFrame({
+            "o_custkey": b["o_custkey"].to_numpy(np.int64),
+            "saw_open": (b["o_orderstatus"] == "O").to_numpy(np.int64),
+            "saw_done": (b["o_orderstatus"] == "F").to_numpy(np.int64)})
+        return s.groupby("o_custkey", as_index=False).max()
+
+    def cells(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0 or "o_custkey" not in b.columns:
+            return pd.DataFrame({c: pd.Series(dtype=np.int64)
+                                 for c in ("n_both", "n_only_open", "n_only_done")})
+        f = b.groupby("o_custkey").max()
+        o = f["saw_open"].to_numpy(np.int64)
+        d = f["saw_done"].to_numpy(np.int64)
+        return pd.DataFrame({"n_both": [np.int64((o & d).sum())],
+                             "n_only_open": [np.int64((o & (1 - d)).sum())],
+                             "n_only_done": [np.int64((d & (1 - o)).sum())]})
+
+    dk = (_keyed(ds.map_batches(partial, batch_format="pandas"))
+          .repartition(_W(), keys=["o_custkey"])
+          .map_batches(cells, batch_format="pandas", batch_size=None)
+          .materialize())
+    dk.context.shuffle_strategy = rd.DataContext.get_current().shuffle_strategy
+    tot = dk.to_pandas().sum()
+    return pd.DataFrame({k: [np.int64(tot[k])]
+                         for k in ("n_both", "n_only_open", "n_only_done")})
+
+
+def grouped_median_exact(sf_dir: str):
+    """EXACT per-group median (``percentile_disc(0.5)``) by DISTRIBUTED
+    RANK SELECTION — no per-group value state on the driver and no global
+    collect: group sizes come from one combiner pass (O(groups) numbers on
+    the driver), every row's in-group rank comes from the partitioned
+    analytic scan (scan.grouped_cumulative_sum_ds — O(blocks) driver
+    carry), and the median is the row whose inclusive rank equals
+    ceil(n/2), filtered distributed. The result is an exact ELEMENT of the
+    input (no interpolation arithmetic), so engine and DuckDB agree
+    bit-for-bit with no float rounding rule."""
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    ranked = scan.grouped_cumulative_sum_ds(
+        ds.map_batches(lambda b: b.assign(one=np.ones(len(b), np.int64)),
+                       batch_format="pandas"),
+        "event_type", ["value", "event_id"], "one", out_col="rnk")
+
+    nn = _fold(ds.map_batches(
+        lambda b: (b.groupby("event_type", as_index=False).size()
+                   .rename(columns={"size": "n"})), batch_format="pandas"),
+        ["event_type"], dict(n=("n", "sum")))
+    target = {et: (int(n) + 1) // 2 for et, n in zip(nn["event_type"], nn["n"])}
+
+    def pick(b: pd.DataFrame, t=target) -> pa.Table:
+        want = b["event_type"].map(t).to_numpy(np.int64)
+        m = b.loc[b["rnk"].to_numpy(np.int64) == want, ["event_type", "value"]]
+        # Arrow output: most blocks emit 0 rows after the rank filter, and
+        # Ray's pandas size estimator probes empty object columns noisily
+        return pa.table({"event_type": pa.array(m["event_type"].tolist(), pa.string()),
+                         "median_value": pa.array(m["value"].tolist(), pa.float64())})
+
+    med = ranked.map_batches(pick, batch_format="pandas").to_pandas()
+    out = nn.merge(med, on="event_type")
+    out["n"] = out["n"].astype(np.int64)
+    return (out[["event_type", "n", "median_value"]]
+            .sort_values("event_type").reset_index(drop=True))
+
+
+def grouped_mode(sf_dir: str):
+    """Exact per-group MODE with a total-order tie rule (count desc, then
+    lexicographically smallest value — the deterministic counterpart of
+    SQL's underspecified ``mode()``): one combiner pass shrinks each batch
+    to (status, priority) counts, the driver folds O(statuses × priorities)
+    partials and applies the tie rule; equivalent SQL is the ROW_NUMBER
+    window over the grouped counts."""
+    ds = _read(sf_dir, "orders", ["o_orderstatus", "o_orderpriority"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return (b.groupby(["o_orderstatus", "o_orderpriority"], as_index=False)
+                .size().rename(columns={"size": "c"}))
+
+    f = _fold(ds.map_batches(partial, batch_format="pandas"),
+              ["o_orderstatus", "o_orderpriority"], dict(c=("c", "sum")))
+    f = f.sort_values(["o_orderstatus", "c", "o_orderpriority"],
+                      ascending=[True, False, True], kind="mergesort")
+    best = f.groupby("o_orderstatus", as_index=False).first()
+    out = best.rename(columns={"o_orderpriority": "mode_priority", "c": "n_mode"})
+    out["n_mode"] = out["n_mode"].astype(np.int64)
+    return (out[["o_orderstatus", "mode_priority", "n_mode"]]
+            .sort_values("o_orderstatus").reset_index(drop=True))
+
+
 QUERIES = {
     "audio_clip_features": audio_clip_features,
     "video_frame_sample": video_frame_sample,
@@ -3960,6 +4119,11 @@ QUERIES = {
     "store_change_feed": store_change_feed,
     "store_schema_evolution": store_schema_evolution,
     "bucketed_join": bucketed_join,
+    "pivot_status_month": pivot_status_month,
+    "cube_lang_source": cube_lang_source,
+    "set_ops_custkeys": set_ops_custkeys,
+    "grouped_median_exact": grouped_median_exact,
+    "grouped_mode": grouped_mode,
 }
 
 ORACLE_SQL = {
@@ -4580,6 +4744,36 @@ ORACLE_SQL = {
         SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
                ROUND(SUM(SQRT(CAST(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) AS DOUBLE))) / COUNT(*), 4) AS avg_norm
         FROM embeddings GROUP BY label""",
+    "pivot_status_month": """
+        SELECT strftime(o_orderdate, '%Y-%m') AS month,
+               CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+               CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_done,
+               CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_pending
+        FROM orders GROUP BY 1 ORDER BY month""",
+    "cube_lang_source": """
+        SELECT COALESCE(lang, 'ALL') AS lang, COALESCE(source, 'ALL') AS source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM documents GROUP BY CUBE(lang, source) ORDER BY 1, 2""",
+    "set_ops_custkeys": """
+        WITH a AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+             b AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        SELECT CAST((SELECT COUNT(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b)) AS BIGINT) AS n_both,
+               CAST((SELECT COUNT(*) FROM (SELECT * FROM a EXCEPT SELECT * FROM b)) AS BIGINT) AS n_only_open,
+               CAST((SELECT COUNT(*) FROM (SELECT * FROM b EXCEPT SELECT * FROM a)) AS BIGINT) AS n_only_done""",
+    "grouped_median_exact": """
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS median_value
+        FROM events GROUP BY event_type ORDER BY event_type""",
+    "grouped_mode": """
+        WITH c AS (
+          SELECT o_orderstatus, o_orderpriority,
+                 CAST(COUNT(*) AS BIGINT) AS n_mode,
+                 ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                    ORDER BY COUNT(*) DESC, o_orderpriority) AS rn
+          FROM orders GROUP BY o_orderstatus, o_orderpriority)
+        SELECT o_orderstatus, o_orderpriority AS mode_priority, n_mode
+        FROM c WHERE rn = 1 ORDER BY o_orderstatus""",
 }
 
 
