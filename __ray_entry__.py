@@ -1257,6 +1257,137 @@ def _validate_images(sf_dir: str):
     return image_audit_stats(_store_ds())
 
 
+def _host_politeness_audit(sf_dir: str):
+    """North-rule politeness budget as a QUERY over the crawl's order
+    table: per (host, wave), the fetch count and the min/max gap between
+    consecutive ``scheduled_at`` stamps on the wave's virtual politeness
+    clock (exact integer µs grid — engine and oracle emit identical
+    floats, so the floor is exact), the host's effective crawl delay
+    (max(robots crawl-delay, MIN_REQUEST_INTERVAL), semantics.py:133 —
+    the engine re-derives it through the render→parse robots path, the
+    golden through the oracle's dict path), and the pass bit
+    ``min_gap_us >= delay_us``. One host-keyed exchange co-locates each
+    host's history whole (politeness bounds any host's fetch rate, so a
+    host's rows fit a block at every corpus size); the per-block
+    sort+diff is vectorized, and the audit asserts the budget holds for
+    every multi-fetch group before returning."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from crawler_ray import semantics
+    from crawler_ray.functions.robots_txt import render_robots_txt, rules_for_host
+    from crawler_ray.pipelines.queries import _keyed
+    from crawler_ray.sources import lance_layout as ll
+    from crawler_ray.sources.synthetic_web import WebParams, build_web_control
+
+    run = _crawl_run("queries")
+    m = ll.latest_manifest(run.root)
+    paths = ll.fragment_paths(run.root, "order", m["tables"]["order"])
+    order = rd.read_parquet(paths, columns=["host", "wave", "scheduled_at"])
+
+    def audit(b: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"host": pd.Series([], dtype=object),
+                              "wave": pd.Series([], dtype=np.int64),
+                              "n_fetches": pd.Series([], dtype=np.int64),
+                              "min_gap_us": pd.Series([], dtype=np.int64),
+                              "max_gap_us": pd.Series([], dtype=np.int64)})
+        if len(b) == 0 or "host" not in b.columns:
+            return empty
+        b = b.sort_values(["host", "wave", "scheduled_at"], kind="mergesort")
+        h = b["host"].to_numpy(object)
+        w = b["wave"].to_numpy(np.int64)
+        t = np.floor(b["scheduled_at"].to_numpy(np.float64) * 1e6).astype(np.int64)
+        n = (pd.DataFrame({"host": h, "wave": w})
+             .groupby(["host", "wave"], as_index=False)
+             .size().rename(columns={"size": "n_fetches"}))
+        same = (h[1:] == h[:-1]) & (w[1:] == w[:-1])
+        g = pd.DataFrame({"host": h[1:][same], "wave": w[1:][same],
+                          "gap": (t[1:] - t[:-1])[same]})
+        gg = (g.groupby(["host", "wave"], as_index=False)
+              .agg(min_gap_us=("gap", "min"), max_gap_us=("gap", "max")))
+        out = n.merge(gg, on=["host", "wave"], how="left")
+        for c in ("min_gap_us", "max_gap_us"):
+            out[c] = out[c].fillna(-1).astype(np.int64)
+        out["n_fetches"] = out["n_fetches"].astype(np.int64)
+        out["wave"] = out["wave"].astype(np.int64)
+        return out
+
+    dk = (_keyed(order).repartition(_W(), keys=["host"])
+          .map_batches(audit, batch_format="pandas", batch_size=None)
+          .materialize())
+    dk.context.shuffle_strategy = rd.DataContext.get_current().shuffle_strategy
+    res = dk.to_pandas()
+
+    params = WebParams(seed=42, n_hosts=6, props_per_host=10,
+                       hot_hosts=1, hot_factor=4)
+    delay_us = {}
+    for r in build_web_control(params)["robots"].to_pylist():
+        text = render_robots_txt(r) if r["fetch_status"] == 200 else None
+        rules = rules_for_host(r["host"], text, r["fetch_status"])
+        delay_us[r["host"]] = int(semantics.politeness_delay(rules) * 1e6)
+    res["delay_us"] = res["host"].map(delay_us).astype(np.int64)
+    res["ok"] = ((res["min_gap_us"] >= res["delay_us"])
+                 | (res["n_fetches"] == 1)).astype(np.int64)
+    assert int(res["ok"].sum()) == len(res), "politeness budget violated"
+    return (res[["host", "wave", "n_fetches", "min_gap_us", "max_gap_us",
+                 "delay_us", "ok"]]
+            .sort_values(["host", "wave"]).reset_index(drop=True))
+
+
+def _crawl_wave_summary(sf_dir: str):
+    """Runtime counters (A4/A5) as a QUERY instead of manifest metadata:
+    per crawl wave — URLs scheduled (order), pages parsed, DLQ entries,
+    images stored and their pixel volume. Four column-pruned fragment
+    reads (image BYTES never leave storage — pixel volume comes from the
+    w/h metadata), each folded by a zero-shuffle per-wave combiner, then
+    an outer merge of the four O(waves) frames on the driver. All counts
+    int64."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from crawler_ray.pipelines.queries import _fold
+    from crawler_ray.sources import lance_layout as ll
+
+    run = _crawl_run("queries")
+    m = ll.latest_manifest(run.root)
+
+    def count_per_wave(table: str, out_col: str) -> pd.DataFrame:
+        paths = ll.fragment_paths(run.root, table, m["tables"][table])
+        ds = rd.read_parquet(paths, columns=["wave"])
+        part = ds.map_batches(
+            lambda b, oc=out_col: (b.groupby("wave", as_index=False)
+                                   .size().rename(columns={"size": oc})),
+            batch_format="pandas")
+        return _fold(part, ["wave"], {out_col: (out_col, "sum")})
+
+    n_sched = count_per_wave("order", "n_scheduled")
+    n_pages = count_per_wave("pages", "n_pages")
+    n_dlq = count_per_wave("dlq", "n_dlq")
+
+    store_paths = ll.fragment_paths(run.root, "store", m["tables"]["store"])
+    store = rd.read_parquet(store_paths, columns=["wave", "w", "h"])
+
+    def img_partial(b: pd.DataFrame) -> pd.DataFrame:
+        px = b["w"].to_numpy(np.int64) * b["h"].to_numpy(np.int64)
+        return (b.assign(px=px).groupby("wave", as_index=False)
+                .agg(n_images=("px", "size"), total_pixels=("px", "sum")))
+
+    imgs = _fold(store.map_batches(img_partial, batch_format="pandas"),
+                 ["wave"], dict(n_images=("n_images", "sum"),
+                                total_pixels=("total_pixels", "sum")))
+
+    out = n_sched
+    for f in (n_pages, n_dlq, imgs):
+        out = out.merge(f, on="wave", how="outer")
+    out = out.fillna(0)
+    out["wave"] = out["wave"].astype(np.int64)
+    for c in out.columns[1:]:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("wave").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from crawler_ray.pipelines.queries import QUERIES
 
@@ -1326,6 +1457,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["interleaved_docs"] = _interleaved_docs
     out["caption_dedup"] = _caption_dedup
     out["validate_images"] = _validate_images
+    # round-5c crawl-audit + relational-completeness wave
+    out["host_politeness_audit"] = _host_politeness_audit
+    out["crawl_wave_summary"] = _crawl_wave_summary
+    out["pivot_status_month"] = QUERIES["pivot_status_month"]
+    out["cube_lang_source"] = QUERIES["cube_lang_source"]
+    out["set_ops_custkeys"] = QUERIES["set_ops_custkeys"]
+    out["grouped_median_exact"] = QUERIES["grouped_median_exact"]
+    out["grouped_mode"] = QUERIES["grouped_mode"]
     # flagship crawl outputs (deterministic synthetic web)
     out["crawl_store_meta"] = _crawl_table("store")
     # multimodal (decode/feature/near-dup over the image store)
@@ -1384,7 +1523,7 @@ _GOLDEN_CHECKED = (
     "image_increment_dups", "corpus_build_neardup", "store_compaction",
     "store_upsert", "store_change_feed", "store_schema_evolution",
     "image_sharpness", "interleaved_docs", "caption_dedup",
-    "validate_images",
+    "validate_images", "host_politeness_audit", "crawl_wave_summary",
 )
 
 

@@ -61,7 +61,8 @@ def write(name: str, df: pd.DataFrame, schema: pa.Schema | None = None):
 
 def crawl_goldens():
     params = WebParams(seed=42, n_hosts=6, props_per_host=10, hot_hosts=1, hot_factor=4)
-    o = run_oracle(build_web(params), params)
+    web = build_web(params)
+    o = run_oracle(web, params)
 
     sched = {(s["url"], s["wave"]): s for s in o["schedule"]}
     order = pd.DataFrame([
@@ -112,6 +113,58 @@ def crawl_goldens():
         for r in o["store"]
     ])
     write("crawl_store_meta", store)
+
+    # host politeness audit golden: straight dict-of-lists loop over the
+    # oracle's schedule; delay via the oracle's DICT path (the engine
+    # re-derives it through the render→parse robots path — the two meet
+    # only at semantics.politeness_delay)
+    import math
+
+    from crawler_ray import semantics as _sem
+
+    robots_rows = {r["host"]: r for r in web["robots"].to_pylist()}
+    by_hw: dict[tuple, list] = {}
+    for s in o["schedule"]:
+        by_hw.setdefault((s["host"], int(s["wave"])), []).append(
+            float(s["scheduled_at"]))
+    pol_rows = []
+    for (host, wave), ts in sorted(by_hw.items()):
+        ts = sorted(ts)
+        gaps = [int(math.floor(b * 1e6)) - int(math.floor(a * 1e6))
+                for a, b in zip(ts, ts[1:])]
+        d_us = int(_sem.politeness_delay(robots_rows.get(host)) * 1e6)
+        pol_rows.append(dict(
+            host=host, wave=wave, n_fetches=len(ts),
+            min_gap_us=min(gaps) if gaps else -1,
+            max_gap_us=max(gaps) if gaps else -1,
+            delay_us=d_us,
+            ok=int(len(ts) == 1 or min(gaps) >= d_us)))
+    pol = pd.DataFrame(pol_rows)
+    for c in pol.columns[1:]:
+        pol[c] = pol[c].astype(np.int64)
+    write("host_politeness_audit",
+          pol.sort_values(["host", "wave"]).reset_index(drop=True))
+
+    # per-wave runtime counters golden: four plain loops over the oracle's
+    # record lists
+    waves = sorted({int(r["wave"]) for r in o["order"]}
+                   | {int(r["wave"]) for r in o["pages"]}
+                   | {int(r["wave"]) for r in o["dlq"]}
+                   | {int(r["wave"]) for r in o["store"]})
+    ws_rows = []
+    for w in waves:
+        imgs = [r for r in o["store"] if int(r["wave"]) == w]
+        ws_rows.append(dict(
+            wave=w,
+            n_scheduled=sum(1 for r in o["order"] if int(r["wave"]) == w),
+            n_pages=sum(1 for r in o["pages"] if int(r["wave"]) == w),
+            n_dlq=sum(1 for r in o["dlq"] if int(r["wave"]) == w),
+            n_images=len(imgs),
+            total_pixels=sum(int(r["w"]) * int(r["h"]) for r in imgs)))
+    ws = pd.DataFrame(ws_rows)
+    for c in ws.columns:
+        ws[c] = ws[c].astype(np.int64)
+    write("crawl_wave_summary", ws.sort_values("wave").reset_index(drop=True))
 
     srv = pages["headers"].map(lambda s: json.loads(s)["server"])
     hs = srv.value_counts().rename_axis("server").reset_index(name="n_pages")
