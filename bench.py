@@ -110,7 +110,8 @@ def run_query_bench(sf_dir: str) -> dict:
              "corpus_build",
              "bloom_semi_join", "skew_join_brand_revenue",
              "cms_heavy_bigrams", "bpe_tokenize", "embedding_covariance",
-             "zorder_bbox_scan", "uniform_k_sample"]
+             "zorder_bbox_scan", "uniform_k_sample",
+             "grouped_median_exact", "set_ops_custkeys"]
     out = {}
     for name in names:
         t0 = time.time()

@@ -460,6 +460,28 @@ class FetchProcess:
             b: FragmentWriter(out_root, "frontier", f"w{wave + 1}-b{b:03d}")
             for b in range(self.FRONTIER_BUCKETS)
         }
+        # worker-crash failpoint (tests/test_worker_crash_retry.py): armed
+        # via GRAFT_FETCH_FAULT_DIR in the DRIVER env at construction (the
+        # instance pickles into every task), fires at most once — O_EXCL on
+        # the flag file — and only inside a remote worker, never on the
+        # driver-local wave path
+        self._fault_dir = os.environ.get("GRAFT_FETCH_FAULT_DIR")
+        self._driver_pid = os.getpid()
+
+    def _maybe_fault(self) -> None:
+        """Kill this worker AFTER the task's fragment writes but BEFORE its
+        metadata returns — the hardest retry point: Ray must re-execute the
+        task, whose rewrite lands on the SAME content-digest fragment files,
+        so the crawl converges bit-identically to a no-fault run."""
+        if not self._fault_dir or os.getpid() == self._driver_pid:
+            return
+        try:
+            fd = os.open(os.path.join(self._fault_dir, "died"),
+                         os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return
+        os.close(fd)
+        os._exit(1)
 
     def _write(self, table: str, data) -> list[dict]:
         if isinstance(data, pd.DataFrame):
@@ -511,6 +533,7 @@ class FetchProcess:
                 w = self.frontier_writers[int(b)](part)
                 meta += [{"table": "frontier", "fragment": f, "rows": int(rr)}
                          for f, rr in zip(w["fragment"].to_pylist(), w["rows"].to_pylist())]
+        self._maybe_fault()
         if not meta:
             return pa.table({"table": pa.array([], pa.string()),
                              "fragment": pa.array([], pa.string()),
