@@ -1465,6 +1465,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["set_ops_custkeys"] = QUERIES["set_ops_custkeys"]
     out["grouped_median_exact"] = QUERIES["grouped_median_exact"]
     out["grouped_mode"] = QUERIES["grouped_mode"]
+    out["lag_event_delta"] = QUERIES["lag_event_delta"]
+    out["latest_event_per_user"] = QUERIES["latest_event_per_user"]
+    out["dense_rank_top_prices"] = QUERIES["dense_rank_top_prices"]
     # flagship crawl outputs (deterministic synthetic web)
     out["crawl_store_meta"] = _crawl_table("store")
     # multimodal (decode/feature/near-dup over the image store)

@@ -333,3 +333,65 @@ def grouped_cumulative_max_ds(ds, group_col: str, order_cols: list[str],
 
     return s.map_batches(apply_scan, batch_format="pandas", batch_size=None,
                          fn_kwargs={"carry": carry})
+
+
+def grouped_lag_ds(ds, group_col: str, order_cols: list[str], value_col: str,
+                   out_col: str = "prev_value"):
+    """``LAG(value) OVER (PARTITION BY group ORDER BY order_cols)`` — the
+    window NAVIGATION function (previous row's value within the group).
+
+    Same distributed economics as :func:`grouped_cumulative_sum_ds`: one
+    sort exchange co-locates each group into contiguous block ranges; every
+    in-block lag is a vectorized ``shift``, and ONLY each block's first row
+    depends on its predecessor block — pass 1 emits one summary row per
+    block (first-row key, last row's group and value), the driver threads
+    the O(blocks) chain in order, and pass 2 hands each block the carry
+    (its first row's lag, or None when the first row starts its group).
+    Rows with no predecessor carry NaN (callers filter them, matching SQL's
+    ``WHERE prev IS NOT NULL``). Driver memory O(blocks).
+
+    ``(group_col, *order_cols)`` must be a unique key (carry keying).
+    """
+    sort_cols = [group_col] + list(order_cols)
+    s = ds.sort(sort_cols).materialize()
+
+    def block_summary(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            cols = {c: b[c].iloc[:0].reset_index(drop=True) for c in sort_cols}
+            cols["_last_grp"] = b[group_col].iloc[:0].reset_index(drop=True)
+            cols["_last_val"] = b[value_col].iloc[:0].reset_index(drop=True)
+            return pd.DataFrame(cols)
+        cols = {c: [b[c].iloc[0]] for c in sort_cols}
+        cols["_last_grp"] = [b[group_col].iloc[-1]]
+        cols["_last_val"] = [b[value_col].iloc[-1]]
+        return pd.DataFrame(cols)
+
+    summaries = (s.map_batches(block_summary, batch_format="pandas",
+                               batch_size=None).to_pandas()
+                 .sort_values(sort_cols, kind="mergesort"))
+    carry: dict[tuple, object] = {}
+    prev_grp, prev_val = None, None
+    for d in summaries.to_dict("records"):
+        key = tuple(d[c] for c in sort_cols)
+        carry[key] = (prev_val if prev_grp is not None
+                      and prev_grp == d[group_col] else None)
+        prev_grp, prev_val = d["_last_grp"], d["_last_val"]
+
+    def apply_lag(b: pd.DataFrame, *, carry: dict) -> pd.DataFrame:
+        b = b.copy()
+        if len(b) == 0:
+            b[out_col] = pd.Series([], dtype=np.float64)
+            return b
+        key = tuple(b[c].iloc[0] for c in sort_cols)
+        g = b[group_col].to_numpy()
+        v = b[value_col].to_numpy(np.float64)
+        prev = np.concatenate([[np.nan], v[:-1]])
+        prev[np.r_[True, g[1:] != g[:-1]]] = np.nan
+        c0 = carry[key]
+        if c0 is not None:
+            prev[0] = np.float64(c0)
+        b[out_col] = prev
+        return b
+
+    return s.map_batches(apply_lag, batch_format="pandas", batch_size=None,
+                         fn_kwargs={"carry": carry})

@@ -3866,6 +3866,109 @@ def store_compaction(sf_dir: str, n_frags: int = 10, bin_frags: int = 3):
     })
 
 
+def lag_event_delta(sf_dir: str):
+    """LAG window NAVIGATION as a distributed scan
+    (scan.grouped_lag_ds — one sort exchange, O(blocks) driver carry): per
+    user ordered by (ts, event_id), each event's value delta vs the user's
+    previous event. Rows with no predecessor are dropped on both sides
+    (SQL ``WHERE prev IS NOT NULL``), so no NULL crosses the compare; each
+    delta is ONE float64 subtraction of two stored values — there is no
+    accumulation order, so engine and DuckDB agree bitwise."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    lagged = scan.grouped_lag_ds(ds, "user_id", ["ts", "event_id"], "value")
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        m = b.loc[b["prev_value"].notna(),
+                  ["event_id", "user_id", "value", "prev_value"]]
+        return m.assign(delta=m["value"].to_numpy(np.float64)
+                        - m["prev_value"].to_numpy(np.float64))
+
+    out = lagged.map_batches(finish, batch_format="pandas").to_pandas()
+    out["event_id"] = out["event_id"].astype(np.int64)
+    out["user_id"] = out["user_id"].astype(np.int64)
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def latest_event_per_user(sf_dir: str):
+    """CDC "latest record per key" dedup (the compaction rule every
+    change-stream table applies): one user-keyed exchange co-locates each
+    user's events whole, so the per-block vectorized sort + last + count
+    is globally exact by co-location — no window function, no global
+    sort, and nothing event-scale on the driver beyond the O(users)
+    result the contract returns anyway. Ties on ts break by event_id
+    (total order) on both sides."""
+    ds = _read(sf_dir, "events",
+               ["event_id", "user_id", "ts", "event_type", "value"])
+
+    def latest(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0 or "user_id" not in b.columns:
+            return pd.DataFrame({
+                "user_id": pd.Series([], dtype=np.int64),
+                "last_ts": pd.Series([], dtype="datetime64[us]"),
+                "last_event_type": pd.Series([], dtype="string"),
+                "last_value": pd.Series([], dtype=np.float64),
+                "n_events": pd.Series([], dtype=np.int64)})
+        b = b.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        g = b.groupby("user_id", as_index=False)
+        last = g.last()
+        return pd.DataFrame({
+            "user_id": last["user_id"].astype(np.int64),
+            "last_ts": last["ts"],
+            "last_event_type": last["event_type"].astype("string"),
+            "last_value": last["value"].astype(np.float64),
+            "n_events": g.size()["size"].astype(np.int64)})
+
+    dk = (_keyed(ds).repartition(_W(), keys=["user_id"])
+          .map_batches(latest, batch_format="pandas", batch_size=None)
+          .materialize())
+    dk.context.shuffle_strategy = rd.DataContext.get_current().shuffle_strategy
+    out = dk.to_pandas()
+    out["last_event_type"] = out["last_event_type"].astype(object)
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def dense_rank_top_prices(sf_dir: str):
+    """DENSE_RANK top-3-with-ties per group WITHOUT a global sort: the
+    per-batch combiner keeps each priority's 3 largest DISTINCT total
+    prices (a mergeable partial top-k over distinct values), the driver
+    folds O(batches × groups × 3) rows into the rank→price table, and the
+    rank attach is a broadcast vectorized merge filter — the orders table
+    never shuffles. Price values pass through untouched (no arithmetic),
+    so float compare is exact."""
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_orderpriority", "o_totalprice"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        u = (b.drop_duplicates(["o_orderpriority", "o_totalprice"])
+             .sort_values(["o_orderpriority", "o_totalprice"],
+                          ascending=[True, False], kind="mergesort"))
+        return u.groupby("o_orderpriority", as_index=False).head(3)[
+            ["o_orderpriority", "o_totalprice"]]
+
+    tops = (ds.map_batches(partial, batch_format="pandas").to_pandas()
+            .drop_duplicates()
+            .sort_values(["o_orderpriority", "o_totalprice"],
+                         ascending=[True, False], kind="mergesort")
+            .groupby("o_orderpriority", as_index=False).head(3))
+    tops = tops.assign(dr=(tops.groupby("o_orderpriority").cumcount() + 1)
+                       .astype(np.int64))
+
+    def attach(b: pd.DataFrame, t=tops) -> pa.Table:
+        m = b.merge(t, on=["o_orderpriority", "o_totalprice"], how="inner")
+        # Arrow output: most batches match 0 of the 15 rank rows, and Ray's
+        # pandas size estimator probes empty object columns noisily
+        return pa.table({
+            "o_orderkey": pa.array(m["o_orderkey"].tolist(), pa.int64()),
+            "o_orderpriority": pa.array(m["o_orderpriority"].tolist(), pa.string()),
+            "o_totalprice": pa.array(m["o_totalprice"].tolist(), pa.float64()),
+            "dr": pa.array(m["dr"].tolist(), pa.int64())})
+
+    out = ds.map_batches(attach, batch_format="pandas").to_pandas()
+    return (out[["o_orderkey", "o_orderpriority", "o_totalprice", "dr"]]
+            .sort_values(["o_orderpriority", "dr", "o_orderkey"])
+            .reset_index(drop=True))
+
+
 def pivot_status_month(sf_dir: str):
     """PIVOT (long→wide reshape): orders counted per order month with one
     int64 column per order status, executed as ONE combiner pass — each
@@ -4124,6 +4227,9 @@ QUERIES = {
     "set_ops_custkeys": set_ops_custkeys,
     "grouped_median_exact": grouped_median_exact,
     "grouped_mode": grouped_mode,
+    "lag_event_delta": lag_event_delta,
+    "latest_event_per_user": latest_event_per_user,
+    "dense_rank_top_prices": dense_rank_top_prices,
 }
 
 ORACLE_SQL = {
@@ -4774,6 +4880,33 @@ ORACLE_SQL = {
           FROM orders GROUP BY o_orderstatus, o_orderpriority)
         SELECT o_orderstatus, o_orderpriority AS mode_priority, n_mode
         FROM c WHERE rn = 1 ORDER BY o_orderstatus""",
+    "lag_event_delta": """
+        WITH l AS (
+          SELECT event_id, user_id, value,
+                 LAG(value) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS prev_value
+          FROM events)
+        SELECT event_id, user_id, value, prev_value,
+               value - prev_value AS delta
+        FROM l WHERE prev_value IS NOT NULL ORDER BY event_id""",
+    "latest_event_per_user": """
+        WITH r AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                       ORDER BY ts DESC, event_id DESC) AS rn,
+                 COUNT(*) OVER (PARTITION BY user_id) AS n_events
+          FROM events)
+        SELECT user_id, ts AS last_ts, event_type AS last_event_type,
+               value AS last_value, CAST(n_events AS BIGINT) AS n_events
+        FROM r WHERE rn = 1 ORDER BY user_id""",
+    "dense_rank_top_prices": """
+        WITH d AS (
+          SELECT o_orderkey, o_orderpriority, o_totalprice,
+                 DENSE_RANK() OVER (PARTITION BY o_orderpriority
+                                    ORDER BY o_totalprice DESC) AS dr
+          FROM orders)
+        SELECT o_orderkey, o_orderpriority, o_totalprice,
+               CAST(dr AS BIGINT) AS dr
+        FROM d WHERE dr <= 3 ORDER BY o_orderpriority, dr, o_orderkey""",
 }
 
 
