@@ -1257,6 +1257,54 @@ def _validate_images(sf_dir: str):
     return image_audit_stats(_store_ds())
 
 
+def _page_main_content(sf_dir: str):
+    """Boilerplate removal (the C4/CCNet/jusText first step of every
+    web-text corpus) over the crawled pages: re-render each stored page's
+    HTML from the functional web (the deterministic stand-in for
+    refetching bytes) in an actor-pool stage — the tag regex and host
+    index build once per actor — and apply the published block-density
+    rule (functions/extract.py: block segmentation at BLOCK_TAGS, keep
+    blocks ≥ MIN_CHARS with link density ≤ 33/100, integer-rational
+    compare). Returns per page the block accounting plus xxh64 of the
+    extracted main text, pinning the exact bytes. Zero shuffle. Golden:
+    the same published rule re-implemented on stdlib html.parser — an
+    independent tokenizer; the two meet only at the block spec."""
+    import numpy as np
+    import pandas as pd
+
+    class Extract:
+        def __init__(self):
+            from crawler_ray.sources.synthetic_web import WebParams, _host_index
+
+            self.params = WebParams(seed=42, n_hosts=6, props_per_host=10,
+                                    hot_hosts=1, hot_factor=4)
+            self.hidx = _host_index(self.params)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            from crawler_ray.functions.extract import main_content
+            from crawler_ray.hashing import xxh64
+            from crawler_ray.sources.synthetic_web import page_meta, render_html
+
+            rows = []
+            for url in b["url"]:
+                r = main_content(render_html(
+                    page_meta(url, self.params, self.hidx)))
+                rows.append(dict(
+                    url=url, n_kept=r["n_kept"], n_dropped=r["n_dropped"],
+                    main_chars=r["main_chars"], boiler_chars=r["boiler_chars"],
+                    main_hash=np.int64(np.uint64(xxh64(r["text"])) >> np.uint64(1))))
+            out = pd.DataFrame(rows)
+            return out.assign(url=out["url"].astype("string"))
+
+    out = (_pages_ds(["url"])
+           .map_batches(Extract, batch_format="pandas", concurrency=(1, 4))
+           .to_pandas())
+    out["url"] = out["url"].astype(object)
+    for c in out.columns[1:]:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("url").reset_index(drop=True)
+
+
 def _host_politeness_audit(sf_dir: str):
     """North-rule politeness budget as a QUERY over the crawl's order
     table: per (host, wave), the fetch count and the min/max gap between
@@ -1460,6 +1508,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # round-5c crawl-audit + relational-completeness wave
     out["host_politeness_audit"] = _host_politeness_audit
     out["crawl_wave_summary"] = _crawl_wave_summary
+    out["page_main_content"] = _page_main_content
     out["pivot_status_month"] = QUERIES["pivot_status_month"]
     out["cube_lang_source"] = QUERIES["cube_lang_source"]
     out["set_ops_custkeys"] = QUERIES["set_ops_custkeys"]
@@ -1527,6 +1576,7 @@ _GOLDEN_CHECKED = (
     "store_upsert", "store_change_feed", "store_schema_evolution",
     "image_sharpness", "interleaved_docs", "caption_dedup",
     "validate_images", "host_politeness_audit", "crawl_wave_summary",
+    "page_main_content",
 )
 
 

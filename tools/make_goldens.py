@@ -114,6 +114,67 @@ def crawl_goldens():
     ])
     write("crawl_store_meta", store)
 
+    # main-content extraction golden: the SAME published block-density
+    # rule (functions/extract.py docstring) on an INDEPENDENT tokenizer —
+    # stdlib html.parser — looped per page; the implementations meet only
+    # at the block spec (segment at BLOCK_TAGS, keep len>=MIN_CHARS with
+    # link_chars*100 <= 33*len)
+    import re as _re
+    from html.parser import HTMLParser
+
+    from crawler_ray.functions.extract import BLOCK_TAGS, MIN_CHARS
+    from crawler_ray.sources.synthetic_web import page_meta, render_html
+
+    class BlockParser(HTMLParser):
+        def __init__(self):
+            super().__init__(convert_charrefs=False)  # spec: no entity decode
+            self.blocks, self.buf, self.link, self.in_a = [], [], [], False
+
+        def _flush(self):
+            t = _re.sub(r"\s+", " ", "".join(self.buf)).strip()
+            if t:
+                link = _re.sub(r"\s+", " ", "".join(self.link)).strip()
+                self.blocks.append((t, len(link)))
+            self.buf, self.link, self.in_a = [], [], False
+
+        def handle_starttag(self, tag, attrs):
+            if tag == "a":
+                self.in_a = True
+            elif tag in BLOCK_TAGS:
+                self._flush()
+
+        def handle_endtag(self, tag):
+            if tag == "a":
+                self.in_a = False
+            elif tag in BLOCK_TAGS:
+                self._flush()
+
+        def handle_data(self, d):
+            self.buf.append(d)
+            if self.in_a:
+                self.link.append(d)
+
+    mc_rows = []
+    for r in o["pages"]:
+        bp = BlockParser()
+        bp.feed(render_html(page_meta(r["url"], params)))
+        bp.close()
+        bp._flush()
+        kept = [(t, lc) for t, lc in bp.blocks
+                if len(t) >= MIN_CHARS and lc * 100 <= 33 * len(t)]
+        main = "\n".join(t for t, _ in kept)
+        mc_rows.append(dict(
+            url=r["url"], n_kept=len(kept),
+            n_dropped=len(bp.blocks) - len(kept),
+            main_chars=sum(len(t) for t, _ in kept),
+            boiler_chars=sum(len(t) for t, _ in bp.blocks)
+            - sum(len(t) for t, _ in kept),
+            main_hash=int(np.uint64(xxh64(main)) >> np.uint64(1))))
+    mc = pd.DataFrame(mc_rows)
+    for c in mc.columns[1:]:
+        mc[c] = mc[c].astype(np.int64)
+    write("page_main_content", mc.sort_values("url").reset_index(drop=True))
+
     # host politeness audit golden: straight dict-of-lists loop over the
     # oracle's schedule; delay via the oracle's DICT path (the engine
     # re-derives it through the render→parse robots path — the two meet
