@@ -1305,6 +1305,59 @@ def _page_main_content(sf_dir: str):
     return out.sort_values("url").reset_index(drop=True)
 
 
+def _image_metadata_scrub(sf_dir: str):
+    """Privacy scrub over the image store — the IMAGE twin of the text PII
+    redaction (the EXIF/GPS/comment strip a 100 TB multimodal corpus runs
+    before training): each stored PNG is first augmented with the three
+    deterministic ancillary chunks a real crawl's images would carry
+    (imaging.inject_test_metadata — disclosed fixture augmentation, since
+    the synthetic codec writes minimal PNGs), then scrubbed
+    (imaging.scrub_png: drop every non-critical chunk, CRC-verified,
+    critical chunks copied verbatim), and the query PROVES the scrub
+    in-stream: clean bytes must equal the original store bytes exactly.
+    One zero-shuffle actor-pool pass; per-host int64 rollup. Golden: a
+    straight loop over the oracle store re-deriving the published
+    payload-length formula — engine and golden meet at the injection spec
+    and the roundtrip invariant."""
+    import numpy as np
+    import pandas as pd
+
+    from crawler_ray.pipelines.queries import _fold
+
+    class Scrub:
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            from crawler_ray.imaging import inject_test_metadata, scrub_png
+
+            hosts, nd, bd, ok = [], [], [], []
+            for row in b.itertuples(index=False):
+                aug = inject_test_metadata(row.bytes, row.image_id)
+                clean, n_dropped, bytes_dropped = scrub_png(aug)
+                hosts.append(row.host)
+                nd.append(n_dropped)
+                bd.append(bytes_dropped)
+                ok.append(int(clean == row.bytes))
+            s = pd.DataFrame({"host": pd.Series(hosts, dtype="string"),
+                              "nd": np.asarray(nd, np.int64),
+                              "bd": np.asarray(bd, np.int64),
+                              "ok": np.asarray(ok, np.int64)})
+            return s.groupby("host", as_index=False).agg(
+                n_images=("nd", "size"), n_chunks_dropped=("nd", "sum"),
+                bytes_dropped=("bd", "sum"), n_roundtrip_exact=("ok", "sum"))
+
+    parts = _store_ds().map_batches(Scrub, batch_format="pandas",
+                                    batch_size=64, concurrency=2)
+    out = _fold(parts, ["host"],
+                dict(n_images=("n_images", "sum"),
+                     n_chunks_dropped=("n_chunks_dropped", "sum"),
+                     bytes_dropped=("bytes_dropped", "sum"),
+                     n_roundtrip_exact=("n_roundtrip_exact", "sum")))
+    for c in out.columns[1:]:
+        out[c] = out[c].astype(np.int64)
+    assert (out["n_roundtrip_exact"] == out["n_images"]).all(), \
+        "scrub failed to round-trip some image"
+    return out.sort_values("host").reset_index(drop=True)
+
+
 def _host_politeness_audit(sf_dir: str):
     """North-rule politeness budget as a QUERY over the crawl's order
     table: per (host, wave), the fetch count and the min/max gap between
@@ -1509,6 +1562,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["host_politeness_audit"] = _host_politeness_audit
     out["crawl_wave_summary"] = _crawl_wave_summary
     out["page_main_content"] = _page_main_content
+    out["image_metadata_scrub"] = _image_metadata_scrub
     out["pivot_status_month"] = QUERIES["pivot_status_month"]
     out["cube_lang_source"] = QUERIES["cube_lang_source"]
     out["set_ops_custkeys"] = QUERIES["set_ops_custkeys"]
@@ -1576,7 +1630,7 @@ _GOLDEN_CHECKED = (
     "store_upsert", "store_change_feed", "store_schema_evolution",
     "image_sharpness", "interleaved_docs", "caption_dedup",
     "validate_images", "host_politeness_audit", "crawl_wave_summary",
-    "page_main_content",
+    "page_main_content", "image_metadata_scrub",
 )
 
 

@@ -205,3 +205,75 @@ def laplacian_var_ppm(rgb: np.ndarray) -> int:
     s = int(lap.sum())
     s2 = int((lap.astype(np.int64) ** 2).sum())
     return ((n * s2 - s * s) * 10**6) // (n * n)
+
+
+# ---------------------------------------------------------------------------
+# Privacy scrub: PNG metadata-chunk removal (the image twin of PII redaction)
+# ---------------------------------------------------------------------------
+
+# Everything needed to decode the pixels, nothing else. All ancillary
+# chunks (tEXt/zTXt/iTXt/eXIf/tIME/pHYs/…) carry acquisition metadata —
+# camera serials, GPS, timestamps, source URLs — that a training corpus
+# must not retain (the image-side analogue of the text PII scrub).
+CRITICAL_CHUNKS = frozenset((b"IHDR", b"PLTE", b"IDAT", b"IEND"))
+
+
+def scrub_png(data: bytes) -> tuple[bytes, int, int]:
+    """Drop every non-critical chunk from a PNG, byte-preserving the rest.
+
+    Kept chunks are copied VERBATIM (length+tag+payload+crc slices), so a
+    PNG that was already clean round-trips bit-identically. Returns
+    ``(clean_bytes, n_chunks_dropped, bytes_dropped)``. Raises ValueError
+    on a malformed stream (bad signature, truncated chunk, CRC mismatch)
+    — scrubbing must never silently pass corrupt bytes downstream; the
+    data-contract audit (``png_audit``) is the quarantine path.
+    """
+    if data[:8] != _PNG_SIG:
+        raise ValueError("bad PNG signature")
+    out = [_PNG_SIG]
+    n_dropped = 0
+    bytes_dropped = 0
+    pos = 8
+    while pos + 12 <= len(data):
+        ln = struct.unpack(">I", data[pos:pos + 4])[0]
+        end = pos + 12 + ln
+        if end > len(data):
+            raise ValueError("truncated chunk")
+        tag = data[pos + 4:pos + 8]
+        payload = data[pos + 8:pos + 8 + ln]
+        crc = struct.unpack(">I", data[pos + 8 + ln:end])[0]
+        if zlib.crc32(tag + payload) & 0xFFFFFFFF != crc:
+            raise ValueError("chunk CRC mismatch")
+        if tag in CRITICAL_CHUNKS:
+            out.append(data[pos:end])
+        else:
+            n_dropped += 1
+            bytes_dropped += 12 + ln
+        pos = end
+        if tag == b"IEND":
+            break
+    if pos != len(data):
+        raise ValueError("trailing bytes after IEND")
+    return b"".join(out), n_dropped, bytes_dropped
+
+
+def inject_test_metadata(data: bytes, image_id: str) -> bytes:
+    """Fixture augmentation for the scrub operator: insert the three
+    deterministic ancillary chunks a real crawl's images would carry —
+    a tEXt source comment (``Comment\\0image_id=<id>``), a 16-byte
+    eXIf-shaped blob, and a 7-byte tIME stamp, all derived from the
+    image id — right after IHDR. The payload-length formula is the
+    published spec the golden recomputes independently:
+    ``bytes_added = (12+17+len(id)) + (12+16) + (12+7)`` (the tEXt payload
+    is the 17-byte ``Comment\\0image_id=`` prefix plus the id).
+    """
+    from crawler_ray.hashing import xxh64
+
+    h = xxh64(image_id)
+    text = b"Comment\x00image_id=" + image_id.encode()
+    exif = struct.pack(">QQ", h, (h * 0x9E3779B185EBCA87) & (2**64 - 1))
+    tim = struct.pack(">HBBBBB", 2025, 1 + h % 12, 1 + h % 28,
+                      h % 24, h % 60, (h >> 8) % 60)
+    extra = _chunk(b"tEXt", text) + _chunk(b"eXIf", exif) + _chunk(b"tIME", tim)
+    ihdr_end = 8 + 12 + struct.unpack(">I", data[8:12])[0]
+    return data[:ihdr_end] + extra + data[ihdr_end:]

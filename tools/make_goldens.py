@@ -175,6 +175,25 @@ def crawl_goldens():
         mc[c] = mc[c].astype(np.int64)
     write("page_main_content", mc.sort_values("url").reset_index(drop=True))
 
+    # image metadata scrub golden: straight per-host loop over the oracle
+    # store re-deriving the PUBLISHED injected-chunk length formula
+    # (imaging.inject_test_metadata docstring: (12+17+len(id)) + (12+16)
+    # + (12+7) bytes across 3 chunks); roundtrip exactness is asserted
+    # live in-query against the actual store bytes
+    scrub_acc: dict[str, list] = {}
+    for r in o["store"]:
+        a = scrub_acc.setdefault(r["host"], [0, 0, 0])
+        a[0] += 1
+        a[1] += 3
+        a[2] += (12 + 17 + len(r["image_id"])) + (12 + 16) + (12 + 7)
+    scrub = pd.DataFrame([
+        dict(host=h, n_images=a[0], n_chunks_dropped=a[1],
+             bytes_dropped=a[2], n_roundtrip_exact=a[0])
+        for h, a in sorted(scrub_acc.items())])
+    for c in scrub.columns[1:]:
+        scrub[c] = scrub[c].astype(np.int64)
+    write("image_metadata_scrub", scrub.reset_index(drop=True))
+
     # host politeness audit golden: straight dict-of-lists loop over the
     # oracle's schedule; delay via the oracle's DICT path (the engine
     # re-derives it through the render→parse robots path — the two meet
