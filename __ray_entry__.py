@@ -1571,6 +1571,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["lag_event_delta"] = QUERIES["lag_event_delta"]
     out["latest_event_per_user"] = QUERIES["latest_event_per_user"]
     out["dense_rank_top_prices"] = QUERIES["dense_rank_top_prices"]
+    out["semantic_decontaminate"] = QUERIES["semantic_decontaminate"]
     # flagship crawl outputs (deterministic synthetic web)
     out["crawl_store_meta"] = _crawl_table("store")
     # multimodal (decode/feature/near-dup over the image store)

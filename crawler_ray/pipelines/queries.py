@@ -3969,6 +3969,72 @@ def dense_rank_top_prices(sf_dir: str):
             .reset_index(drop=True))
 
 
+SEMDECON_SCALE = 1000        # FLOOR quantization grid for the vectors
+SEMDECON_T2 = (81, 400)      # τ² = 0.2025 (τ = 0.45) as an exact rational
+
+
+def semantic_decontaminate(sf_dir: str):
+    """Embedding-space benchmark decontamination — the SEMANTIC companion
+    of the n-gram ``benchmark_decontaminate`` (catches paraphrased eval
+    leakage that n-gram overlap misses): the eval set is the
+    deterministic ``vec_id % 17 == 0`` slice (standing in for a separate
+    small eval table, which is why the driver reads it directly),
+    broadcast ONCE as a quantized int64 matrix — the genuinely small
+    side; every corpus batch computes one int64 GEMM against it and
+    counts rows whose cosine clears τ = 0.45 as contaminated.
+
+    EXACT ON ANY LAYOUT (the CLAUDE.md float-GEMM rule — never threshold
+    a float matmul): raw float32 components widen to float64 and
+    FLOOR-quantize to the 1/SEMDECON_SCALE grid on BOTH sides, and the
+    cosine test is the integer cross comparison ``400·dot² ≥ 81·|a|²·|b|²
+    AND dot > 0`` (τ² = 81/400 exact); with dim 64 every intermediate
+    fits int64 (dot ≤ 64·10⁶ ⇒ 400·dot² ≤ 1.7·10¹⁸). Zero shuffle; the
+    per-label rollup is a combiner + driver fold."""
+    ev = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                       columns=["vec_id", "embedding"])
+    E = np.stack([
+        np.floor(np.asarray(v, np.float64) * SEMDECON_SCALE).astype(np.int64)
+        for v, k in zip(ev["embedding"].to_pylist(), ev["vec_id"].to_pylist())
+        if k % 17 == 0])
+    en = np.einsum("ij,ij->i", E, E)
+    ref = ray.put((E, en))
+
+    class Gate:
+        def __init__(self):
+            self.E, self.en = ray.get(ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            b = b.loc[(b["vec_id"].to_numpy(np.int64) % 17) != 0]
+            if len(b) == 0:
+                return pd.DataFrame({
+                    "label": pd.Series([], dtype=np.int64),
+                    "n_docs": pd.Series([], dtype=np.int64),
+                    "n_contaminated": pd.Series([], dtype=np.int64)})
+            Q = np.stack([
+                np.floor(np.asarray(v, np.float64) * SEMDECON_SCALE)
+                .astype(np.int64) for v in b["embedding"]])
+            nn = np.einsum("ij,ij->i", Q, Q)
+            D = Q @ self.E.T
+            num, den = SEMDECON_T2
+            hit = ((D > 0)
+                   & (den * D * D >= num * nn[:, None] * self.en[None, :])
+                   ).any(axis=1)
+            s = pd.DataFrame({"label": b["label"].to_numpy(np.int64),
+                              "c": hit.astype(np.int64)})
+            return s.groupby("label", as_index=False).agg(
+                n_docs=("c", "size"), n_contaminated=("c", "sum"))
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "label", "embedding"])
+    out = _fold(ds.map_batches(Gate, batch_format="pandas",
+                               concurrency=(1, 4)),
+                ["label"], dict(n_docs=("n_docs", "sum"),
+                                n_contaminated=("n_contaminated", "sum")))
+    out["n_kept"] = out["n_docs"] - out["n_contaminated"]
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("label").reset_index(drop=True)
+
+
 def pivot_status_month(sf_dir: str):
     """PIVOT (long→wide reshape): orders counted per order month with one
     int64 column per order status, executed as ONE combiner pass — each
@@ -4230,6 +4296,7 @@ QUERIES = {
     "lag_event_delta": lag_event_delta,
     "latest_event_per_user": latest_event_per_user,
     "dense_rank_top_prices": dense_rank_top_prices,
+    "semantic_decontaminate": semantic_decontaminate,
 }
 
 ORACLE_SQL = {
@@ -4907,6 +4974,27 @@ ORACLE_SQL = {
         SELECT o_orderkey, o_orderpriority, o_totalprice,
                CAST(dr AS BIGINT) AS dr
         FROM d WHERE dr <= 3 ORDER BY o_orderpriority, dr, o_orderkey""",
+    "semantic_decontaminate": """
+        WITH q AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+                          list_transform(CAST(embedding AS DOUBLE[]),
+                              x -> CAST(FLOOR(x * 1000) AS BIGINT)) AS qe
+                   FROM embeddings),
+             n AS (SELECT vec_id, label, qe,
+                          CAST(list_dot_product(qe, qe) AS BIGINT) AS nn
+                   FROM q),
+             ev AS (SELECT qe, nn FROM n WHERE vec_id % 17 = 0),
+             co AS (SELECT vec_id, label, qe, nn FROM n WHERE vec_id % 17 <> 0),
+             s AS (SELECT co.vec_id, co.label,
+                          MAX(CASE WHEN CAST(list_dot_product(co.qe, ev.qe) AS BIGINT) > 0
+                                    AND 400 * CAST(list_dot_product(co.qe, ev.qe) AS BIGINT)
+                                            * CAST(list_dot_product(co.qe, ev.qe) AS BIGINT)
+                                        >= 81 * co.nn * ev.nn
+                                   THEN 1 ELSE 0 END) AS c
+                   FROM co CROSS JOIN ev GROUP BY 1, 2)
+        SELECT label, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(c) AS BIGINT) AS n_contaminated,
+               CAST(COUNT(*) - SUM(c) AS BIGINT) AS n_kept
+        FROM s GROUP BY label ORDER BY label""",
 }
 
 

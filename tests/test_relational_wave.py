@@ -104,3 +104,33 @@ def test_grouped_mode(ray_session, con):
         assert int(r["n_mode"]) == int(g.max())
         winners = sorted(g[g == g.max()].index)
         assert r["mode_priority"] == winners[0]
+
+
+def test_semantic_decontaminate(ray_session):
+    """Cross-set embedding contamination gate vs its DuckDB oracle at
+    sf0.001, plus the conservation invariant."""
+    import duckdb
+
+    from crawler_ray.pipelines.queries import ORACLE_SQL, QUERIES
+
+    c = duckdb.connect()
+    c.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+              f"read_parquet('{SF}/embeddings.parquet')")
+    got = QUERIES["semantic_decontaminate"](SF)
+    exp = c.execute(ORACLE_SQL["semantic_decontaminate"]).df()
+    a, b = _norm(got), _norm(exp)
+    assert list(a.columns) == list(b.columns)
+    for col in a.columns:
+        bb = b[col].astype(a[col].dtype) if a[col].dtype != b[col].dtype else b[col]
+        assert (a[col].to_numpy() == bb.to_numpy()).all(), col
+    assert (got["n_kept"] + got["n_contaminated"] == got["n_docs"]).all()
+
+
+def test_semantic_decontaminate_layout_invariance(ray_session, monkeypatch):
+    from crawler_ray.pipelines.queries import QUERIES
+
+    base = QUERIES["semantic_decontaminate"](SF)
+    monkeypatch.setenv("GRAFT_EXCHANGE_WIDTH", "3")
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(base, QUERIES["semantic_decontaminate"](SF))
