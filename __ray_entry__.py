@@ -1572,6 +1572,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["latest_event_per_user"] = QUERIES["latest_event_per_user"]
     out["dense_rank_top_prices"] = QUERIES["dense_rank_top_prices"]
     out["semantic_decontaminate"] = QUERIES["semantic_decontaminate"]
+    out["bpe_compression_ratio"] = QUERIES["bpe_compression_ratio"]
     # flagship crawl outputs (deterministic synthetic web)
     out["crawl_store_meta"] = _crawl_table("store")
     # multimodal (decode/feature/near-dup over the image store)
@@ -1631,7 +1632,7 @@ _GOLDEN_CHECKED = (
     "store_upsert", "store_change_feed", "store_schema_evolution",
     "image_sharpness", "interleaved_docs", "caption_dedup",
     "validate_images", "host_politeness_audit", "crawl_wave_summary",
-    "page_main_content", "image_metadata_scrub",
+    "page_main_content", "image_metadata_scrub", "bpe_compression_ratio",
 )
 
 

@@ -3391,6 +3391,48 @@ def bpe_tokenize(sf_dir: str, n_merges: int = BPE_N_MERGES):
     })
 
 
+def bpe_compression_ratio(sf_dir: str, n_merges: int = BPE_N_MERGES):
+    """Tokenizer compression accounting — the chars-per-token statistic a
+    corpus publishes per language to budget training tokens (and the
+    number that decides whether a tokenizer is re-trained for a new
+    language mix): train the SAME hash-sampled merge table as
+    ``bpe_tokenize``, encode the whole corpus with the table broadcast in
+    the closure (one vectorized pass — the stage that runs at 100 TB),
+    and roll up per lang n_docs / total_chars / total_tokens with the
+    ratio published on an exact ppm grid (``total_chars·10⁶ //
+    total_tokens`` — integer division, no float rule). Golden: the
+    independent per-doc loop trainer+encoder."""
+    from crawler_ray.functions import bpe
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text", "n_chars"])
+
+    def sample(b: pd.DataFrame) -> pd.DataFrame:
+        h = _murmur64(b["doc_id"].to_numpy(np.int64).view(np.uint64)
+                      ^ np.uint64(BPE_SAMPLE_SEED))
+        return b.loc[(h % np.uint64(4)) == 0, ["text"]]
+
+    merges = bpe.train_bpe_ds(ds.map_batches(sample, batch_format="pandas"),
+                              n_merges)
+
+    def partial(b: pd.DataFrame, ms=tuple(merges)) -> pd.DataFrame:
+        enc = bpe.encode_batch(b, list(ms))
+        s = pd.DataFrame({"lang": b["lang"].astype(object),
+                          "nc": b["n_chars"].to_numpy(np.int64),
+                          "nt": enc["toks"].str.len().to_numpy(np.int64)})
+        return s.groupby("lang", as_index=False).agg(
+            n_docs=("nt", "size"), total_chars=("nc", "sum"),
+            total_tokens=("nt", "sum"))
+
+    out = _fold(ds.map_batches(partial, batch_format="pandas"),
+                ["lang"], dict(n_docs=("n_docs", "sum"),
+                               total_chars=("total_chars", "sum"),
+                               total_tokens=("total_tokens", "sum")))
+    out["chars_per_token_ppm"] = (out["total_chars"] * 10**6) // out["total_tokens"]
+    for c in out.columns[1:]:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("lang").reset_index(drop=True)
+
+
 def uniform_k_sample(sf_dir: str, k: int = 200, seed: int = 33):
     """Exact global ``ORDER BY hash LIMIT k`` — a deterministic uniform
     k-sample of the corpus — WITHOUT a global sort exchange: each block
@@ -4297,6 +4339,7 @@ QUERIES = {
     "latest_event_per_user": latest_event_per_user,
     "dense_rank_top_prices": dense_rank_top_prices,
     "semantic_decontaminate": semantic_decontaminate,
+    "bpe_compression_ratio": bpe_compression_ratio,
 }
 
 ORACLE_SQL = {

@@ -121,3 +121,21 @@ def test_empty_frame_encodes_to_zero_rows():
     out2 = bpe.encode_batch(b, [("a", "b")])
     assert list(out2.loc[7, "toks"]) == ["a\x1fb", "c"]
     assert list(out2.loc[3, "toks"]) == ["a\x1fb"]
+
+
+def test_bpe_compression_ratio_golden(ray_session):
+    """Per-lang chars-per-token vs the committed independent loop golden,
+    plus conservation: totals across langs equal the corpus."""
+    import pandas as pd
+
+    from crawler_ray.pipelines.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    out = QUERIES["bpe_compression_ratio"](sf)
+    docs = pd.read_parquet(f"{sf}/documents.parquet", columns=["lang", "n_chars"])
+    assert int(out["n_docs"].sum()) == len(docs)
+    assert int(out["total_chars"].sum()) == int(docs["n_chars"].sum())
+    # merged symbols can only shrink the token count
+    assert (out["total_tokens"] <= out["total_chars"]).all()
+    assert (out["chars_per_token_ppm"]
+            == out["total_chars"] * 10**6 // out["total_tokens"]).all()

@@ -1516,7 +1516,7 @@ def bpe_golden(n_merges: int = 10, seed: int = 97):
 
     SEP = "\x1f"
     df = pq.read_table(f"{SF}/documents.parquet",
-                       columns=["doc_id", "text"]).to_pandas()
+                       columns=["doc_id", "lang", "text", "n_chars"]).to_pandas()
     sample = [str(t).split(" ") for i, t in zip(df["doc_id"], df["text"])
               if mur(int(i) ^ seed) % 4 == 0]
 
@@ -1548,13 +1548,18 @@ def bpe_golden(n_merges: int = 10, seed: int = 97):
         state = [apply_rule(t, a, b) for t in state]
 
     sym_counts = {a + SEP + b: 0 for a, b in merges}
-    for t in df["text"]:
+    ratio_acc: dict[str, list] = {}   # lang -> [n_docs, chars, tokens]
+    for lang, t, nc in zip(df["lang"], df["text"], df["n_chars"]):
         toks = str(t).split(" ")
         for a, b in merges:
             toks = apply_rule(toks, a, b)
         for tok in toks:
             if tok in sym_counts:
                 sym_counts[tok] += 1
+        acc = ratio_acc.setdefault(lang, [0, 0, 0])
+        acc[0] += 1
+        acc[1] += int(nc)
+        acc[2] += len(toks)
 
     out = pd.DataFrame({
         "rank": np.arange(len(merges), dtype=np.int64),
@@ -1562,6 +1567,14 @@ def bpe_golden(n_merges: int = 10, seed: int = 97):
         "cnt": np.array([sym_counts[a + SEP + b] for a, b in merges], np.int64),
     })
     write("bpe_tokenize", out)
+
+    ratio = pd.DataFrame([
+        dict(lang=lang, n_docs=a[0], total_chars=a[1], total_tokens=a[2],
+             chars_per_token_ppm=a[1] * 10**6 // a[2])
+        for lang, a in sorted(ratio_acc.items())])
+    for c in ratio.columns[1:]:
+        ratio[c] = ratio[c].astype(np.int64)
+    write("bpe_compression_ratio", ratio.reset_index(drop=True))
 
 
 def pca_golden(k: int = 4, scale: int = 10_000):
