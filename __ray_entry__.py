@@ -1573,6 +1573,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["dense_rank_top_prices"] = QUERIES["dense_rank_top_prices"]
     out["semantic_decontaminate"] = QUERIES["semantic_decontaminate"]
     out["bpe_compression_ratio"] = QUERIES["bpe_compression_ratio"]
+    out["event_transition_matrix"] = QUERIES["event_transition_matrix"]
     # flagship crawl outputs (deterministic synthetic web)
     out["crawl_store_meta"] = _crawl_table("store")
     # multimodal (decode/feature/near-dup over the image store)

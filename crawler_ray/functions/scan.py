@@ -379,17 +379,29 @@ def grouped_lag_ds(ds, group_col: str, order_cols: list[str], value_col: str,
 
     def apply_lag(b: pd.DataFrame, *, carry: dict) -> pd.DataFrame:
         b = b.copy()
+        numeric = b[value_col].dtype.kind in "fiu"
         if len(b) == 0:
-            b[out_col] = pd.Series([], dtype=np.float64)
+            b[out_col] = pd.Series(
+                [], dtype=np.float64 if numeric else object)
             return b
         key = tuple(b[c].iloc[0] for c in sort_cols)
         g = b[group_col].to_numpy()
-        v = b[value_col].to_numpy(np.float64)
-        prev = np.concatenate([[np.nan], v[:-1]])
-        prev[np.r_[True, g[1:] != g[:-1]]] = np.nan
+        first_of_group = np.r_[True, g[1:] != g[:-1]]
         c0 = carry[key]
-        if c0 is not None:
-            prev[0] = np.float64(c0)
+        if numeric:
+            # numeric path: float64 shift, NaN where no predecessor
+            v = b[value_col].to_numpy(np.float64)
+            prev = np.concatenate([[np.nan], v[:-1]])
+            prev[first_of_group] = np.nan
+            if c0 is not None:
+                prev[0] = np.float64(c0)
+        else:
+            # object path (strings etc.): None where no predecessor
+            v = b[value_col].to_numpy(object)
+            prev = np.concatenate([[None], v[:-1]])
+            prev[first_of_group] = None
+            if c0 is not None:
+                prev[0] = c0
         b[out_col] = prev
         return b
 

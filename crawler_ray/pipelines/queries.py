@@ -3969,6 +3969,35 @@ def latest_event_per_user(sf_dir: str):
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def event_transition_matrix(sf_dir: str):
+    """Per-stream Markov TRANSITION MATRIX — the bigram model of an event
+    stream (session-flow analytics; the event-level analogue of the text
+    bigram LM): within each user's (ts, event_id) order, count every
+    (prev_event_type → event_type) transition across the corpus. The
+    predecessor comes from the distributed LAG kernel's OBJECT path
+    (scan.grouped_lag_ds — one sort exchange, O(blocks) seam carry), so
+    no per-user state exists anywhere; the rollup is a combiner + fold
+    over the O(types²) matrix. First-in-stream rows (no predecessor) are
+    excluded on both sides."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    lagged = scan.grouped_lag_ds(ds, "user_id", ["ts", "event_id"],
+                                 "event_type", out_col="prev_type")
+
+    def partial(b: pd.DataFrame) -> pa.Table:
+        m = b.loc[b["prev_type"].notna(), ["prev_type", "event_type"]]
+        g = (m.astype(object).groupby(["prev_type", "event_type"])
+             .size().reset_index(name="n"))
+        return pa.table({"prev_type": pa.array(g["prev_type"].tolist(), pa.string()),
+                         "event_type": pa.array(g["event_type"].tolist(), pa.string()),
+                         "n": pa.array(g["n"].tolist(), pa.int64())})
+
+    out = _fold(lagged.map_batches(partial, batch_format="pandas"),
+                ["prev_type", "event_type"], dict(n=("n", "sum")))
+    out["n"] = out["n"].astype(np.int64)
+    return (out.sort_values(["prev_type", "event_type"])
+            .reset_index(drop=True))
+
+
 def dense_rank_top_prices(sf_dir: str):
     """DENSE_RANK top-3-with-ties per group WITHOUT a global sort: the
     per-batch combiner keeps each priority's 3 largest DISTINCT total
@@ -4340,6 +4369,7 @@ QUERIES = {
     "dense_rank_top_prices": dense_rank_top_prices,
     "semantic_decontaminate": semantic_decontaminate,
     "bpe_compression_ratio": bpe_compression_ratio,
+    "event_transition_matrix": event_transition_matrix,
 }
 
 ORACLE_SQL = {
@@ -5038,6 +5068,15 @@ ORACLE_SQL = {
                CAST(SUM(c) AS BIGINT) AS n_contaminated,
                CAST(COUNT(*) - SUM(c) AS BIGINT) AS n_kept
         FROM s GROUP BY label ORDER BY label""",
+    "event_transition_matrix": """
+        WITH l AS (
+          SELECT event_type,
+                 LAG(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev_type
+          FROM events)
+        SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM l WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2 ORDER BY 1, 2""",
 }
 
 

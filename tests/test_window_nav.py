@@ -84,3 +84,32 @@ def test_grouped_lag_layout_invariance(ray_session):
     got = a["prev_value"].to_numpy()
     exp = np.asarray(exp)
     assert ((np.isnan(got) & np.isnan(exp)) | (got == exp)).all()
+
+
+def test_event_transition_matrix(ray_session, con):
+    out = _check("event_transition_matrix", con)
+    # transitions conserve: n across all cells == events - streams
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["user_id"])
+    assert int(out["n"].sum()) == len(ev) - ev["user_id"].nunique()
+
+
+def test_grouped_lag_object_path(ray_session):
+    """String LAG (object dtype) must match the loop reference under a
+    boundary-heavy layout."""
+    from crawler_ray.functions import scan
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({
+        "g": rng.integers(0, 4, 200),
+        "o": np.arange(200, dtype=np.int64),
+        "v": np.array([f"s{int(x)}" for x in rng.integers(0, 3, 200)],
+                      dtype=object)})
+    got = (scan.grouped_lag_ds(rd.from_pandas(df).repartition(29),
+                               "g", ["o"], "v", out_col="p").to_pandas()
+           .sort_values(["g", "o"]).reset_index(drop=True))
+    prev: dict = {}
+    exp = []
+    for r in df.sort_values(["g", "o"]).itertuples(index=False):
+        exp.append(prev.get(r.g))
+        prev[r.g] = r.v
+    assert list(got["p"]) == exp
