@@ -1574,6 +1574,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["semantic_decontaminate"] = QUERIES["semantic_decontaminate"]
     out["bpe_compression_ratio"] = QUERIES["bpe_compression_ratio"]
     out["event_transition_matrix"] = QUERIES["event_transition_matrix"]
+    out["user_retention_cohorts"] = QUERIES["user_retention_cohorts"]
     # flagship crawl outputs (deterministic synthetic web)
     out["crawl_store_meta"] = _crawl_table("store")
     # multimodal (decode/feature/near-dup over the image store)

@@ -3969,6 +3969,49 @@ def latest_event_per_user(sf_dir: str):
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+_WEEK_US = 7 * 86400 * 10**6
+
+
+def user_retention_cohorts(sf_dir: str):
+    """Classic COHORT RETENTION matrix (the activation/retention analytics
+    every event warehouse serves): cohort = the epoch-week of a user's
+    FIRST event, and cell (cohort_week, week_offset) counts the DISTINCT
+    users of that cohort active in that week. ONE user-keyed exchange
+    co-locates each user's events whole, so the per-block kernel derives
+    each user's cohort (min week) and distinct active weeks locally —
+    globally exact by co-location — and emits matrix partials; the driver
+    folds O(weeks²) cells. Weeks are integer ``epoch_µs // week_µs`` so
+    no calendar/timezone rule can split engine and oracle."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def cells(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0 or "user_id" not in b.columns:
+            return pd.DataFrame({
+                "cohort_week": pd.Series([], dtype=np.int64),
+                "week_offset": pd.Series([], dtype=np.int64),
+                "n_users": pd.Series([], dtype=np.int64)})
+        w = pd.DataFrame({
+            "user_id": b["user_id"].to_numpy(np.int64),
+            "wk": b["ts"].astype("int64").to_numpy() // _WEEK_US,
+        }).drop_duplicates()
+        w["cohort_week"] = w.groupby("user_id")["wk"].transform("min")
+        w["week_offset"] = w["wk"] - w["cohort_week"]
+        return (w.groupby(["cohort_week", "week_offset"], as_index=False)
+                .size().rename(columns={"size": "n_users"}))
+
+    dk = (_keyed(ds).repartition(_W(), keys=["user_id"])
+          .map_batches(cells, batch_format="pandas", batch_size=None)
+          .materialize())
+    dk.context.shuffle_strategy = rd.DataContext.get_current().shuffle_strategy
+    out = (dk.to_pandas()
+           .groupby(["cohort_week", "week_offset"], as_index=False)["n_users"]
+           .sum())
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return (out.sort_values(["cohort_week", "week_offset"])
+            .reset_index(drop=True))
+
+
 def event_transition_matrix(sf_dir: str):
     """Per-stream Markov TRANSITION MATRIX — the bigram model of an event
     stream (session-flow analytics; the event-level analogue of the text
@@ -4370,6 +4413,7 @@ QUERIES = {
     "semantic_decontaminate": semantic_decontaminate,
     "bpe_compression_ratio": bpe_compression_ratio,
     "event_transition_matrix": event_transition_matrix,
+    "user_retention_cohorts": user_retention_cohorts,
 }
 
 ORACLE_SQL = {
@@ -5076,6 +5120,15 @@ ORACLE_SQL = {
           FROM events)
         SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS n
         FROM l WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2 ORDER BY 1, 2""",
+    "user_retention_cohorts": """
+        WITH w AS (SELECT DISTINCT user_id,
+                          epoch_us(ts) // 604800000000 AS wk FROM events),
+             c AS (SELECT user_id, MIN(wk) AS cohort FROM w GROUP BY 1)
+        SELECT CAST(c.cohort AS BIGINT) AS cohort_week,
+               CAST(w.wk - c.cohort AS BIGINT) AS week_offset,
+               CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM w JOIN c USING (user_id)
         GROUP BY 1, 2 ORDER BY 1, 2""",
 }
 

@@ -113,3 +113,15 @@ def test_grouped_lag_object_path(ray_session):
         exp.append(prev.get(r.g))
         prev[r.g] = r.v
     assert list(got["p"]) == exp
+
+
+def test_user_retention_cohorts(ray_session, con):
+    out = _check("user_retention_cohorts", con)
+    # offset-0 row of each cohort counts the whole cohort: column sums
+    # conserve users
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["user_id"])
+    zero = out[out["week_offset"] == 0]
+    assert int(zero["n_users"].sum()) == ev["user_id"].nunique()
+    # no cell can exceed its cohort's size
+    size = dict(zip(zero["cohort_week"], zero["n_users"]))
+    assert (out["n_users"] <= out["cohort_week"].map(size)).all()
