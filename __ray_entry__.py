@@ -1575,6 +1575,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["bpe_compression_ratio"] = QUERIES["bpe_compression_ratio"]
     out["event_transition_matrix"] = QUERIES["event_transition_matrix"]
     out["user_retention_cohorts"] = QUERIES["user_retention_cohorts"]
+    out["event_funnel"] = QUERIES["event_funnel"]
     # flagship crawl outputs (deterministic synthetic web)
     out["crawl_store_meta"] = _crawl_table("store")
     # multimodal (decode/feature/near-dup over the image store)

@@ -3969,6 +3969,55 @@ def latest_event_per_user(sf_dir: str):
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+_FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def event_funnel(sf_dir: str):
+    """Ordered FUNNEL conversion (the product-analytics classic): how many
+    users perform view → click → purchase IN ORDER, each step strictly
+    after the user's first qualifying event of the previous step. One
+    user-keyed exchange co-locates each user's events whole (the read is
+    pruned to funnel event types at the Arrow scan), the per-block kernel
+    walks the step chain with three vectorized groupby-min passes —
+    globally exact by co-location — and the driver sums O(blocks) stage
+    partials, publishing conversion on an exact ppm grid (integer
+    division). Timestamps compare as integer epoch-µs on both sides."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"],
+               filter=pc.field("event_type").isin(list(_FUNNEL_STEPS)))
+
+    def stages(b: pd.DataFrame) -> pd.DataFrame:
+        names = [f"n_stage{i + 1}" for i in range(len(_FUNNEL_STEPS))]
+        if len(b) == 0 or "user_id" not in b.columns:
+            return pd.DataFrame({n: pd.Series([], dtype=np.int64)
+                                 for n in names})
+        f = pd.DataFrame({"u": b["user_id"].to_numpy(np.int64),
+                          "e": b["event_type"].astype(object),
+                          "t": b["ts"].astype("int64").to_numpy()})
+        reach = None   # user -> epoch-µs of reaching the previous stage
+        counts = []
+        for step in _FUNNEL_STEPS:
+            s = f.loc[f["e"] == step, ["u", "t"]]
+            if reach is not None:
+                prev = s["u"].map(reach)
+                s = s.loc[prev.notna() & (s["t"] > prev)]
+            reach = s.groupby("u")["t"].min()
+            counts.append(len(reach))
+        return pd.DataFrame({n: [np.int64(c)]
+                             for n, c in zip(names, counts)})
+
+    dk = (_keyed(ds).repartition(_W(), keys=["user_id"])
+          .map_batches(stages, batch_format="pandas", batch_size=None)
+          .materialize())
+    dk.context.shuffle_strategy = rd.DataContext.get_current().shuffle_strategy
+    tot = dk.to_pandas().sum()
+    out = pd.DataFrame({k: [np.int64(tot[k])]
+                        for k in ("n_stage1", "n_stage2", "n_stage3")})
+    n1 = int(out["n_stage1"].iloc[0])
+    out["conv_ppm"] = np.int64(
+        int(out["n_stage3"].iloc[0]) * 10**6 // n1 if n1 else 0)
+    return out
+
+
 _WEEK_US = 7 * 86400 * 10**6
 
 
@@ -4414,6 +4463,7 @@ QUERIES = {
     "bpe_compression_ratio": bpe_compression_ratio,
     "event_transition_matrix": event_transition_matrix,
     "user_retention_cohorts": user_retention_cohorts,
+    "event_funnel": event_funnel,
 }
 
 ORACLE_SQL = {
@@ -5130,6 +5180,22 @@ ORACLE_SQL = {
                CAST(COUNT(*) AS BIGINT) AS n_users
         FROM w JOIN c USING (user_id)
         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "event_funnel": """
+        WITH s1 AS (SELECT user_id, MIN(epoch_us(ts)) AS t FROM events
+                    WHERE event_type = 'view' GROUP BY 1),
+             s2 AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t
+                    FROM events e JOIN s1 USING (user_id)
+                    WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t
+                    GROUP BY 1),
+             s3 AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t
+                    FROM events e JOIN s2 USING (user_id)
+                    WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t
+                    GROUP BY 1)
+        SELECT CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_stage1,
+               CAST((SELECT COUNT(*) FROM s2) AS BIGINT) AS n_stage2,
+               CAST((SELECT COUNT(*) FROM s3) AS BIGINT) AS n_stage3,
+               CAST((SELECT COUNT(*) FROM s3) * 1000000
+                    // (SELECT COUNT(*) FROM s1) AS BIGINT) AS conv_ppm""",
 }
 
 

@@ -125,3 +125,34 @@ def test_user_retention_cohorts(ray_session, con):
     # no cell can exceed its cohort's size
     size = dict(zip(zero["cohort_week"], zero["n_users"]))
     assert (out["n_users"] <= out["cohort_week"].map(size)).all()
+
+
+def test_event_funnel(ray_session, con):
+    out = _check("event_funnel", con)
+    # funnel is monotone and conversion is the exact ppm ratio
+    n1, n2, n3 = (int(out[c].iloc[0]) for c in ("n_stage1", "n_stage2", "n_stage3"))
+    assert n1 >= n2 >= n3 > 0
+    assert int(out["conv_ppm"].iloc[0]) == n3 * 10**6 // n1
+
+
+def test_event_funnel_order_matters(ray_session):
+    """A user whose purchase PRECEDES the click must not convert: planted
+    micro-fixture through the same per-block kernel semantics."""
+    import duckdb
+
+    from crawler_ray.pipelines.queries import ORACLE_SQL
+
+    c = duckdb.connect()
+    c.execute("""CREATE VIEW events AS SELECT * FROM (VALUES
+        (1, TIMESTAMP '2025-01-01 00:00:00', 'view'),
+        (1, TIMESTAMP '2025-01-01 00:02:00', 'purchase'),
+        (1, TIMESTAMP '2025-01-01 00:03:00', 'click'),
+        (2, TIMESTAMP '2025-01-01 00:00:00', 'view'),
+        (2, TIMESTAMP '2025-01-01 00:01:00', 'click'),
+        (2, TIMESTAMP '2025-01-01 00:02:00', 'purchase'))
+        t(user_id, ts, event_type)""")
+    r = c.execute(ORACLE_SQL["event_funnel"]).df()
+    # user 1: view->purchase->click = no stage-3; user 2 converts fully
+    assert int(r["n_stage1"].iloc[0]) == 2
+    assert int(r["n_stage2"].iloc[0]) == 2
+    assert int(r["n_stage3"].iloc[0]) == 1
